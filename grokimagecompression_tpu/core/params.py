@@ -1,0 +1,120 @@
+"""Coding parameters — the TPU-native analog of ``grk_cparameters`` /
+``grk_dparameters`` (reference: src/lib/jp2/grok.h:447-570, 694-735) and the
+per-tile/per-component coding style records (tcp/tccp).
+
+Defaults mirror ``grk_set_default_encoder_parameters``
+(reference: src/lib/jp2/grok.h:1488 semantics): lossless 5/3, single tile,
+64x64 code-blocks, 6 resolutions, LRCP, maximal precincts, 1 layer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional, Sequence, Tuple
+
+
+class Progression(enum.IntEnum):
+    """Progression orders, wire values per COD SGcod (Table A.16)."""
+
+    LRCP = 0
+    RLCP = 1
+    RPCL = 2
+    PCRL = 3
+    CPRL = 4
+
+
+class Transform(enum.IntEnum):
+    """SPcod transform field: 0 = irreversible 9/7, 1 = reversible 5/3."""
+
+    DWT_97 = 0
+    DWT_53 = 1
+
+
+class QuantStyle(enum.IntEnum):
+    """Sqcd/Sqcc quantization style (Table A.28)."""
+
+    NONE = 0  # reversible: exponents only
+    SCALAR_DERIVED = 1
+    SCALAR_EXPOUNDED = 2
+
+
+class MCT(enum.IntEnum):
+    """SGcod multiple-component-transform field."""
+
+    NONE = 0
+    RCT_OR_ICT = 1  # RCT when 5/3, ICT when 9/7
+
+
+# Code-block style bits (SPcod, Table A.19); values match the codestream.
+CBLKSTY_LAZY = 0x01      # selective arithmetic-coding bypass
+CBLKSTY_RESET = 0x02     # reset context probabilities between passes
+CBLKSTY_TERMALL = 0x04   # terminate after every pass
+CBLKSTY_VSC = 0x08       # vertically stripe-causal context formation
+CBLKSTY_PTERM = 0x10     # predictable termination
+CBLKSTY_SEGSYM = 0x20    # segmentation symbols
+CBLKSTY_HT = 0x40        # Part-15 high-throughput block coder
+
+
+@dataclasses.dataclass
+class EncoderParams:
+    """Encode-side parameters (subset of grk_cparameters, growing per round)."""
+
+    # Tile grid: None => single tile covering the image.
+    tile_size: Optional[Tuple[int, int]] = None  # (XTsiz, YTsiz)
+    tile_offset: Tuple[int, int] = (0, 0)        # (XTOsiz, YTOsiz)
+    image_offset: Tuple[int, int] = (0, 0)       # (XOsiz, YOsiz)
+
+    numresolutions: int = 6
+    cblk_w_exp: int = 6  # 64
+    cblk_h_exp: int = 6  # 64
+    cblk_style: int = 0
+    transform: Transform = Transform.DWT_53
+    mct: Optional[MCT] = None  # None = auto (RCT/ICT if 3+ components)
+    progression: Progression = Progression.LRCP
+    numlayers: int = 1
+    # Per-layer target rates as compression ratios (like -r); 0 = lossless /
+    # no constraint for that layer. Mutually exclusive with `quality_psnr`.
+    rates: Tuple[float, ...] = ()
+    # Per-layer target PSNR in dB (like -q); 0 on the last layer = lossless.
+    quality_psnr: Tuple[float, ...] = ()
+    # Precinct exponents (PPx, PPy) listed from *highest* resolution down,
+    # like the -c CLI flag; None = maximal (15,15) everywhere.
+    precincts: Optional[Sequence[Tuple[int, int]]] = None
+    num_guard_bits: int = 2
+    sop_markers: bool = False
+    eph_markers: bool = False
+    # Base quantization step for 9/7 (scalar expounded derivation).
+    base_step: float = 0.0  # 0 => derived from bit depth
+    comment: Optional[str] = "grokimagecompression_tpu"
+
+    def precinct_exps_for(self, numresolutions: int) -> Tuple[Tuple[int, int], ...]:
+        """Resolve per-resolution (PPx, PPy), indexed by r = 0..NL.
+
+        The user list is given from the highest resolution downward (CLI -c
+        convention); the last entry repeats for any remaining lower
+        resolutions.
+        """
+        if self.precincts is None:
+            return tuple((15, 15) for _ in range(numresolutions))
+        user = list(self.precincts)
+        out = []
+        for r in range(numresolutions):
+            # r runs low->high; user list runs high->low.
+            idx = numresolutions - 1 - r
+            if idx < len(user):
+                out.append(tuple(user[idx]))
+            else:
+                out.append(tuple(user[-1]))
+        return tuple(out)
+
+
+@dataclasses.dataclass
+class DecoderParams:
+    """Decode-side parameters (subset of grk_dparameters)."""
+
+    reduce: int = 0          # discard this many highest resolution levels
+    layers: int = 0          # 0 = all layers
+    # Decode window in canvas coordinates; None = full image.
+    window: Optional[Tuple[int, int, int, int]] = None
+    tile_index: Optional[int] = None

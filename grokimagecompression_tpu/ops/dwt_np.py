@@ -1,0 +1,230 @@
+"""Bit-exact numpy reference DWT (Annex F of ISO/IEC 15444-1).
+
+This is the *oracle* implementation: scalar-faithful canvas-coordinate
+lifting for the reversible 5/3 (integer) and irreversible 9/7 (float)
+wavelets, used to validate the JAX/Pallas device kernels and as the host
+fallback path.
+
+Semantics match the reference codec's forward/inverse lifting
+(reference: src/lib/jp2/transform/dwt53.cpp:150, dwt97.cpp:90,
+dwt.cpp:1208/2154) but are written directly from the Annex F equations in
+canvas coordinates:
+
+  forward 5/3:  Y(2n+1) = X(2n+1) - floor((X(2n) + X(2n+2)) / 2)
+                Y(2n)   = X(2n)   + floor((Y(2n-1) + Y(2n+1) + 2) / 4)
+  forward 9/7:  four lifting steps (alpha, beta, gamma, delta) then
+                L *= 1/K, H *= K.
+
+Per level the 2D transform applies the vertical pass then the horizontal
+pass (the forward order whose inverse — horizontal then vertical — matches
+the reference inverse, dwt.cpp:724).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..core.geometry import Rect, resolution_rect, band_rect
+
+ALPHA = -1.586134342059924
+BETA = -0.052980118572961
+GAMMA = 0.882911075530934
+DELTA = 0.443506852043971
+K = 1.230174104914001
+
+
+def _reflect(i: np.ndarray, u0: int, u1: int) -> np.ndarray:
+    """Periodic symmetric extension (PSE) of index i into [u0, u1)."""
+    n = u1 - u0
+    if n == 1:
+        return np.full_like(i, u0)
+    period = 2 * (n - 1)
+    j = np.mod(i - u0, period)
+    j = np.where(j >= n, period - j, j)
+    return u0 + j
+
+
+def _split_indices(u0: int, n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Canvas positions of even (low) and odd (high) samples in [u0, u0+n)."""
+    u1 = u0 + n
+    first_even = u0 if u0 % 2 == 0 else u0 + 1
+    first_odd = u0 if u0 % 2 == 1 else u0 + 1
+    even = np.arange(first_even, u1, 2)
+    odd = np.arange(first_odd, u1, 2)
+    return even, odd
+
+
+def fwd53_line(x: np.ndarray, u0: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Forward 5/3 along the last axis. Returns (low, high) int arrays."""
+    n = x.shape[-1]
+    u1 = u0 + n
+    if n == 0:
+        return x[..., :0], x[..., :0]
+    if n == 1:
+        if u0 % 2 == 1:
+            return x[..., :0], x * 2
+        return x, x[..., :0]
+    even, odd = _split_indices(u0, n)
+    # Step 1: high coefficients at odd canvas positions.
+    ln = _reflect(odd - 1, u0, u1) - u0
+    rn = _reflect(odd + 1, u0, u1) - u0
+    high = x[..., odd - u0] - ((x[..., ln] + x[..., rn]) >> 1)
+    # Step 2: low coefficients at even positions, using extended highs.
+    # Map an odd canvas position to its index in `high`.
+    o0 = odd[0]
+    lh = (_reflect(even - 1, u0, u1) - o0) >> 1
+    rh = (_reflect(even + 1, u0, u1) - o0) >> 1
+    low = x[..., even - u0] + ((high[..., lh] + high[..., rh] + 2) >> 2)
+    return low, high
+
+
+def inv53_line(low: np.ndarray, high: np.ndarray, u0: int) -> np.ndarray:
+    """Inverse 5/3 along the last axis, given (low, high) bands."""
+    n = low.shape[-1] + high.shape[-1]
+    u1 = u0 + n
+    if n == 0:
+        return low[..., :0]
+    if n == 1:
+        if u0 % 2 == 1:
+            return high >> 1
+        return low
+    even, odd = _split_indices(u0, n)
+    o0 = odd[0]
+    lh = (_reflect(even - 1, u0, u1) - o0) >> 1
+    rh = (_reflect(even + 1, u0, u1) - o0) >> 1
+    xe = low - ((high[..., lh] + high[..., rh] + 2) >> 2)
+    e0 = even[0]
+    le = (_reflect(odd - 1, u0, u1) - e0) >> 1
+    re = (_reflect(odd + 1, u0, u1) - e0) >> 1
+    xo = high + ((xe[..., le] + xe[..., re]) >> 1)
+    out = np.empty(low.shape[:-1] + (n,), dtype=low.dtype)
+    out[..., even - u0] = xe
+    out[..., odd - u0] = xo
+    return out
+
+
+def fwd97_line(x: np.ndarray, u0: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Forward 9/7 (float) along the last axis. Returns (low, high)."""
+    n = x.shape[-1]
+    u1 = u0 + n
+    x = np.asarray(x, dtype=np.float32)
+    if n == 0:
+        return x[..., :0], x[..., :0]
+    if n == 1:
+        if u0 % 2 == 1:
+            return x[..., :0], x * np.float32(K)
+        return x * np.float32(1.0 / K), x[..., :0]
+    even, odd = _split_indices(u0, n)
+    o0 = odd[0]
+    e0 = even[0]
+
+    def oidx(i):
+        return (_reflect(i, u0, u1) - o0) >> 1
+
+    def eidx(i):
+        return (_reflect(i, u0, u1) - e0) >> 1
+
+    h = x[..., odd - u0] + np.float32(ALPHA) * (
+        x[..., _reflect(odd - 1, u0, u1) - u0] + x[..., _reflect(odd + 1, u0, u1) - u0])
+    l = x[..., even - u0] + np.float32(BETA) * (h[..., oidx(even - 1)] + h[..., oidx(even + 1)])
+    h = h + np.float32(GAMMA) * (l[..., eidx(odd - 1)] + l[..., eidx(odd + 1)])
+    l = l + np.float32(DELTA) * (h[..., oidx(even - 1)] + h[..., oidx(even + 1)])
+    return l * np.float32(1.0 / K), h * np.float32(K)
+
+
+def inv97_line(low: np.ndarray, high: np.ndarray, u0: int) -> np.ndarray:
+    """Inverse 9/7 (float) along the last axis."""
+    n = low.shape[-1] + high.shape[-1]
+    u1 = u0 + n
+    if n == 0:
+        return low[..., :0]
+    if n == 1:
+        if u0 % 2 == 1:
+            return high * np.float32(1.0 / K)
+        return low * np.float32(K)
+    even, odd = _split_indices(u0, n)
+    o0 = odd[0]
+    e0 = even[0]
+
+    def oidx(i):
+        return (_reflect(i, u0, u1) - o0) >> 1
+
+    def eidx(i):
+        return (_reflect(i, u0, u1) - e0) >> 1
+
+    l = low * np.float32(K)
+    h = high * np.float32(1.0 / K)
+    l = l - np.float32(DELTA) * (h[..., oidx(even - 1)] + h[..., oidx(even + 1)])
+    h = h - np.float32(GAMMA) * (l[..., eidx(odd - 1)] + l[..., eidx(odd + 1)])
+    l = l - np.float32(BETA) * (h[..., oidx(even - 1)] + h[..., oidx(even + 1)])
+    h = h - np.float32(ALPHA) * (l[..., eidx(odd - 1)] + l[..., eidx(odd + 1)])
+    out = np.empty(low.shape[:-1] + (n,), dtype=np.float32)
+    out[..., even - u0] = l
+    out[..., odd - u0] = h
+    return out
+
+
+def _fwd_line(x, u0, reversible):
+    return fwd53_line(x, u0) if reversible else fwd97_line(x, u0)
+
+
+def _inv_line(lo, hi, u0, reversible):
+    return inv53_line(lo, hi, u0) if reversible else inv97_line(lo, hi, u0)
+
+
+def fwd_dwt_2d(a: np.ndarray, tc: Rect, numresolutions: int,
+               reversible: bool = True) -> Dict[Tuple[int, int], np.ndarray]:
+    """Full multi-level forward DWT of a tile-component.
+
+    `a` has shape (tc.h, tc.w) and lives at canvas origin (tc.x0, tc.y0).
+    Returns {(r, orient): band_array} keyed by resolution r and orientation,
+    with band shapes matching :func:`band_rect`.
+    """
+    nl = numresolutions - 1
+    bands: Dict[Tuple[int, int], np.ndarray] = {}
+    cur = a
+    cur_rect = tc
+    for lev in range(nl):
+        r = nl - lev  # bands produced at resolution r
+        # Vertical pass (along columns == axis 0), then horizontal (axis 1).
+        t = np.swapaxes(cur, -1, -2)
+        lo_v, hi_v = _fwd_line(t, cur_rect.y0, reversible)
+        lo_v = np.swapaxes(lo_v, -1, -2)
+        hi_v = np.swapaxes(hi_v, -1, -2)
+        ll, hl = _fwd_line(lo_v, cur_rect.x0, reversible)
+        lh, hh = _fwd_line(hi_v, cur_rect.x0, reversible)
+        bands[(r, 1)] = hl
+        bands[(r, 2)] = lh
+        bands[(r, 3)] = hh
+        cur = ll
+        cur_rect = resolution_rect(tc, numresolutions, numresolutions - 1 - (lev + 1))
+    bands[(0, 0)] = cur
+    return bands
+
+
+def inv_dwt_2d(bands: Dict[Tuple[int, int], np.ndarray], tc: Rect,
+               numresolutions: int, reversible: bool = True,
+               max_res: int | None = None) -> np.ndarray:
+    """Multi-level inverse DWT. `max_res` reconstructs up to that resolution
+    (None = full). Inverse order per level: horizontal then vertical."""
+    nl = numresolutions - 1
+    if max_res is None:
+        max_res = nl
+    cur = bands[(0, 0)]
+    for r in range(1, max_res + 1):
+        res_prev = resolution_rect(tc, numresolutions, r - 1)
+        res = resolution_rect(tc, numresolutions, r)
+        hl = bands[(r, 1)]
+        lh = bands[(r, 2)]
+        hh = bands[(r, 3)]
+        # Horizontal inverse on the two row groups.
+        top = _inv_line(cur, hl, res.x0, reversible)     # rows at even canvas y
+        bot = _inv_line(lh, hh, res.x0, reversible)      # rows at odd canvas y
+        # Vertical inverse: interleave rows by canvas parity of y.
+        tt = np.swapaxes(top, -1, -2)
+        bb = np.swapaxes(bot, -1, -2)
+        full = _inv_line(tt, bb, res.y0, reversible)
+        cur = np.swapaxes(full, -1, -2)
+    return cur
