@@ -1,0 +1,150 @@
+"""Top-level J2K decoder: codestream bytes -> Image.
+
+Analog of the reference decode path (reference: src/lib/jp2/codestream/
+j2k.cpp: j2k_read_header:406, marker loop j2k_read_header_procedure:176,
+j2k_decode:1376, tile loop/SOT parsing j2k.cpp:627). Unknown markers are
+skipped by length; truncated tiles decode as far as the data allows
+(degrade, don't fail).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..core.geometry import ceil_div, tile_grid_size, tile_rect
+from ..core.image import Component, Image
+from ..core.params import DecoderParams
+from . import markers
+from .markers import CodInfo, QcdInfo, SizInfo
+from .tile import decode_tile
+
+
+@dataclasses.dataclass
+class CodestreamHeader:
+    siz: SizInfo
+    cod: CodInfo
+    qcd: QcdInfo
+    comments: List[str]
+    main_header_end: int  # offset of first SOT
+
+
+@dataclasses.dataclass
+class TilePart:
+    tile_index: int
+    body: bytes
+
+
+def read_header(data: bytes) -> CodestreamHeader:
+    if struct.unpack(">H", data[0:2])[0] != markers.SOC:
+        raise ValueError("not a J2K codestream (missing SOC)")
+    pos = 2
+    siz = cod = qcd = None
+    comments: List[str] = []
+    while pos + 4 <= len(data):
+        marker = struct.unpack(">H", data[pos:pos + 2])[0]
+        if marker == markers.SOT:
+            break
+        length = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        payload = data[pos + 4:pos + 2 + length]
+        if marker == markers.SIZ:
+            siz = markers.parse_siz(payload)
+        elif marker == markers.COD:
+            cod = markers.parse_cod(payload)
+        elif marker == markers.QCD:
+            qcd = markers.parse_qcd(payload)
+        elif marker == markers.COM:
+            if len(payload) >= 2:
+                comments.append(payload[2:].decode("latin-1", "replace"))
+        # COC/QCC/POC/TLM/PLM/PPM/CRG: skipped by length (future rounds).
+        pos += 2 + length
+    if siz is None or cod is None or qcd is None:
+        raise ValueError("incomplete main header (need SIZ, COD, QCD)")
+    return CodestreamHeader(siz=siz, cod=cod, qcd=qcd, comments=comments,
+                            main_header_end=pos)
+
+
+def iter_tile_parts(data: bytes, start: int):
+    """Yield TilePart records by walking SOT/Psot; tolerates truncation."""
+    pos = start
+    while pos + 4 <= len(data):
+        marker = struct.unpack(">H", data[pos:pos + 2])[0]
+        if marker == markers.EOC:
+            return
+        if marker != markers.SOT:
+            # Resync: skip marker segment if it has a length.
+            if pos + 4 <= len(data):
+                length = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+                pos += 2 + length
+                continue
+            return
+        sot = markers.parse_sot(data[pos + 4:pos + 12])
+        psot = sot.psot if sot.psot else len(data) - pos
+        tp_end = min(pos + psot, len(data))
+        # Walk markers inside the tile-part header until SOD.
+        hp = pos + 12
+        while hp + 2 <= tp_end:
+            m = struct.unpack(">H", data[hp:hp + 2])[0]
+            if m == markers.SOD:
+                hp += 2
+                break
+            ln = struct.unpack(">H", data[hp + 2:hp + 4])[0]
+            hp += 2 + ln
+        yield TilePart(tile_index=sot.tile_index, body=data[hp:tp_end])
+        pos = pos + psot if sot.psot else tp_end
+
+
+def decode(data: bytes, params: Optional[DecoderParams] = None) -> Image:
+    """Decode a raw J2K codestream into an Image."""
+    params = params or DecoderParams()
+    hdr = read_header(data)
+    siz, cod, qcd = hdr.siz, hdr.cod, hdr.qcd
+
+    ntx, nty = tile_grid_size(siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
+                              siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
+    numtiles = ntx * nty
+    tile_bodies: Dict[int, List[bytes]] = {}
+    for tp in iter_tile_parts(data, hdr.main_header_end):
+        tile_bodies.setdefault(tp.tile_index, []).append(tp.body)
+
+    reduce = min(params.reduce, cod.numresolutions - 1)
+    shift = cod.numresolutions - 1 - (cod.numresolutions - 1 - reduce)
+
+    # Output image dims at the reduced resolution.
+    comps_out: List[np.ndarray] = []
+    for c, cs in enumerate(siz.comps):
+        cw = ceil_div(siz.xsiz, cs.dx << reduce) - ceil_div(siz.xosiz, cs.dx << reduce)
+        ch = ceil_div(siz.ysiz, cs.dy << reduce) - ceil_div(siz.yosiz, cs.dy << reduce)
+        comps_out.append(np.zeros((ch, cw), dtype=np.int32))
+
+    tiles = (range(numtiles) if params.tile_index is None
+             else [params.tile_index])
+    for t in tiles:
+        if t not in tile_bodies:
+            continue
+        tr = tile_rect(t, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
+                       siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
+        body = b"".join(tile_bodies[t])
+        tcomps = decode_tile(body, siz, cod, qcd, tr, reduce=reduce,
+                             max_layers=params.layers)
+        for c, arr in enumerate(tcomps):
+            cs = siz.comps[c]
+            # Reduced tile-component rect.
+            tx0 = ceil_div(ceil_div(tr.x0, cs.dx), 1 << reduce)
+            ty0 = ceil_div(ceil_div(tr.y0, cs.dy), 1 << reduce)
+            ox = ceil_div(siz.xosiz, cs.dx << reduce)
+            oy = ceil_div(siz.yosiz, cs.dy << reduce)
+            comps_out[c][ty0 - oy:ty0 - oy + arr.shape[0],
+                         tx0 - ox:tx0 - ox + arr.shape[1]] = arr
+
+    comps = [
+        Component(data=comps_out[c], dx=siz.comps[c].dx,
+                  dy=siz.comps[c].dy, prec=siz.comps[c].prec,
+                  signed=siz.comps[c].signed)
+        for c in range(len(siz.comps))
+    ]
+    return Image(components=comps, x0=siz.xosiz, y0=siz.yosiz,
+                 xsiz=siz.xsiz, ysiz=siz.ysiz)

@@ -1,0 +1,121 @@
+"""Top-level J2K encoder: image -> codestream bytes.
+
+Analog of the reference encode path (reference: src/lib/jp2/codestream/
+j2k.cpp: j2k_setup_encoder:1609, j2k_start_compress:2127, j2k_encode:2059,
+tile loop j2k.cpp:2088) with the tile loop expressed as an independent
+per-tile map (the sharding axis for the device pipeline) instead of a
+sequential stateful loop.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ..core.geometry import ceil_div, tile_grid_size, tile_rect
+from ..core.image import Image
+from ..core.params import EncoderParams, MCT, Transform
+from . import markers
+from .markers import CodInfo, ComponentSiz, SizInfo, SotInfo
+from .tile import TileEncResult, default_qcd, encode_tile
+
+
+def build_siz(image: Image, params: EncoderParams) -> SizInfo:
+    xt, yt = params.tile_size if params.tile_size else (
+        image.xsiz - params.image_offset[0],
+        image.ysiz - params.image_offset[1],
+    )
+    comps = [
+        ComponentSiz(prec=c.prec, signed=c.signed, dx=c.dx, dy=c.dy)
+        for c in image.components
+    ]
+    return SizInfo(
+        xsiz=image.xsiz, ysiz=image.ysiz,
+        xosiz=params.image_offset[0], yosiz=params.image_offset[1],
+        xtsiz=xt, ytsiz=yt,
+        xtosiz=params.tile_offset[0], ytosiz=params.tile_offset[1],
+        comps=comps,
+    )
+
+
+def build_cod(image: Image, params: EncoderParams) -> CodInfo:
+    mct = params.mct
+    if mct is None:
+        same = (
+            image.numcomps >= 3
+            and all(image.components[i].dx == image.components[0].dx
+                    and image.components[i].dy == image.components[0].dy
+                    for i in range(3))
+        )
+        mct = MCT.RCT_OR_ICT if same else MCT.NONE
+    precincts = None
+    if params.precincts is not None:
+        precincts = params.precinct_exps_for(params.numresolutions)
+    return CodInfo(
+        progression=params.progression,
+        numlayers=params.numlayers,
+        mct=int(mct),
+        numresolutions=params.numresolutions,
+        cblk_w_exp=params.cblk_w_exp,
+        cblk_h_exp=params.cblk_h_exp,
+        cblk_style=params.cblk_style,
+        transform=params.transform,
+        precincts=precincts,
+        sop=params.sop_markers,
+        eph=params.eph_markers,
+    )
+
+
+def extract_tile_comps(image: Image, siz: SizInfo, t: int) -> List[np.ndarray]:
+    """Slice per-component tile data out of the full image planes."""
+    tr = tile_rect(t, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
+                   siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
+    out = []
+    for comp in image.components:
+        tcx0 = ceil_div(tr.x0, comp.dx)
+        tcy0 = ceil_div(tr.y0, comp.dy)
+        tcx1 = ceil_div(tr.x1, comp.dx)
+        tcy1 = ceil_div(tr.y1, comp.dy)
+        ox = ceil_div(image.x0, comp.dx)
+        oy = ceil_div(image.y0, comp.dy)
+        out.append(np.ascontiguousarray(
+            comp.data[tcy0 - oy:tcy1 - oy, tcx0 - ox:tcx1 - ox]))
+    return out
+
+
+def encode(image: Image, params: Optional[EncoderParams] = None,
+           layer_alloc=None) -> bytes:
+    """Encode an Image to a raw J2K codestream."""
+    params = params or EncoderParams()
+    siz = build_siz(image, params)
+    cod = build_cod(image, params)
+    qcd = default_qcd(siz, cod, params.num_guard_bits, params.base_step)
+
+    out = bytearray()
+    out += markers.write_soc()
+    out += markers.write_siz(siz)
+    out += markers.write_cod(cod)
+    out += markers.write_qcd(qcd)
+    if params.comment:
+        out += markers.write_com(params.comment)
+
+    ntx, nty = tile_grid_size(siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
+                              siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
+    needs_rc = bool(params.rates and any(r > 0 for r in params.rates)) \
+        or bool(params.quality_psnr)
+    if layer_alloc is None and needs_rc:
+        from .pcrd import make_layer_alloc
+        layer_alloc = make_layer_alloc(image, params)
+    for t in range(ntx * nty):
+        tr = tile_rect(t, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
+                       siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
+        comps = extract_tile_comps(image, siz, t)
+        res: TileEncResult = encode_tile(comps, siz, cod, qcd, tr,
+                                         layer_alloc=layer_alloc)
+        psot = 12 + 2 + len(res.body)  # SOT(12) + SOD(2) + body
+        out += markers.write_sot(SotInfo(tile_index=t, psot=psot))
+        out += markers.write_sod()
+        out += res.body
+    out += markers.write_eoc()
+    return bytes(out)

@@ -1,0 +1,381 @@
+"""Per-tile encode/decode pipeline — the analog of the reference
+TileProcessor (reference: src/lib/jp2/TileProcessor.cpp: encode_tile:951,
+decode_tile:1069) restructured as pure functions over a static tile plan.
+
+Encode: DC shift -> MCT -> DWT -> quantize -> T1 code-blocks -> T2 packets.
+Decode: T2 packet parse -> T1 decode -> dequantize -> inverse DWT -> inverse
+MCT -> DC unshift/clamp.
+
+The compute stages call into a pluggable T1 backend (Python reference or
+native C++); the DWT runs through the numpy reference here, with the JAX
+device pipeline (models/) producing identical coefficients for batched use.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..core.geometry import (
+    Rect,
+    TileComponentLayout,
+    band_gain,
+    build_tile_component_layout,
+    component_rect,
+)
+from ..core.params import Progression, QuantStyle, Transform
+from ..ops import dwt_np, mct_np, quant
+from ..t1 import backend as t1_backend
+from .markers import CodInfo, QcdInfo, SizInfo
+from .packetiter import CompIterInfo, packet_order
+from .t2 import CblkDec, CblkEnc, PrecDec, PrecEnc, decode_packet, encode_packet
+
+
+@dataclasses.dataclass
+class BandPlan:
+    r: int
+    orient: int
+    rect: Rect
+    gain: int
+    expn: int
+    mant: int
+    stepsize: float
+    kmax: int  # M_b: maximum coded bit-planes
+
+
+@dataclasses.dataclass
+class TileCompPlan:
+    layout: TileComponentLayout
+    bands: Dict[Tuple[int, int], BandPlan]
+    prec: int
+    signed: bool
+
+
+def _band_index(r: int, orient: int) -> int:
+    """Index of band in QCD ordering: LL, then (HL, LH, HH) per resolution."""
+    if r == 0:
+        return 0
+    return 3 * (r - 1) + orient
+
+
+def build_comp_plan(siz: SizInfo, cod: CodInfo, qcd: QcdInfo,
+                    tile: Rect, compno: int) -> TileCompPlan:
+    comp = siz.comps[compno]
+    tc = component_rect(tile, comp.dx, comp.dy)
+    layout = build_tile_component_layout(
+        tc, cod.numresolutions, cod.cblk_w_exp, cod.cblk_h_exp,
+        cod.precincts)
+    reversible = cod.transform == Transform.DWT_53
+    nl = cod.numresolutions - 1
+    bands: Dict[Tuple[int, int], BandPlan] = {}
+    for res in layout.resolutions:
+        for band in res.bands:
+            r, orient = res.r, band.orient
+            gain = band_gain(orient) if reversible else 0
+            bi = _band_index(r, orient)
+            if qcd.style == QuantStyle.NONE:
+                expn = qcd.exponents[bi]
+                mant = 0
+                stepsize = 1.0
+            elif qcd.style == QuantStyle.SCALAR_EXPOUNDED:
+                expn, mant = qcd.steps[bi]
+                stepsize = quant.decode_stepsize(expn, mant, comp.prec + gain)
+            else:  # SCALAR_DERIVED
+                e0, m0 = qcd.steps[0]
+                nb = nl if r == 0 else nl - r + 1
+                expn = e0 - nl + nb
+                mant = m0
+                stepsize = quant.decode_stepsize(expn, mant, comp.prec + gain)
+            kmax = qcd.num_guard_bits + expn - 1
+            bands[(r, orient)] = BandPlan(
+                r=r, orient=orient, rect=band.rect, gain=gain,
+                expn=expn, mant=mant, stepsize=stepsize, kmax=kmax)
+    return TileCompPlan(layout=layout, bands=bands, prec=comp.prec,
+                        signed=comp.signed)
+
+
+def default_qcd(siz: SizInfo, cod: CodInfo, num_guard_bits: int = 2,
+                base_step: float = 0.0) -> QcdInfo:
+    """Encoder-side QCD derivation (all components share one QCD here)."""
+    prec = siz.comps[0].prec
+    nl = cod.numresolutions - 1
+    reversible = cod.transform == Transform.DWT_53
+    nbands = 1 + 3 * nl
+    if reversible:
+        exponents = []
+        for bi in range(nbands):
+            r = 0 if bi == 0 else (bi - 1) // 3 + 1
+            orient = 0 if bi == 0 else (bi - 1) % 3 + 1
+            exponents.append(prec + band_gain(orient))
+        return QcdInfo(style=QuantStyle.NONE, num_guard_bits=num_guard_bits,
+                       exponents=tuple(exponents))
+    steps = []
+    for bi in range(nbands):
+        r = 0 if bi == 0 else (bi - 1) // 3 + 1
+        orient = 0 if bi == 0 else (bi - 1) % 3 + 1
+        level = nl - r
+        step = quant.default_irrev_stepsize(orient, level)
+        if base_step > 0.0:
+            step *= base_step
+        steps.append(quant.encode_stepsize(step, prec))
+    return QcdInfo(style=QuantStyle.SCALAR_EXPOUNDED,
+                   num_guard_bits=num_guard_bits, steps=tuple(steps))
+
+
+# --------------------------------------------------------------------------
+# Encode
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class TileEncResult:
+    body: bytes
+    num_packets: int
+
+
+def _apply_fwd_transforms(comps_data: List[np.ndarray], plans,
+                          cod: CodInfo) -> List[np.ndarray]:
+    """DC shift + MCT; returns per-comp arrays ready for DWT."""
+    reversible = cod.transform == Transform.DWT_53
+    out = []
+    for c, a in enumerate(comps_data):
+        p = plans[c]
+        a = mct_np.dc_shift_fwd(a.astype(np.int32), p.prec, p.signed)
+        out.append(a)
+    if cod.mct and len(out) >= 3:
+        if reversible:
+            y, u, v = mct_np.rct_fwd(out[0], out[1], out[2])
+        else:
+            y, u, v = mct_np.ict_fwd(out[0], out[1], out[2])
+        out[0], out[1], out[2] = y, u, v
+    if not reversible:
+        out = [np.asarray(a, np.float32) for a in out]
+    return out
+
+
+def encode_tile(
+    comps_data: List[np.ndarray],
+    siz: SizInfo,
+    cod: CodInfo,
+    qcd: QcdInfo,
+    tile: Rect,
+    layer_alloc=None,
+    coeff_bands: Optional[List[Dict[Tuple[int, int], np.ndarray]]] = None,
+) -> TileEncResult:
+    """Encode one tile to its packet body bytes.
+
+    `layer_alloc(cblk_entries, numlayers) -> None` assigns
+    `layer_npasses` on each CblkEnc; default puts every pass in layer 0.
+    `coeff_bands` (optional) supplies precomputed DWT band coefficients per
+    component (e.g. from the JAX device pipeline), skipping the host DWT.
+    """
+    ncomps = len(comps_data)
+    plans = [build_comp_plan(siz, cod, qcd, tile, c) for c in range(ncomps)]
+    reversible = cod.transform == Transform.DWT_53
+
+    if coeff_bands is None:
+        data = _apply_fwd_transforms(comps_data, plans, cod)
+        coeff_bands = []
+        for c in range(ncomps):
+            tc = plans[c].layout.tc_rect
+            coeff_bands.append(
+                dwt_np.fwd_dwt_2d(data[c], tc, cod.numresolutions,
+                                  reversible=reversible))
+
+    # T1-encode every code-block.
+    all_cblks: List[CblkEnc] = []
+    prec_enc: List[Dict[Tuple[int, int], List[PrecEnc]]] = []
+    for c in range(ncomps):
+        plan = plans[c]
+        per_res: Dict[Tuple[int, int], List[PrecEnc]] = {}
+        for res in plan.layout.resolutions:
+            for band in res.bands:
+                bp = plan.bands[(res.r, band.orient)]
+                arr = coeff_bands[c][(res.r, band.orient)]
+                if reversible:
+                    mag, neg = quant.to_sign_magnitude(arr)
+                else:
+                    mag, neg = quant.quantize(arr, bp.stepsize)
+                plist: List[PrecEnc] = []
+                for prc in band.precincts:
+                    cbs: List[CblkEnc] = []
+                    for cb in prc.cblks:
+                        x0 = cb.rect.x0 - band.rect.x0
+                        y0 = cb.rect.y0 - band.rect.y0
+                        m = mag[y0:y0 + cb.rect.h, x0:x0 + cb.rect.w]
+                        s = neg[y0:y0 + cb.rect.h, x0:x0 + cb.rect.w]
+                        dat, numbps, npasses, passes = t1_backend.encode_cblk(
+                            m, s, band.orient, cod.cblk_style)
+                        if numbps > bp.kmax:
+                            raise ValueError(
+                                f"code-block numbps {numbps} exceeds Kmax "
+                                f"{bp.kmax}; increase guard bits")
+                        ce = CblkEnc(geom=cb, data=dat, numbps=numbps,
+                                     imsb=bp.kmax - numbps if numbps else bp.kmax,
+                                     numpasses=npasses, passes=passes)
+                        cbs.append(ce)
+                        all_cblks.append(ce)
+                    plist.append(PrecEnc(geom=prc, cblks=cbs))
+                per_res.setdefault((res.r, band.orient), []).extend(plist)
+        prec_enc.append(per_res)
+
+    # Layer allocation.
+    numlayers = cod.numlayers
+    if layer_alloc is None:
+        for cb in all_cblks:
+            cb.layer_npasses = [cb.numpasses] + [0] * (numlayers - 1)
+    else:
+        layer_alloc(all_cblks, numlayers)
+    for per_res in prec_enc:
+        for plist in per_res.values():
+            for pe in plist:
+                pe.init_trees()
+
+    # Packet emission in progression order.
+    comps_iter = [
+        CompIterInfo(
+            numresolutions=cod.numresolutions,
+            dx=siz.comps[c].dx,
+            dy=siz.comps[c].dy,
+            tc_rect=plans[c].layout.tc_rect,
+            prec_info=[(res.ppx, res.ppy, res.num_precincts_w,
+                        res.num_precincts_h)
+                       for res in plans[c].layout.resolutions],
+        )
+        for c in range(ncomps)
+    ]
+    body = bytearray()
+    npackets = 0
+    for (l, r, c, p) in packet_order(cod.progression, numlayers, comps_iter,
+                                     tile):
+        orients = (0,) if r == 0 else (1, 2, 3)
+        precs = []
+        for o in orients:
+            plist = prec_enc[c].get((r, o))
+            if plist:
+                precs.append(plist[p])
+        body += encode_packet(l, precs, cod.cblk_style, sop=cod.sop,
+                              eph=cod.eph, packet_index=npackets)
+        npackets += 1
+    return TileEncResult(body=bytes(body), num_packets=npackets)
+
+
+# --------------------------------------------------------------------------
+# Decode
+# --------------------------------------------------------------------------
+
+def decode_tile(
+    body: bytes,
+    siz: SizInfo,
+    cod: CodInfo,
+    qcd: QcdInfo,
+    tile: Rect,
+    reduce: int = 0,
+    max_layers: int = 0,
+) -> List[np.ndarray]:
+    """Decode one tile's packet body back to component sample arrays."""
+    ncomps = len(siz.comps)
+    plans = [build_comp_plan(siz, cod, qcd, tile, c) for c in range(ncomps)]
+    reversible = cod.transform == Transform.DWT_53
+
+    # Build decode structures.
+    prec_dec: List[Dict[Tuple[int, int], List[PrecDec]]] = []
+    cblk_index: List[Dict[Tuple[int, int], List[CblkDec]]] = []
+    for c in range(ncomps):
+        plan = plans[c]
+        per_res: Dict[Tuple[int, int], List[PrecDec]] = {}
+        cb_per_band: Dict[Tuple[int, int], List[CblkDec]] = {}
+        for res in plan.layout.resolutions:
+            for band in res.bands:
+                plist = []
+                cbl = []
+                for prc in band.precincts:
+                    cbs = [CblkDec(geom=cb) for cb in prc.cblks]
+                    pd = PrecDec(geom=prc, cblks=cbs)
+                    pd.init_trees()
+                    plist.append(pd)
+                    cbl.extend(cbs)
+                per_res[(res.r, band.orient)] = plist
+                cb_per_band[(res.r, band.orient)] = cbl
+        prec_dec.append(per_res)
+        cblk_index.append(cb_per_band)
+
+    comps_iter = [
+        CompIterInfo(
+            numresolutions=cod.numresolutions,
+            dx=siz.comps[c].dx,
+            dy=siz.comps[c].dy,
+            tc_rect=plans[c].layout.tc_rect,
+            prec_info=[(res.ppx, res.ppy, res.num_precincts_w,
+                        res.num_precincts_h)
+                       for res in plans[c].layout.resolutions],
+        )
+        for c in range(ncomps)
+    ]
+    numlayers = cod.numlayers if max_layers == 0 else min(
+        cod.numlayers, max_layers)
+    pos = 0
+    for (l, r, c, p) in packet_order(cod.progression, cod.numlayers,
+                                     comps_iter, tile):
+        if pos >= len(body):
+            break
+        orients = (0,) if r == 0 else (1, 2, 3)
+        precs = [prec_dec[c][(r, o)][p] for o in orients
+                 if (r, o) in prec_dec[c]]
+        kmaxs = [plans[c].bands[(r, o)].kmax for o in orients
+                 if (r, o) in plans[c].bands]
+        if l >= numlayers:
+            # Still must parse the packet to stay in sync (layer skip just
+            # drops the data later — simplest correct behavior).
+            pass
+        pos = decode_packet(body, pos, l, precs, kmaxs, cod.cblk_style,
+                            sop=cod.sop, eph=cod.eph)
+
+    # T1 decode + dequantize into band arrays, then inverse DWT per comp.
+    out = []
+    for c in range(ncomps):
+        plan = plans[c]
+        bands_arrays: Dict[Tuple[int, int], np.ndarray] = {}
+        for res in plan.layout.resolutions:
+            for band in res.bands:
+                bp = plan.bands[(res.r, band.orient)]
+                dtype = np.int32 if reversible else np.float32
+                arr = np.zeros((band.rect.h, band.rect.w), dtype=dtype)
+                for cb in cblk_index[c][(res.r, band.orient)]:
+                    if cb.numpasses == 0:
+                        continue
+                    data, seg_lengths = cb.data_and_seg_lengths()
+                    mag, neg = t1_backend.decode_cblk(
+                        data, seg_lengths, cb.geom.rect.w, cb.geom.rect.h,
+                        band.orient, cb.numbps, cb.numpasses, cod.cblk_style)
+                    x0 = cb.geom.rect.x0 - band.rect.x0
+                    y0 = cb.geom.rect.y0 - band.rect.y0
+                    if reversible:
+                        arr[y0:y0 + cb.geom.rect.h, x0:x0 + cb.geom.rect.w] = \
+                            quant.from_sign_magnitude(mag, neg)
+                    else:
+                        arr[y0:y0 + cb.geom.rect.h, x0:x0 + cb.geom.rect.w] = \
+                            quant.dequantize(mag, neg, bp.stepsize)
+                bands_arrays[(res.r, band.orient)] = arr
+        max_res = cod.numresolutions - 1 - reduce
+        a = dwt_np.inv_dwt_2d(bands_arrays, plan.layout.tc_rect,
+                              cod.numresolutions, reversible=reversible,
+                              max_res=max_res)
+        out.append(a)
+
+    # Inverse MCT + DC unshift.
+    if cod.mct and ncomps >= 3:
+        if reversible:
+            r0, g0, b0 = mct_np.rct_inv(out[0], out[1], out[2])
+        else:
+            r0, g0, b0 = mct_np.ict_inv(out[0], out[1], out[2])
+        out[0], out[1], out[2] = r0, g0, b0
+    final = []
+    for c in range(ncomps):
+        a = out[c]
+        if not reversible:
+            a = np.round(a).astype(np.int64)
+        a = mct_np.dc_shift_inv(a, plans[c].prec, plans[c].signed)
+        final.append(a.astype(np.int32))
+    return final

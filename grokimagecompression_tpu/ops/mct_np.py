@@ -1,0 +1,67 @@
+"""Multiple-component transforms and DC level shift — numpy reference.
+
+RCT (reversible, Annex G.2) and ICT (irreversible) plus DC level shifting,
+mirroring the reference (reference: src/lib/jp2/mct/mct.cpp:85 encode_rev,
+:143 decode_rev, :195 encode_irrev, :352 decode_irrev) as pure functions.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+# MCT component norms used by PCRD distortion weighting
+# (reference: src/lib/jp2/mct/mct.cpp:67-72).
+MCT_NORMS_REV = (1.732, 0.8292, 0.8292)
+MCT_NORMS_IRREV = (1.732, 1.805, 1.573)
+
+
+def rct_fwd(r: np.ndarray, g: np.ndarray, b: np.ndarray):
+    """Reversible color transform (int): Y=(R+2G+B)>>2, U=B-G, V=R-G."""
+    y = (r + 2 * g + b) >> 2
+    u = b - g
+    v = r - g
+    return y, u, v
+
+
+def rct_inv(y: np.ndarray, u: np.ndarray, v: np.ndarray):
+    g = y - ((u + v) >> 2)
+    r = v + g
+    b = u + g
+    return r, g, b
+
+
+def ict_fwd(r: np.ndarray, g: np.ndarray, b: np.ndarray):
+    """Irreversible color transform (float): RGB -> YCbCr."""
+    r = np.asarray(r, np.float32)
+    g = np.asarray(g, np.float32)
+    b = np.asarray(b, np.float32)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.16875 * r - 0.331260 * g + 0.5 * b
+    cr = 0.5 * r - 0.41869 * g - 0.08131 * b
+    return (y.astype(np.float32), cb.astype(np.float32), cr.astype(np.float32))
+
+
+def ict_inv(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
+    y = np.asarray(y, np.float32)
+    cb = np.asarray(cb, np.float32)
+    cr = np.asarray(cr, np.float32)
+    r = y + 1.402 * cr
+    g = y - 0.34413 * cb - 0.71414 * cr
+    b = y + 1.772 * cb
+    return (r.astype(np.float32), g.astype(np.float32), b.astype(np.float32))
+
+
+def dc_shift_fwd(a: np.ndarray, prec: int, signed: bool) -> np.ndarray:
+    if signed:
+        return a
+    return a - (1 << (prec - 1))
+
+
+def dc_shift_inv(a: np.ndarray, prec: int, signed: bool) -> np.ndarray:
+    if signed:
+        lo, hi = -(1 << (prec - 1)), (1 << (prec - 1)) - 1
+        return np.clip(a, lo, hi)
+    a = a + (1 << (prec - 1))
+    return np.clip(a, 0, (1 << prec) - 1)

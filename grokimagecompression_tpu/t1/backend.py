@@ -1,0 +1,54 @@
+"""T1 backend dispatch: selects between the Python reference coder and the
+native C++ fast path (grokimagecompression_tpu/native), the analog of the
+reference's T1Factory (reference: src/lib/jp2/t1/T1Factory.cpp).
+
+The native backend is used when available unless GROK_TPU_T1=python is set.
+Both backends are bit-identical (enforced by tests/test_t1_native.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from . import t1_np
+
+_native = None
+_checked = False
+
+
+def _get_native():
+    global _native, _checked
+    if _checked:
+        return _native
+    _checked = True
+    if os.environ.get("GROK_TPU_T1", "") == "python":
+        _native = None
+        return None
+    try:
+        from ..native import t1_native
+        _native = t1_native
+    except Exception:
+        _native = None
+    return _native
+
+
+def encode_cblk(mag: np.ndarray, neg: np.ndarray, orient: int,
+                cblk_style: int = 0):
+    nat = _get_native()
+    if nat is not None:
+        return nat.encode_cblk(mag, neg, orient, cblk_style)
+    return t1_np.encode_cblk(mag, neg, orient, cblk_style)
+
+
+def decode_cblk(data: bytes, seg_lengths: Optional[List[int]], w: int, h: int,
+                orient: int, numbps: int, numpasses: int,
+                cblk_style: int = 0):
+    nat = _get_native()
+    if nat is not None:
+        return nat.decode_cblk(data, seg_lengths, w, h, orient, numbps,
+                               numpasses, cblk_style)
+    return t1_np.decode_cblk(data, seg_lengths, w, h, orient, numbps,
+                             numpasses, cblk_style)

@@ -344,7 +344,7 @@ def encode_cblk(
             else:
                 cp(coder, plane)
             terminated = False
-            if termall or is_last or (lazy and _lazy_boundary(passno, numbps)):
+            if termall or is_last or (lazy and _lazy_boundary(passno, ptype)):
                 if isinstance(coder, RawEncoder):
                     chunks.append(coder.flush())
                     saved = saved_ctx
@@ -386,14 +386,35 @@ def encode_cblk(
     return data, numbps, num_passes_total, passes
 
 
-def _lazy_boundary(passno: int, numbps: int) -> bool:
-    """With LAZY, every raw<->MQ switch is a termination boundary.
+def _lazy_boundary(passno: int, ptype: int) -> bool:
+    """With LAZY, raw coding applies to SIG/REF passes with passno >= 10 and
+    CLN passes stay MQ-coded, so segments terminate at every raw<->MQ switch:
+    after the CLN pass at index 9 and after every REF and CLN pass beyond.
+    A SIG pass never ends a segment (SIG+REF share one raw segment)."""
+    return passno >= 9 and ptype != PASS_SIG
 
-    Raw coding applies to SIG/REF passes with passno >= 10; the CLN pass in
-    between always uses MQ, so every pass from the switch point on
-    terminates.
-    """
-    return passno >= 9
+
+def pass_type(passno: int) -> int:
+    """Pass type for 0-based pass index (CLN, then SIG/REF/CLN per plane)."""
+    return PASS_CLN if passno == 0 else ((passno - 1) % 3)
+
+
+def pass_is_raw(passno: int, cblk_style: int) -> bool:
+    return (bool(cblk_style & CBLKSTY_LAZY) and passno >= 10
+            and pass_type(passno) != PASS_CLN)
+
+
+def pass_ends_segment(passno: int, cblk_style: int,
+                      num_passes_total: int) -> bool:
+    """Whether pass `passno` is a codeword-segment boundary — shared by the
+    T1 coders and the Tier-2 packet length coder."""
+    if passno == num_passes_total - 1:
+        return True
+    if cblk_style & CBLKSTY_TERMALL:
+        return True
+    if cblk_style & CBLKSTY_LAZY:
+        return _lazy_boundary(passno, pass_type(passno))
+    return False
 
 
 def decode_cblk(
@@ -544,7 +565,7 @@ def decode_cblk(
             else:
                 cp(coder, plane)
             is_last = passno == num_passes_total - 1
-            if termall or is_last or (lazy and _lazy_boundary(passno, numbps)):
+            if termall or is_last or (lazy and _lazy_boundary(passno, ptype)):
                 end_coder()
             elif bool(cblk_style & CBLKSTY_RESET) and mq is not None:
                 mq.reset_states()
