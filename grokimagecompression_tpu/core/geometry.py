@@ -270,8 +270,19 @@ def _build_band_precincts(
     xcb = min(cblk_w_exp, bpx)
     ycb = min(cblk_h_exp, bpy)
 
-    if res.is_empty() or band.is_empty():
+    if res.is_empty():
         return tuple()
+    if band.is_empty():
+        # The precinct grid is defined on the resolution rect, so an empty
+        # band still carries pw*ph (empty) precinct slots to keep packet
+        # indexing aligned across the resolution's bands.
+        pw = ceil_div_pow2_safe(res.x1, ppx) - floor_div_pow2(res.x0, ppx)
+        ph = ceil_div_pow2_safe(res.y1, ppy) - floor_div_pow2(res.y0, ppy)
+        return tuple(
+            Precinct(index=i, rect=Rect(0, 0, 0, 0), cblk_grid_w=0,
+                     cblk_grid_h=0, cblks=tuple())
+            for i in range(pw * ph)
+        )
 
     # Precinct grid computed on the *resolution* rect (so every band of the
     # resolution shares the same precinct count, per B.6).

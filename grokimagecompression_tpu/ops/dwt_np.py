@@ -13,7 +13,9 @@ canvas coordinates:
   forward 5/3:  Y(2n+1) = X(2n+1) - floor((X(2n) + X(2n+2)) / 2)
                 Y(2n)   = X(2n)   + floor((Y(2n-1) + Y(2n+1) + 2) / 4)
   forward 9/7:  four lifting steps (alpha, beta, gamma, delta) then
-                L *= 1/K, H *= K.
+                L *= 1/K, H *= K/2 (the interoperable wire convention used
+                by the reference codecs and baked into the 9/7 norms table;
+                verified empirically against the reference decoder).
 
 Per level the 2D transform applies the vertical pass then the horizontal
 pass (the forward order whose inverse — horizontal then vertical — matches
@@ -114,7 +116,7 @@ def fwd97_line(x: np.ndarray, u0: int) -> Tuple[np.ndarray, np.ndarray]:
         return x[..., :0], x[..., :0]
     if n == 1:
         if u0 % 2 == 1:
-            return x[..., :0], x * np.float32(K)
+            return x[..., :0], x * np.float32(K / 2.0)
         return x * np.float32(1.0 / K), x[..., :0]
     even, odd = _split_indices(u0, n)
     o0 = odd[0]
@@ -131,7 +133,7 @@ def fwd97_line(x: np.ndarray, u0: int) -> Tuple[np.ndarray, np.ndarray]:
     l = x[..., even - u0] + np.float32(BETA) * (h[..., oidx(even - 1)] + h[..., oidx(even + 1)])
     h = h + np.float32(GAMMA) * (l[..., eidx(odd - 1)] + l[..., eidx(odd + 1)])
     l = l + np.float32(DELTA) * (h[..., oidx(even - 1)] + h[..., oidx(even + 1)])
-    return l * np.float32(1.0 / K), h * np.float32(K)
+    return l * np.float32(1.0 / K), h * np.float32(K / 2.0)
 
 
 def inv97_line(low: np.ndarray, high: np.ndarray, u0: int) -> np.ndarray:
@@ -142,7 +144,7 @@ def inv97_line(low: np.ndarray, high: np.ndarray, u0: int) -> np.ndarray:
         return low[..., :0]
     if n == 1:
         if u0 % 2 == 1:
-            return high * np.float32(1.0 / K)
+            return high * np.float32(2.0 / K)
         return low * np.float32(K)
     even, odd = _split_indices(u0, n)
     o0 = odd[0]
@@ -155,7 +157,7 @@ def inv97_line(low: np.ndarray, high: np.ndarray, u0: int) -> np.ndarray:
         return (_reflect(i, u0, u1) - e0) >> 1
 
     l = low * np.float32(K)
-    h = high * np.float32(1.0 / K)
+    h = high * np.float32(2.0 / K)
     l = l - np.float32(DELTA) * (h[..., oidx(even - 1)] + h[..., oidx(even + 1)])
     h = h - np.float32(GAMMA) * (l[..., eidx(odd - 1)] + l[..., eidx(odd + 1)])
     l = l - np.float32(BETA) * (h[..., oidx(even - 1)] + h[..., oidx(even + 1)])

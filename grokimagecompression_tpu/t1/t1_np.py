@@ -312,8 +312,9 @@ def encode_cblk(
     # after the first four most-significant bit-planes.
     num_passes_total = 3 * numbps - 2
     passno = 0
-    saved_ctx = None
+    saved_ctx = mq.ctx  # MQ contexts persist across raw (bypass) segments
     coder = mq
+    prev_terminated = False
     for plane in range(numbps - 1, -1, -1):
         plane_passes = (PASS_CLN,) if plane == numbps - 1 else (
             PASS_SIG, PASS_REF, PASS_CLN)
@@ -324,19 +325,19 @@ def encode_cblk(
                 and passno >= 10  # bypass starts after the 10th pass
             )
             is_last = passno == num_passes_total - 1
-            # Termination boundaries: TERMALL terminates every pass; LAZY
-            # terminates before/after each raw run; the last pass always
-            # terminates.
-            if raw and not isinstance(coder, RawEncoder):
-                chunks.append(mq.flush())
-                saved_ctx = mq.ctx
-                coder = RawEncoder()
-            elif not raw and isinstance(coder, RawEncoder):
-                chunks.append(coder.flush())
-                mq2 = MQEncoder()
-                mq2.ctx = saved_ctx
-                mq = mq2
-                coder = mq
+            # A new codeword segment starts right after a terminated pass;
+            # with the standard termination rules a coder-type switch can
+            # only happen at such a boundary.
+            if prev_terminated:
+                if raw:
+                    coder = RawEncoder()
+                else:
+                    mq = MQEncoder()
+                    if saved_ctx is not None:
+                        mq.ctx = saved_ctx
+                    coder = mq
+                prev_terminated = False
+            assert raw == isinstance(coder, RawEncoder)
             if ptype == PASS_SIG:
                 spp(coder, plane, raw)
             elif ptype == PASS_REF:
@@ -345,39 +346,32 @@ def encode_cblk(
                 cp(coder, plane)
             terminated = False
             if termall or is_last or (lazy and _lazy_boundary(passno, ptype)):
-                if isinstance(coder, RawEncoder):
-                    chunks.append(coder.flush())
-                    saved = saved_ctx
-                    mq2 = MQEncoder()
-                    mq2.ctx = saved
-                    mq = mq2
-                    coder = mq
-                else:
-                    chunks.append(mq.flush())
-                    saved = mq.ctx
-                    mq2 = MQEncoder()
-                    mq2.ctx = saved if not reset else None
-                    if mq2.ctx is None:
-                        mq2.reset_states()
-                    mq = mq2
-                    coder = mq
+                chunks.append(coder.flush())
+                if isinstance(coder, MQEncoder):
+                    saved_ctx = None if reset else coder.ctx
                 terminated = True
+                prev_terminated = True
             if reset and not terminated and isinstance(coder, MQEncoder):
                 coder.reset_states()
             rate = cur_len()
             if not terminated:
                 # Conservative truncation length for a non-terminated pass:
                 # current bytes plus worst-case flush spill.
-                pending = mq.numbytes() if not isinstance(coder, RawEncoder) else len(coder.out)
+                pending = len(coder.out)
                 rate += pending + 5
             passes.append(PassInfo(rate=rate, distortion=total_dist,
                                    terminated=terminated))
             passno += 1
 
     data = b"".join(chunks)
-    # Clamp pass rates to the real total and enforce monotonicity.
+    # Terminated passes carry exact lengths (segment boundaries) and must be
+    # preserved; non-terminated estimates are clamped down to the next exact
+    # rate, then monotonicity is restored forward.
     for p in passes:
         p.rate = min(p.rate, len(data))
+    for i in range(len(passes) - 2, -1, -1):
+        if not passes[i].terminated:
+            passes[i].rate = min(passes[i].rate, passes[i + 1].rate)
     for i in range(1, len(passes)):
         if passes[i].rate < passes[i - 1].rate:
             passes[i].rate = passes[i - 1].rate

@@ -1,0 +1,225 @@
+"""Interoperability tests against the reference Grok binaries.
+
+These run only when the reference build exists at .refbuild/bin (produced
+from /root/reference); they are the wire-format compliance oracle:
+  - our encoder -> grk_decompress must reproduce the input bit-exactly
+    (lossless) or within PSNR bounds (9/7);
+  - grk_compress -> our decoder likewise.
+"""
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from grokimagecompression_tpu.codestream.decoder import decode
+from grokimagecompression_tpu.codestream.encoder import encode
+from grokimagecompression_tpu.core.image import make_image
+from grokimagecompression_tpu.core.params import (
+    EncoderParams,
+    Progression,
+    Transform,
+)
+from grokimagecompression_tpu.io.pnm import read_pnm, write_pnm
+
+BIN = os.path.join(os.path.dirname(__file__), "..", ".refbuild", "bin")
+GRK_COMPRESS = os.path.abspath(os.path.join(BIN, "grk_compress"))
+GRK_DECOMPRESS = os.path.abspath(os.path.join(BIN, "grk_decompress"))
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(GRK_COMPRESS) and os.path.exists(GRK_DECOMPRESS)),
+    reason="Grok reference binaries not built",
+)
+
+
+def synth(w, h, ncomp=1, seed=0, prec=8):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    mx = (1 << prec) - 1
+    comps = []
+    for c in range(ncomp):
+        a = (mx // 2 + (mx // 3) * np.sin(xx / (5.0 + c)) *
+             np.cos(yy / (7.0 + c)))
+        a = np.clip(a + rng.integers(-mx // 32 - 1, mx // 32 + 1,
+                                     size=(h, w)), 0, mx)
+        comps.append(a.astype(np.int32))
+    return make_image(comps, prec=prec)
+
+
+def run(cmd):
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    assert r.returncode == 0, f"{cmd}: {r.stdout}\n{r.stderr}"
+
+
+def grok_roundtrip_ours(tmp_path, img, params, lossless=True, min_psnr=40.0):
+    """Our encoder -> grk_decompress; compare with original."""
+    data = encode(img, params)
+    j2k = tmp_path / "ours.j2k"
+    j2k.write_bytes(data)
+    out = tmp_path / "dec.pgm" if img.numcomps == 1 else tmp_path / "dec.ppm"
+    run([GRK_DECOMPRESS, "-i", str(j2k), "-o", str(out)])
+    dec = read_pnm(str(out))
+    for c in range(img.numcomps):
+        a = img.components[c].data
+        b = dec.components[c].data
+        if lossless:
+            np.testing.assert_array_equal(b, a, err_msg=f"comp {c}")
+        else:
+            mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+            peak = (1 << img.components[c].prec) - 1
+            p = np.inf if mse == 0 else 10 * np.log10(peak * peak / mse)
+            assert p > min_psnr, f"comp {c} PSNR {p:.2f} < {min_psnr}"
+
+
+def ours_roundtrip_grok(tmp_path, img, extra_args=(), lossless=True,
+                        min_psnr=40.0):
+    """grk_compress -> our decoder; compare with original."""
+    src = tmp_path / ("src.pgm" if img.numcomps == 1 else "src.ppm")
+    write_pnm(str(src), img)
+    j2k = tmp_path / "grok.j2k"
+    run([GRK_COMPRESS, "-i", str(src), "-o", str(j2k), *extra_args])
+    dec = decode(j2k.read_bytes())
+    for c in range(img.numcomps):
+        a = img.components[c].data
+        b = dec.components[c].data
+        if lossless:
+            np.testing.assert_array_equal(b, a, err_msg=f"comp {c}")
+        else:
+            mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+            peak = (1 << img.components[c].prec) - 1
+            p = np.inf if mse == 0 else 10 * np.log10(peak * peak / mse)
+            assert p > min_psnr, f"comp {c} PSNR {p:.2f} < {min_psnr}"
+
+
+# ---------------- our encoder -> grok decoder ----------------
+
+def test_ours_to_grok_gray_lossless(tmp_path):
+    grok_roundtrip_ours(tmp_path, synth(64, 64),
+                        EncoderParams(numresolutions=4))
+
+
+def test_ours_to_grok_rect_odd_sizes(tmp_path):
+    grok_roundtrip_ours(tmp_path, synth(67, 41, seed=2),
+                        EncoderParams(numresolutions=3))
+
+
+def test_ours_to_grok_rgb_rct(tmp_path):
+    grok_roundtrip_ours(tmp_path, synth(48, 48, ncomp=3, seed=1),
+                        EncoderParams(numresolutions=3))
+
+
+def test_ours_to_grok_multitile(tmp_path):
+    grok_roundtrip_ours(tmp_path, synth(96, 80, seed=3),
+                        EncoderParams(numresolutions=3, tile_size=(32, 32)))
+
+
+def test_ours_to_grok_16bit(tmp_path):
+    grok_roundtrip_ours(tmp_path, synth(48, 48, seed=4, prec=16),
+                        EncoderParams(numresolutions=4))
+
+
+@pytest.mark.parametrize("prog", [Progression.RLCP, Progression.RPCL,
+                                  Progression.PCRL, Progression.CPRL])
+def test_ours_to_grok_progressions(tmp_path, prog):
+    grok_roundtrip_ours(tmp_path, synth(48, 48, ncomp=3, seed=5),
+                        EncoderParams(numresolutions=3, progression=prog))
+
+
+def test_ours_to_grok_precincts_small_cblk(tmp_path):
+    grok_roundtrip_ours(
+        tmp_path, synth(64, 64, seed=6),
+        EncoderParams(numresolutions=3, cblk_w_exp=4, cblk_h_exp=4,
+                      precincts=[(6, 6)]))
+
+
+def test_ours_to_grok_sop_eph(tmp_path):
+    grok_roundtrip_ours(tmp_path, synth(48, 48, seed=7),
+                        EncoderParams(numresolutions=3, sop_markers=True,
+                                      eph_markers=True))
+
+
+def test_ours_to_grok_termall(tmp_path):
+    from grokimagecompression_tpu.core.params import CBLKSTY_TERMALL
+    grok_roundtrip_ours(tmp_path, synth(48, 48, seed=8),
+                        EncoderParams(numresolutions=3,
+                                      cblk_style=CBLKSTY_TERMALL))
+
+
+def test_ours_to_grok_segsym(tmp_path):
+    from grokimagecompression_tpu.core.params import CBLKSTY_SEGSYM
+    grok_roundtrip_ours(tmp_path, synth(48, 48, seed=9),
+                        EncoderParams(numresolutions=3,
+                                      cblk_style=CBLKSTY_SEGSYM))
+
+
+def test_ours_to_grok_lazy(tmp_path):
+    from grokimagecompression_tpu.core.params import CBLKSTY_LAZY
+    grok_roundtrip_ours(tmp_path, synth(48, 48, seed=10),
+                        EncoderParams(numresolutions=3,
+                                      cblk_style=CBLKSTY_LAZY))
+
+
+def test_ours_to_grok_97_lossy(tmp_path):
+    grok_roundtrip_ours(tmp_path, synth(64, 64, seed=11),
+                        EncoderParams(numresolutions=4,
+                                      transform=Transform.DWT_97),
+                        lossless=False, min_psnr=45.0)
+
+
+def test_ours_to_grok_97_rgb_ict(tmp_path):
+    grok_roundtrip_ours(tmp_path, synth(64, 64, ncomp=3, seed=12),
+                        EncoderParams(numresolutions=4,
+                                      transform=Transform.DWT_97),
+                        lossless=False, min_psnr=40.0)
+
+
+# ---------------- grok encoder -> our decoder ----------------
+
+def test_grok_to_ours_gray_lossless(tmp_path):
+    ours_roundtrip_grok(tmp_path, synth(64, 64, seed=20))
+
+
+def test_grok_to_ours_rgb(tmp_path):
+    ours_roundtrip_grok(tmp_path, synth(48, 48, ncomp=3, seed=21))
+
+
+def test_grok_to_ours_multitile(tmp_path):
+    ours_roundtrip_grok(tmp_path, synth(96, 80, seed=22),
+                        extra_args=["-t", "32,32"])
+
+
+def test_grok_to_ours_16bit(tmp_path):
+    ours_roundtrip_grok(tmp_path, synth(48, 48, seed=23, prec=16))
+
+
+def test_grok_to_ours_rpcl(tmp_path):
+    ours_roundtrip_grok(tmp_path, synth(48, 48, ncomp=3, seed=24),
+                        extra_args=["-p", "RPCL"])
+
+
+def test_grok_to_ours_precincts(tmp_path):
+    ours_roundtrip_grok(tmp_path, synth(64, 64, seed=25),
+                        extra_args=["-b", "16,16", "-c", "[64,64]"])
+
+
+def test_grok_to_ours_sop_eph(tmp_path):
+    ours_roundtrip_grok(tmp_path, synth(48, 48, seed=26),
+                        extra_args=["-S", "-E"])
+
+
+def test_grok_to_ours_97(tmp_path):
+    ours_roundtrip_grok(tmp_path, synth(64, 64, seed=27),
+                        extra_args=["-I"], lossless=False, min_psnr=40.0)
+
+
+def test_grok_to_ours_modes(tmp_path):
+    # TERMALL(4) + SEGSYM(32)
+    ours_roundtrip_grok(tmp_path, synth(48, 48, seed=28),
+                        extra_args=["-M", "36"])
+
+
+def test_grok_to_ours_lazy(tmp_path):
+    ours_roundtrip_grok(tmp_path, synth(48, 48, seed=29),
+                        extra_args=["-M", "1"])
