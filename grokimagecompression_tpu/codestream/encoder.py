@@ -85,8 +85,15 @@ def extract_tile_comps(image: Image, siz: SizInfo, t: int) -> List[np.ndarray]:
 
 
 def encode(image: Image, params: Optional[EncoderParams] = None,
-           layer_alloc=None) -> bytes:
-    """Encode an Image to a raw J2K codestream."""
+           layer_alloc=None, device: Optional[bool] = None) -> bytes:
+    """Encode an Image to a raw J2K codestream.
+
+    `device=True` runs the tile transform pipeline (DC shift/MCT/DWT) on the
+    JAX device (TPU); default is host numpy unless GROK_TPU_DEVICE=1.
+    """
+    import os
+    if device is None:
+        device = os.environ.get("GROK_TPU_DEVICE", "") == "1"
     params = params or EncoderParams()
     siz = build_siz(image, params)
     cod = build_cod(image, params)
@@ -111,8 +118,14 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
         tr = tile_rect(t, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
                        siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
         comps = extract_tile_comps(image, siz, t)
+        coeff_bands = None
+        if device:
+            from ..models import pipeline as device_pipeline
+            cfg = device_pipeline.config_for_tile(siz, cod, tr)
+            coeff_bands = device_pipeline.device_fwd_bands(comps, cfg)
         res: TileEncResult = encode_tile(comps, siz, cod, qcd, tr,
-                                         layer_alloc=layer_alloc)
+                                         layer_alloc=layer_alloc,
+                                         coeff_bands=coeff_bands)
         psot = 12 + 2 + len(res.body)  # SOT(12) + SOD(2) + body
         out += markers.write_sot(SotInfo(tile_index=t, psot=psot))
         out += markers.write_sod()

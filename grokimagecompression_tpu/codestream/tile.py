@@ -183,12 +183,14 @@ def encode_tile(
                 dwt_np.fwd_dwt_2d(data[c], tc, cod.numresolutions,
                                   reversible=reversible))
 
-    # T1-encode every code-block.
-    all_cblks: List[CblkEnc] = []
-    prec_enc: List[Dict[Tuple[int, int], List[PrecEnc]]] = []
+    # T1-encode every code-block: collect the whole tile's blocks first,
+    # then run one batched native call (worker threads inside), the analog
+    # of the reference's flat block list + atomic-counter pool
+    # (reference: src/lib/jp2/t1/Tier1.cpp:24, T1Encoder.cpp:57).
+    t1_inputs = []          # (mag, neg, orient)
+    t1_slots = []           # (comp, (r, orient), precinct_idx, bp)
     for c in range(ncomps):
         plan = plans[c]
-        per_res: Dict[Tuple[int, int], List[PrecEnc]] = {}
         for res in plan.layout.resolutions:
             for band in res.bands:
                 bp = plan.bands[(res.r, band.orient)]
@@ -197,28 +199,42 @@ def encode_tile(
                     mag, neg = quant.to_sign_magnitude(arr)
                 else:
                     mag, neg = quant.quantize(arr, bp.stepsize)
-                plist: List[PrecEnc] = []
-                for prc in band.precincts:
-                    cbs: List[CblkEnc] = []
+                for pi, prc in enumerate(band.precincts):
                     for cb in prc.cblks:
                         x0 = cb.rect.x0 - band.rect.x0
                         y0 = cb.rect.y0 - band.rect.y0
                         m = mag[y0:y0 + cb.rect.h, x0:x0 + cb.rect.w]
                         s = neg[y0:y0 + cb.rect.h, x0:x0 + cb.rect.w]
-                        dat, numbps, npasses, passes = t1_backend.encode_cblk(
-                            m, s, band.orient, cod.cblk_style)
-                        if numbps > bp.kmax:
-                            raise ValueError(
-                                f"code-block numbps {numbps} exceeds Kmax "
-                                f"{bp.kmax}; increase guard bits")
-                        ce = CblkEnc(geom=cb, data=dat, numbps=numbps,
-                                     imsb=bp.kmax - numbps if numbps else bp.kmax,
-                                     numpasses=npasses, passes=passes)
-                        cbs.append(ce)
-                        all_cblks.append(ce)
+                        t1_inputs.append((m, s, band.orient))
+                        t1_slots.append((c, (res.r, band.orient), pi, cb, bp))
+
+    t1_results = t1_backend.encode_cblk_batch(t1_inputs, cod.cblk_style)
+
+    all_cblks: List[CblkEnc] = []
+    prec_enc: List[Dict[Tuple[int, int], List[PrecEnc]]] = [
+        {} for _ in range(ncomps)]
+    slot_cblks: Dict[Tuple[int, Tuple[int, int], int], List[CblkEnc]] = {}
+    for (c, key, pi, cb, bp), (dat, numbps, npasses, passes) in zip(
+            t1_slots, t1_results):
+        if numbps > bp.kmax:
+            raise ValueError(
+                f"code-block numbps {numbps} exceeds Kmax "
+                f"{bp.kmax}; increase guard bits")
+        ce = CblkEnc(geom=cb, data=dat, numbps=numbps,
+                     imsb=bp.kmax - numbps if numbps else bp.kmax,
+                     numpasses=npasses, passes=passes)
+        slot_cblks.setdefault((c, key, pi), []).append(ce)
+        all_cblks.append(ce)
+    for c in range(ncomps):
+        plan = plans[c]
+        for res in plan.layout.resolutions:
+            for band in res.bands:
+                key = (res.r, band.orient)
+                plist: List[PrecEnc] = []
+                for pi, prc in enumerate(band.precincts):
+                    cbs = slot_cblks.get((c, key, pi), [])
                     plist.append(PrecEnc(geom=prc, cblks=cbs))
-                per_res.setdefault((res.r, band.orient), []).extend(plist)
-        prec_enc.append(per_res)
+                prec_enc[c].setdefault(key, []).extend(plist)
 
     # Layer allocation.
     numlayers = cod.numlayers
@@ -332,7 +348,26 @@ def decode_tile(
         pos = decode_packet(body, pos, l, precs, kmaxs, cod.cblk_style,
                             sop=cod.sop, eph=cod.eph)
 
-    # T1 decode + dequantize into band arrays, then inverse DWT per comp.
+    # T1 decode (one batched native call over the whole tile's blocks) +
+    # dequantize into band arrays, then inverse DWT per comp.
+    t1_jobs = []
+    t1_job_slots = []
+    for c in range(ncomps):
+        plan = plans[c]
+        for res in plan.layout.resolutions:
+            for band in res.bands:
+                for cb in cblk_index[c][(res.r, band.orient)]:
+                    if cb.numpasses == 0:
+                        continue
+                    data, seg_lengths = cb.data_and_seg_lengths()
+                    t1_jobs.append((data, seg_lengths, cb.geom.rect.w,
+                                    cb.geom.rect.h, band.orient, cb.numbps,
+                                    cb.numpasses))
+                    t1_job_slots.append((c, (res.r, band.orient), cb))
+    t1_out = t1_backend.decode_cblk_batch(t1_jobs, cod.cblk_style)
+    decoded: Dict[int, Tuple[np.ndarray, np.ndarray]] = {
+        id(slot[2]): mn for slot, mn in zip(t1_job_slots, t1_out)}
+
     out = []
     for c in range(ncomps):
         plan = plans[c]
@@ -345,10 +380,7 @@ def decode_tile(
                 for cb in cblk_index[c][(res.r, band.orient)]:
                     if cb.numpasses == 0:
                         continue
-                    data, seg_lengths = cb.data_and_seg_lengths()
-                    mag, neg = t1_backend.decode_cblk(
-                        data, seg_lengths, cb.geom.rect.w, cb.geom.rect.h,
-                        band.orient, cb.numbps, cb.numpasses, cod.cblk_style)
+                    mag, neg = decoded[id(cb)]
                     x0 = cb.geom.rect.x0 - band.rect.x0
                     y0 = cb.geom.rect.y0 - band.rect.y0
                     if reversible:

@@ -1,0 +1,229 @@
+"""ctypes binding for the native T1/MQ coder (src/t1.cpp).
+
+Builds the shared library on first import if missing (g++ via Makefile).
+Bit-identical to the Python reference t1/t1_np.py (enforced by
+tests/test_t1_native.py); exposes the same per-block API plus batch
+entry points that fan code-blocks out over C++ worker threads.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..t1.t1_np import PassInfo
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libgrok_t1.so")
+
+MAX_PASSES = 3 * 32 - 2
+
+
+def _build() -> None:
+    subprocess.run(["make", "-s"], cwd=_DIR, check=True,
+                   capture_output=True)
+
+
+def _load() -> ctypes.CDLL:
+    if not os.path.exists(_SO) or (
+        os.path.getmtime(_SO)
+        < os.path.getmtime(os.path.join(_DIR, "src", "t1.cpp"))
+    ):
+        _build()
+    lib = ctypes.CDLL(_SO)
+    lib.grok_t1_encode.restype = ctypes.c_int
+    lib.grok_t1_encode.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.grok_t1_decode.restype = ctypes.c_int
+    lib.grok_t1_decode.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.grok_t1_encode_batch.restype = ctypes.c_int
+    lib.grok_t1_encode_batch.argtypes = [
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.grok_t1_decode_batch.restype = ctypes.c_int
+    lib.grok_t1_decode_batch.argtypes = [
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+    ]
+    return lib
+
+
+_lib = _load()
+
+
+def default_threads() -> int:
+    env = os.environ.get("GROK_TPU_THREADS")
+    if env:
+        return max(1, int(env))
+    return os.cpu_count() or 1
+
+
+def encode_cblk(mag: np.ndarray, neg: np.ndarray, orient: int,
+                cblk_style: int = 0
+                ) -> Tuple[bytes, int, int, List[PassInfo]]:
+    h, w = mag.shape
+    mag = np.ascontiguousarray(mag, dtype=np.uint32)
+    neg = np.ascontiguousarray(neg, dtype=np.uint8)
+    cap = max(4096, w * h * 6)
+    out = np.empty(cap, dtype=np.uint8)
+    meta = np.zeros(2, dtype=np.int32)
+    rates = np.zeros(MAX_PASSES, dtype=np.int32)
+    dist = np.zeros(MAX_PASSES, dtype=np.float64)
+    term = np.zeros(MAX_PASSES, dtype=np.uint8)
+    n = _lib.grok_t1_encode(
+        mag.ctypes.data, neg.ctypes.data, w, h, orient, cblk_style,
+        out.ctypes.data, cap, meta.ctypes.data, rates.ctypes.data,
+        dist.ctypes.data, term.ctypes.data)
+    if n < 0:
+        raise RuntimeError("native T1 encode: output buffer overflow")
+    numbps = int(meta[0])
+    numpasses = int(meta[1])
+    passes = [PassInfo(rate=int(rates[i]), distortion=float(dist[i]),
+                       terminated=bool(term[i]))
+              for i in range(numpasses)]
+    return bytes(out[:n]), numbps, numpasses, passes
+
+
+def decode_cblk(data: bytes, seg_lengths: Optional[List[int]], w: int, h: int,
+                orient: int, numbps: int, numpasses: int,
+                cblk_style: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    mag = np.zeros((h, w), dtype=np.uint32)
+    neg = np.zeros((h, w), dtype=np.uint8)
+    buf = np.frombuffer(bytes(data), dtype=np.uint8) if data else \
+        np.zeros(1, dtype=np.uint8)
+    if seg_lengths:
+        segs = np.asarray(seg_lengths, dtype=np.int32)
+        nsegs = len(seg_lengths)
+    else:
+        segs = np.zeros(1, dtype=np.int32)
+        nsegs = 0
+    _lib.grok_t1_decode(
+        buf.ctypes.data, len(data), segs.ctypes.data, nsegs, w, h, orient,
+        numbps, numpasses, cblk_style, mag.ctypes.data, neg.ctypes.data)
+    return mag, neg
+
+
+def encode_cblk_batch(blocks: List[Tuple[np.ndarray, np.ndarray, int]],
+                      cblk_style: int = 0, nthreads: Optional[int] = None
+                      ) -> List[Tuple[bytes, int, int, List[PassInfo]]]:
+    """Encode many code-blocks in one native call.
+
+    `blocks` is a list of (mag, neg, orient). Returns per-block
+    (data, numbps, numpasses, passes) like encode_cblk.
+    """
+    n = len(blocks)
+    if n == 0:
+        return []
+    sizes = [b[0].size for b in blocks]
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(sizes[:-1], out=offsets[1:]) if n > 1 else None
+    total = int(sum(sizes))
+    mag_flat = np.empty(total, dtype=np.uint32)
+    neg_flat = np.empty(total, dtype=np.uint8)
+    desc = np.empty(n * 4, dtype=np.int64)
+    max_wh = 0
+    for i, (mag, neg, orient) in enumerate(blocks):
+        h, w = mag.shape
+        o = offsets[i]
+        mag_flat[o:o + w * h] = mag.astype(np.uint32).ravel()
+        neg_flat[o:o + w * h] = neg.astype(np.uint8).ravel()
+        desc[i * 4] = o
+        desc[i * 4 + 1] = w
+        desc[i * 4 + 2] = h
+        desc[i * 4 + 3] = orient
+        max_wh = max(max_wh, w * h)
+    out_stride = max(4096, max_wh * 6)
+    out_flat = np.empty(n * out_stride, dtype=np.uint8)
+    out_meta = np.zeros(n * 3, dtype=np.int32)
+    rates = np.zeros(n * MAX_PASSES, dtype=np.int32)
+    dist = np.zeros(n * MAX_PASSES, dtype=np.float64)
+    term = np.zeros(n * MAX_PASSES, dtype=np.uint8)
+    rc = _lib.grok_t1_encode_batch(
+        n, mag_flat.ctypes.data, neg_flat.ctypes.data, desc.ctypes.data,
+        cblk_style, out_flat.ctypes.data, out_stride, out_meta.ctypes.data,
+        rates.ctypes.data, dist.ctypes.data, term.ctypes.data, MAX_PASSES,
+        nthreads if nthreads is not None else default_threads())
+    if rc != 0:
+        raise RuntimeError("native T1 batch encode failed")
+    results = []
+    for i in range(n):
+        ln = int(out_meta[i * 3])
+        numbps = int(out_meta[i * 3 + 1])
+        numpasses = int(out_meta[i * 3 + 2])
+        data = bytes(out_flat[i * out_stride:i * out_stride + ln])
+        passes = [
+            PassInfo(rate=int(rates[i * MAX_PASSES + j]),
+                     distortion=float(dist[i * MAX_PASSES + j]),
+                     terminated=bool(term[i * MAX_PASSES + j]))
+            for j in range(numpasses)
+        ]
+        results.append((data, numbps, numpasses, passes))
+    return results
+
+
+def decode_cblk_batch(blocks: List[Tuple[bytes, Optional[List[int]], int,
+                                         int, int, int, int]],
+                      cblk_style: int = 0, nthreads: Optional[int] = None
+                      ) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Decode many code-blocks in one native call.
+
+    `blocks` is a list of (data, seg_lengths, w, h, orient, numbps,
+    numpasses). Returns per-block (mag, neg).
+    """
+    n = len(blocks)
+    if n == 0:
+        return []
+    data_parts = []
+    seg_parts: List[int] = []
+    desc = np.empty(n * 11, dtype=np.int64)
+    data_off = 0
+    out_off = 0
+    for i, (data, segs, w, h, orient, numbps, numpasses) in enumerate(blocks):
+        d = desc[i * 11:(i + 1) * 11]
+        d[0] = data_off
+        d[1] = len(data)
+        d[2] = len(seg_parts)
+        d[3] = len(segs) if segs else 0
+        d[4] = w
+        d[5] = h
+        d[6] = orient
+        d[7] = numbps
+        d[8] = numpasses
+        d[9] = cblk_style
+        d[10] = out_off
+        data_parts.append(bytes(data))
+        if segs:
+            seg_parts.extend(int(s) for s in segs)
+        data_off += len(data)
+        out_off += w * h
+    data_flat = np.frombuffer(b"".join(data_parts) or b"\x00",
+                              dtype=np.uint8)
+    segs_flat = np.asarray(seg_parts or [0], dtype=np.int32)
+    mag_flat = np.zeros(out_off, dtype=np.uint32)
+    neg_flat = np.zeros(out_off, dtype=np.uint8)
+    _lib.grok_t1_decode_batch(
+        n, data_flat.ctypes.data, segs_flat.ctypes.data, desc.ctypes.data,
+        mag_flat.ctypes.data, neg_flat.ctypes.data,
+        nthreads if nthreads is not None else default_threads())
+    results = []
+    out_off = 0
+    for i, (data, segs, w, h, orient, numbps, numpasses) in enumerate(blocks):
+        mag = mag_flat[out_off:out_off + w * h].reshape(h, w).copy()
+        neg = neg_flat[out_off:out_off + w * h].reshape(h, w).copy()
+        out_off += w * h
+        results.append((mag, neg))
+    return results

@@ -52,3 +52,23 @@ def decode_cblk(data: bytes, seg_lengths: Optional[List[int]], w: int, h: int,
                                numpasses, cblk_style)
     return t1_np.decode_cblk(data, seg_lengths, w, h, orient, numbps,
                              numpasses, cblk_style)
+
+
+def encode_cblk_batch(blocks, cblk_style: int = 0):
+    """Batch encode: blocks = [(mag, neg, orient), ...] ->
+    [(data, numbps, numpasses, passes), ...]. Uses native worker threads
+    when available."""
+    nat = _get_native()
+    if nat is not None:
+        return nat.encode_cblk_batch(blocks, cblk_style)
+    return [t1_np.encode_cblk(m, n, o, cblk_style) for (m, n, o) in blocks]
+
+
+def decode_cblk_batch(blocks, cblk_style: int = 0):
+    """Batch decode: blocks = [(data, seg_lengths, w, h, orient, numbps,
+    numpasses), ...] -> [(mag, neg), ...]."""
+    nat = _get_native()
+    if nat is not None:
+        return nat.decode_cblk_batch(blocks, cblk_style)
+    return [t1_np.decode_cblk(d, s, w, h, o, nb, np_, cblk_style)
+            for (d, s, w, h, o, nb, np_) in blocks]

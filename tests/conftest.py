@@ -1,12 +1,25 @@
 """Test configuration: force an 8-device virtual CPU platform so that
 multi-chip sharding tests run without TPU hardware (the driver separately
-dry-runs the multichip path)."""
+dry-runs the multichip path on its own virtual mesh, and benches run on the
+real chip).
+
+The environment pre-imports jax with the TPU ('axon') backend registered;
+switching config *before any backend is initialized* still works, so this
+must run at conftest import time, before any test imports touch a jax
+array.  Set GROK_TPU_TESTS=1 to run the suite on the real device instead.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+if os.environ.get("GROK_TPU_TESTS", "") != "1":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
