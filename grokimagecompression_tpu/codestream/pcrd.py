@@ -1,0 +1,212 @@
+"""PCRD-opt rate control: convex-hull pass pruning + slope-threshold
+bisection with full Tier-2 packet simulation.
+
+Algorithmic analog of the reference's feasible-slope bisection
+(reference: src/lib/jp2/TileProcessor.cpp pcrd_bisect_feasible:371,
+makelayer_feasible:281, rate hull RateControl.cpp convexHull:31, simulate
+T2.cpp encode_packets_simulate:131), restructured: per-pass (rate,
+distortion) tables come out of the batched T1 (device or native) in one
+shot, the hull and bisection are pure host math, and the simulation is the
+real packet writer run in counting mode — so every shard can reproduce the
+identical allocation from the same gathered statistics (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence, Tuple
+
+from .t2 import CblkEnc
+
+
+@dataclasses.dataclass
+class HullPoint:
+    npasses: int      # truncation after this many passes
+    rate: int         # cumulative bytes
+    dist: float       # cumulative distortion decrease (weighted)
+    slope: float      # R-D slope vs previous hull point
+
+
+def convex_hull(cblk: CblkEnc) -> List[HullPoint]:
+    """Feasible truncation points with strictly decreasing slopes."""
+    pts: List[Tuple[int, int, float]] = [(0, 0, 0.0)]
+    for i, p in enumerate(cblk.passes):
+        pts.append((i + 1, p.rate, p.distortion))
+    hull: List[Tuple[int, int, float]] = [pts[0]]
+    for pt in pts[1:]:
+        while hull:
+            n0, r0, d0 = hull[-1]
+            dr = pt[1] - r0
+            dd = pt[2] - d0
+            if dr < 0 or (dr == 0 and dd <= 0):
+                break
+            if dr == 0:           # free distortion: replace
+                hull.pop()
+                continue
+            slope = dd / dr
+            if len(hull) >= 2:
+                n1, r1, d1 = hull[-2]
+                prev_slope = (d0 - d1) / max(1, (r0 - r1))
+                if slope >= prev_slope:
+                    hull.pop()
+                    continue
+            if dd <= 0:
+                break             # no gain: not a feasible point
+            hull.append(pt)
+            break
+        else:
+            hull.append(pt)
+    out: List[HullPoint] = []
+    for i in range(1, len(hull)):
+        n0, r0, d0 = hull[i - 1]
+        n1, r1, d1 = hull[i]
+        out.append(HullPoint(npasses=n1, rate=r1, dist=d1,
+                             slope=(d1 - d0) / max(1, r1 - r0)))
+    return out
+
+
+def _npasses_at(hull: List[HullPoint], thresh: float) -> Tuple[int, float]:
+    """(passes included, distortion decrease) at slope threshold."""
+    n, d = 0, 0.0
+    for hp in hull:
+        if hp.slope >= thresh:
+            n, d = hp.npasses, hp.dist
+        else:
+            break
+    return n, d
+
+
+@dataclasses.dataclass
+class RateControlCtx:
+    """Per-tile context handed to a layer allocator by encode_tile."""
+
+    cblks: List[CblkEnc]
+    numlayers: int
+    tile_samples: int       # samples in this tile across components
+    image_samples: int      # samples in the whole image across components
+    max_prec: int           # max component bit depth (for maxSE)
+    simulate_upto: Callable[[int], int]  # bytes of packets for layers 0..l
+
+
+class PCRDAllocator:
+    """Assigns passes to quality layers to meet byte and/or PSNR targets.
+
+    `rates`: per-layer cumulative compression ratios (like -r); 0 = no
+    constraint (all remaining passes — lossless last layer).
+    `quality_psnr`: per-layer PSNR targets in dB (like -q); 0 on the last
+    layer = lossless.
+    `image_bytes`: uncompressed image size the ratios refer to.
+    """
+
+    def __init__(self, rates: Sequence[float] = (),
+                 quality_psnr: Sequence[float] = (),
+                 image_bytes: int = 0):
+        self.rates = tuple(rates)
+        self.quality_psnr = tuple(quality_psnr)
+        self.image_bytes = image_bytes
+
+    def __call__(self, ctx: RateControlCtx) -> None:
+        cblks = [cb for cb in ctx.cblks if cb.numpasses > 0]
+        hulls = {id(cb): convex_hull(cb) for cb in cblks}
+        slopes = [hp.slope for h in hulls.values() for hp in h]
+        for cb in ctx.cblks:
+            cb.layer_npasses = [0] * ctx.numlayers
+        if not slopes:
+            if ctx.cblks:
+                for cb in ctx.cblks:
+                    cb.layer_npasses[-1] = cb.numpasses
+            return
+        smin, smax = min(slopes), max(slopes)
+        tile_frac = ctx.tile_samples / max(1, ctx.image_samples)
+        distotile = sum(cb.passes[-1].distortion for cb in cblks)
+        max_se = float((1 << ctx.max_prec) - 1) ** 2 * ctx.tile_samples
+
+        prev_n = {id(cb): 0 for cb in cblks}
+
+        def apply(thresh: Optional[float], layer: int) -> None:
+            """Set layer_npasses[layer] from threshold (None = all rest)."""
+            for cb in cblks:
+                if thresh is None:
+                    n = cb.numpasses
+                else:
+                    n, _ = _npasses_at(hulls[id(cb)], thresh)
+                n = max(n, prev_n[id(cb)])
+                cb.layer_npasses[layer] = n - prev_n[id(cb)]
+
+        def included_dist(thresh: float) -> float:
+            tot = 0.0
+            for cb in cblks:
+                n, d = _npasses_at(hulls[id(cb)], thresh)
+                if n < prev_n[id(cb)]:
+                    # prior layers already included more; count their dist
+                    hull = hulls[id(cb)]
+                    for hp in hull:
+                        if hp.npasses <= prev_n[id(cb)]:
+                            d = hp.dist
+                tot += max(d, 0.0)
+            return tot
+
+        for layer in range(ctx.numlayers):
+            rate = self.rates[layer] if layer < len(self.rates) else 0.0
+            q = (self.quality_psnr[layer]
+                 if layer < len(self.quality_psnr) else 0.0)
+            target_bytes = 0
+            if rate > 0:
+                target_bytes = int(self.image_bytes / rate * tile_frac)
+            if target_bytes <= 0 and q <= 0:
+                apply(None, layer)
+                for cb in cblks:
+                    prev_n[id(cb)] = cb.numpasses
+                continue
+
+            if q > 0:
+                # Quality mode (reference pcrd "fixed quality"): remaining
+                # distortion grows with threshold; find the LARGEST feasible
+                # threshold (fewest passes) meeting the PSNR target.
+                limit = max_se / (10.0 ** (q / 10.0))
+                lo, hi = smin, smax
+                feasible = (distotile - included_dist(smin)) <= limit
+                if feasible:
+                    for _ in range(60):
+                        mid = 0.5 * (lo + hi)
+                        if (distotile - included_dist(mid)) <= limit:
+                            lo = mid
+                        else:
+                            hi = mid
+                    thresh = lo
+                else:
+                    thresh = smin  # best effort: include everything feasible
+                apply(thresh, layer)
+            else:
+                # Byte-budget mode: bytes shrink as threshold grows; find
+                # the SMALLEST feasible threshold (most passes) that fits.
+                lo, hi = smin, smax
+                apply(hi, layer)
+                feasible = ctx.simulate_upto(layer) <= target_bytes
+                if feasible:
+                    for _ in range(60):
+                        mid = 0.5 * (lo + hi)
+                        apply(mid, layer)
+                        if ctx.simulate_upto(layer) <= target_bytes:
+                            hi = mid
+                        else:
+                            lo = mid
+                    apply(hi, layer)
+                else:
+                    # Even the sparsest assignment busts the budget: emit
+                    # an empty layer (headers only), like the reference's
+                    # failure path.
+                    for cb in cblks:
+                        cb.layer_npasses[layer] = 0
+            for cb in cblks:
+                prev_n[id(cb)] += cb.layer_npasses[layer]
+
+
+def make_layer_alloc(image, params) -> PCRDAllocator:
+    """Build the allocator from EncoderParams (-r ratios / -q PSNR)."""
+    image_bytes = sum(
+        c.data.shape[0] * c.data.shape[1] * c.prec for c in image.components
+    ) // 8
+    return PCRDAllocator(rates=params.rates,
+                         quality_psnr=params.quality_psnr,
+                         image_bytes=image_bytes)

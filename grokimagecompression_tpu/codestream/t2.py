@@ -236,9 +236,13 @@ def decode_packet(
     cblk_style: int,
     sop: bool = False,
     eph: bool = False,
+    discard: bool = False,
 ) -> int:
     """Parse one packet starting at `pos`; fills cblk segment data.
-    Returns the new position."""
+    Returns the new position. `discard=True` parses the packet (keeping
+    tag-tree/lblock/segment state in sync) but drops its pass data — used
+    for layer-truncated decode, where dropped layers are always a suffix
+    of each code-block's packet sequence."""
     if pos + 6 <= len(data) and struct.unpack(">H", data[pos:pos + 2])[0] == SOP_MARKER:
         pos += 6
     br = BitReader(data, pos)
@@ -284,7 +288,8 @@ def decode_packet(
                 ln = br.read_bits(cb.lblock + _floorlog2(take))
                 new_segs.append((cb, len(cb.segs) - 1, take, ln))
                 seg.numpasses += take
-                cb.numpasses += take
+                if not discard:
+                    cb.numpasses += take
                 remaining -= take
     br.align()
     pos = br.pos
@@ -293,6 +298,7 @@ def decode_packet(
         pos += 2
     # Packet body: segment bytes in header order.
     for (cb, seg_idx, take, ln) in new_segs:
-        cb.segs[seg_idx].data += data[pos:pos + ln]
+        if not discard:
+            cb.segs[seg_idx].data += data[pos:pos + ln]
         pos += ln
     return pos

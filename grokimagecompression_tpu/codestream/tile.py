@@ -23,6 +23,7 @@ from ..core.geometry import (
     TileComponentLayout,
     band_gain,
     build_tile_component_layout,
+    ceil_div,
     component_rect,
 )
 from ..core.params import Progression, QuantStyle, Transform
@@ -162,13 +163,17 @@ def encode_tile(
     tile: Rect,
     layer_alloc=None,
     coeff_bands: Optional[List[Dict[Tuple[int, int], np.ndarray]]] = None,
+    image_samples: Optional[int] = None,
 ) -> TileEncResult:
     """Encode one tile to its packet body bytes.
 
-    `layer_alloc(cblk_entries, numlayers) -> None` assigns
-    `layer_npasses` on each CblkEnc; default puts every pass in layer 0.
+    `layer_alloc(ctx: pcrd.RateControlCtx) -> None` assigns
+    `layer_npasses` on each CblkEnc (e.g. pcrd.PCRDAllocator); default puts
+    every pass in layer 0.
     `coeff_bands` (optional) supplies precomputed DWT band coefficients per
     component (e.g. from the JAX device pipeline), skipping the host DWT.
+    `image_samples` overrides the whole-image sample count used to scale
+    per-tile byte budgets.
     """
     ncomps = len(comps_data)
     plans = [build_comp_plan(siz, cod, qcd, tile, c) for c in range(ncomps)]
@@ -214,12 +219,29 @@ def encode_tile(
     prec_enc: List[Dict[Tuple[int, int], List[PrecEnc]]] = [
         {} for _ in range(ncomps)]
     slot_cblks: Dict[Tuple[int, Tuple[int, int], int], List[CblkEnc]] = {}
+    nl = cod.numresolutions - 1
+    mct_norms = None
+    if cod.mct and ncomps >= 3:
+        mct_norms = (mct_np.MCT_NORMS_REV if reversible
+                     else mct_np.MCT_NORMS_IRREV)
     for (c, key, pi, cb, bp), (dat, numbps, npasses, passes) in zip(
             t1_slots, t1_results):
         if numbps > bp.kmax:
             raise ValueError(
                 f"code-block numbps {numbps} exceeds Kmax "
                 f"{bp.kmax}; increase guard bits")
+        # PCRD distortion weighting: band synthesis norm x stepsize x MCT
+        # norm, squared (reference: Tier1.cpp encodeCodeblocks stepsize/
+        # band weighting + mct.cpp:67 norms).
+        r, orient = key
+        level = nl - r if r > 0 else nl
+        wgt = quant.band_norm(orient, level, reversible) * bp.stepsize
+        if mct_norms is not None and c < 3:
+            wgt *= mct_norms[c]
+        wgt *= wgt
+        if wgt != 1.0:
+            for p in passes:
+                p.distortion *= wgt
         ce = CblkEnc(geom=cb, data=dat, numbps=numbps,
                      imsb=bp.kmax - numbps if numbps else bp.kmax,
                      numpasses=npasses, passes=passes)
@@ -236,19 +258,7 @@ def encode_tile(
                     plist.append(PrecEnc(geom=prc, cblks=cbs))
                 prec_enc[c].setdefault(key, []).extend(plist)
 
-    # Layer allocation.
-    numlayers = cod.numlayers
-    if layer_alloc is None:
-        for cb in all_cblks:
-            cb.layer_npasses = [cb.numpasses] + [0] * (numlayers - 1)
-    else:
-        layer_alloc(all_cblks, numlayers)
-    for per_res in prec_enc:
-        for plist in per_res.values():
-            for pe in plist:
-                pe.init_trees()
-
-    # Packet emission in progression order.
+    # Progression iteration info (shared by simulation and real emission).
     comps_iter = [
         CompIterInfo(
             numresolutions=cod.numresolutions,
@@ -261,19 +271,70 @@ def encode_tile(
         )
         for c in range(ncomps)
     ]
+    numlayers = cod.numlayers
+
+    def _reset_t2_state():
+        for per_res in prec_enc:
+            for plist in per_res.values():
+                for pe in plist:
+                    for cb in pe.cblks:
+                        cb.included = False
+                        cb.lblock = 3
+                        cb.passes_used = 0
+                    pe.init_trees()
+
+    def _emit(max_layer: int, collect: Optional[bytearray]) -> Tuple[int, int]:
+        """Emit packets for layers 0..max_layer; returns (bytes, packets)."""
+        _reset_t2_state()
+        nbytes = 0
+        npk = 0
+        for (l, r, c, p) in packet_order(cod.progression, numlayers,
+                                         comps_iter, tile):
+            if l > max_layer:
+                continue
+            orients = (0,) if r == 0 else (1, 2, 3)
+            precs = []
+            for o in orients:
+                plist = prec_enc[c].get((r, o))
+                if plist:
+                    precs.append(plist[p])
+            pkt = encode_packet(l, precs, cod.cblk_style, sop=cod.sop,
+                                eph=cod.eph, packet_index=npk)
+            nbytes += len(pkt)
+            if collect is not None:
+                collect += pkt
+            npk += 1
+        return nbytes, npk
+
+    # Layer allocation (PCRD when a rate/quality allocator is given).
+    if layer_alloc is None:
+        for cb in all_cblks:
+            cb.layer_npasses = [cb.numpasses] + [0] * (numlayers - 1)
+    else:
+        from .pcrd import RateControlCtx
+
+        tile_samples = sum(p.layout.tc_rect.w * p.layout.tc_rect.h
+                           for p in plans)
+        if image_samples is None:
+            img_samples = sum(
+                ceil_div(siz.xsiz - siz.xosiz, c.dx)
+                * ceil_div(siz.ysiz - siz.yosiz, c.dy)
+                for c in siz.comps)
+        else:
+            img_samples = image_samples
+        ctx = RateControlCtx(
+            cblks=all_cblks,
+            numlayers=numlayers,
+            tile_samples=tile_samples,
+            image_samples=img_samples,
+            max_prec=max(c.prec for c in siz.comps),
+            simulate_upto=lambda l: _emit(l, None)[0],
+        )
+        layer_alloc(ctx)
+
+    # Final packet emission in progression order.
     body = bytearray()
-    npackets = 0
-    for (l, r, c, p) in packet_order(cod.progression, numlayers, comps_iter,
-                                     tile):
-        orients = (0,) if r == 0 else (1, 2, 3)
-        precs = []
-        for o in orients:
-            plist = prec_enc[c].get((r, o))
-            if plist:
-                precs.append(plist[p])
-        body += encode_packet(l, precs, cod.cblk_style, sop=cod.sop,
-                              eph=cod.eph, packet_index=npackets)
-        npackets += 1
+    nbytes, npackets = _emit(numlayers - 1, body)
     return TileEncResult(body=bytes(body), num_packets=npackets)
 
 
@@ -341,12 +402,13 @@ def decode_tile(
                  if (r, o) in prec_dec[c]]
         kmaxs = [plans[c].bands[(r, o)].kmax for o in orients
                  if (r, o) in plans[c].bands]
-        if l >= numlayers:
-            # Still must parse the packet to stay in sync (layer skip just
-            # drops the data later — simplest correct behavior).
-            pass
+        # Layers beyond the decode limit are parsed (to stay in sync)
+        # but their pass data is discarded; for every code-block the
+        # dropped layers are a suffix of its packets, so the retained
+        # segment state stays consistent.
         pos = decode_packet(body, pos, l, precs, kmaxs, cod.cblk_style,
-                            sop=cod.sop, eph=cod.eph)
+                            sop=cod.sop, eph=cod.eph,
+                            discard=(l >= numlayers))
 
     # T1 decode (one batched native call over the whole tile's blocks) +
     # dequantize into band arrays, then inverse DWT per comp.

@@ -1,0 +1,117 @@
+"""PCRD-opt rate control: byte budgets, PSNR targets, layer progression."""
+
+import numpy as np
+import pytest
+
+from grokimagecompression_tpu.codestream import decoder, encoder
+from grokimagecompression_tpu.codestream.pcrd import convex_hull
+from grokimagecompression_tpu.codestream.t2 import CblkEnc
+from grokimagecompression_tpu.core.image import Component, Image
+from grokimagecompression_tpu.core.params import (
+    DecoderParams,
+    EncoderParams,
+    Transform,
+)
+from grokimagecompression_tpu.t1.t1_np import PassInfo
+
+
+def _natural_image(w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    data = (128 + 60 * np.sin(yy / 17.0) * np.cos(xx / 23.0)
+            + 30 * np.sin((xx + yy) / 41.0)
+            + rng.normal(0, 6, (h, w))).clip(0, 255).astype(np.int32)
+    return Image(xsiz=w, ysiz=h, components=[
+        Component(data=data, prec=8, signed=False, dx=1, dy=1)])
+
+
+def _psnr(a, b, peak=255.0):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(peak * peak / mse) if mse > 0 else np.inf
+
+
+def test_convex_hull_monotone_slopes():
+    cb = CblkEnc(geom=None, numpasses=4, passes=[
+        PassInfo(rate=10, distortion=100.0, terminated=False),
+        PassInfo(rate=20, distortion=150.0, terminated=False),
+        PassInfo(rate=30, distortion=160.0, terminated=False),
+        PassInfo(rate=40, distortion=190.0, terminated=True),
+    ])
+    hull = convex_hull(cb)
+    slopes = [hp.slope for hp in hull]
+    assert slopes == sorted(slopes, reverse=True)
+    assert all(s > 0 for s in slopes)
+    assert hull[-1].npasses == 4
+
+
+@pytest.mark.parametrize("ratio", [8.0, 16.0, 32.0])
+def test_rate_target_respected(ratio):
+    img = _natural_image(256, 256, seed=1)
+    params = EncoderParams(numresolutions=5, transform=Transform.DWT_97,
+                           rates=(ratio,))
+    cs = encoder.encode(img, params)
+    raw_bytes = 256 * 256
+    target = raw_bytes / ratio
+    # Codestream = target body + markers; allow header slack.
+    assert len(cs) <= target + 400, (len(cs), target)
+    out = decoder.decode(cs)
+    p = _psnr(out.components[0].data, img.components[0].data)
+    assert p > 25.0, p
+
+
+def test_multilayer_rates_progressive():
+    img = _natural_image(256, 256, seed=2)
+    params = EncoderParams(numresolutions=5, transform=Transform.DWT_97,
+                           numlayers=3, rates=(32.0, 8.0, 0.0))
+    cs = encoder.encode(img, params)
+    psnrs = []
+    for nl in (1, 2, 3):
+        out = decoder.decode(cs, DecoderParams(layers=nl))
+        psnrs.append(_psnr(out.components[0].data, img.components[0].data))
+    assert psnrs[0] < psnrs[1] < psnrs[2], psnrs
+    assert psnrs[0] > 20.0
+
+
+def test_quality_target():
+    img = _natural_image(256, 256, seed=3)
+    for q in (32.0, 40.0):
+        params = EncoderParams(numresolutions=5, transform=Transform.DWT_97,
+                               quality_psnr=(q,))
+        cs = encoder.encode(img, params)
+        out = decoder.decode(cs)
+        p = _psnr(out.components[0].data, img.components[0].data)
+        # The distortion estimate is transform-domain; allow 3 dB modelling
+        # slack but require the target's neighborhood.
+        assert p > q - 3.0, (q, p)
+
+
+def test_lossless_last_layer_bit_exact():
+    img = _natural_image(128, 128, seed=4)
+    params = EncoderParams(numresolutions=4, numlayers=2, rates=(16.0, 0.0))
+    cs = encoder.encode(img, params)
+    out = decoder.decode(cs)
+    np.testing.assert_array_equal(out.components[0].data,
+                                  img.components[0].data)
+    out1 = decoder.decode(cs, DecoderParams(layers=1))
+    assert not np.array_equal(out1.components[0].data,
+                              img.components[0].data)
+    assert _psnr(out1.components[0].data, img.components[0].data) > 20.0
+
+
+def test_rate_control_rgb_tiled():
+    rng = np.random.default_rng(5)
+    comps = []
+    for c in range(3):
+        yy, xx = np.mgrid[0:200, 0:300]
+        d = (100 + 70 * np.sin(yy / (11.0 + c)) * np.cos(xx / (17.0 + c))
+             + rng.normal(0, 5, (200, 300))).clip(0, 255).astype(np.int32)
+        comps.append(Component(data=d, prec=8, signed=False, dx=1, dy=1))
+    img = Image(xsiz=300, ysiz=200, components=comps)
+    params = EncoderParams(numresolutions=4, transform=Transform.DWT_97,
+                           tile_size=(128, 128), rates=(12.0,))
+    cs = encoder.encode(img, params)
+    target = 300 * 200 * 3 / 12.0
+    assert len(cs) <= target + 1500, (len(cs), target)
+    out = decoder.decode(cs)
+    for c in range(3):
+        assert _psnr(out.components[c].data, comps[c].data) > 24.0
