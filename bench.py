@@ -39,7 +39,10 @@ def main():
         Component(data=data, prec=8, signed=False, dx=1, dy=1)])
     params = EncoderParams(numresolutions=6)
 
-    use_device = os.environ.get("GROK_TPU_DEVICE", "1") == "1"
+    # Device DWT helps batched multi-tile loads; for this single small tile
+    # the host path avoids per-call transfer overhead (set
+    # GROK_TPU_DEVICE=1 to force the device pipeline).
+    use_device = os.environ.get("GROK_TPU_DEVICE", "0") == "1"
     # Warmup (jit compile).
     encoder.encode(img, params, device=use_device)
 

@@ -306,40 +306,45 @@ static const int SC_SPB[9] = {1, 1, 1, 1, 0, 0, 0, 0, 0};
 static const int SC_OFF2[9] = {4, 3, 2, 1, 0, 1, 2, 3, 4};
 static const int SC_SPB2[9] = {1, 1, 1, 1, 0, 0, 0, 0, 0};
 
+// Per-sample neighborhood word, updated incrementally when a sample turns
+// significant (the reference keeps equivalent packed flags, t1_flags.h —
+// reimplemented here as a padded (h+2)x(w+2) plane so border tests vanish):
+//   bits 0-1: horizontal significant-neighbor count (0..2)
+//   bits 2-3: vertical count (0..2)
+//   bits 4-6: diagonal count (0..4)
+// ZC context comes from a 512-entry LUT per orientation.
 struct BlockState {
-  int w, h, orient;
-  std::vector<uint8_t> sig, neg, visited, refined;
+  int w, h, orient, stride;
+  std::vector<uint16_t> nbh;   // padded (h+2) x (w+2)
+  std::vector<uint8_t> sig, neg, visited, refined;  // w*h
 
   BlockState(int w_, int h_, int orient_)
-      : w(w_), h(h_), orient(orient_),
+      : w(w_), h(h_), orient(orient_), stride(w_ + 2),
+        nbh((w_ + 2) * (h_ + 2), 0),
         sig(w_ * h_, 0), neg(w_ * h_, 0), visited(w_ * h_, 0),
         refined(w_ * h_, 0) {}
 
   inline int idx(int x, int y) const { return y * w + x; }
+  inline int pidx(int x, int y) const { return (y + 1) * stride + (x + 1); }
 
-  inline void nbr_counts(int x, int y, int& hh, int& vv, int& dd) const {
-    hh = vv = dd = 0;
-    if (x > 0) hh += sig[idx(x - 1, y)];
-    if (x < w - 1) hh += sig[idx(x + 1, y)];
-    if (y > 0) vv += sig[idx(x, y - 1)];
-    if (y < h - 1) vv += sig[idx(x, y + 1)];
-    if (x > 0 && y > 0) dd += sig[idx(x - 1, y - 1)];
-    if (x < w - 1 && y > 0) dd += sig[idx(x + 1, y - 1)];
-    if (x > 0 && y < h - 1) dd += sig[idx(x - 1, y + 1)];
-    if (x < w - 1 && y < h - 1) dd += sig[idx(x + 1, y + 1)];
+  inline void set_sig(int x, int y) {
+    sig[idx(x, y)] = 1;
+    uint16_t* p = &nbh[pidx(x, y)];
+    p[-1] += 1;            // left:   horizontal count
+    p[+1] += 1;            // right
+    p[-stride] += 4;       // up:     vertical count (bit 2)
+    p[+stride] += 4;       // down
+    p[-stride - 1] += 16;  // diagonals (bit 4)
+    p[-stride + 1] += 16;
+    p[+stride - 1] += 16;
+    p[+stride + 1] += 16;
   }
 
-  inline int zc_ctx(int x, int y) const {
-    int hh, vv, dd;
-    nbr_counts(x, y, hh, vv, dd);
-    return CTX_ZC + zc_context(hh, vv, dd, orient);
-  }
+  inline int zc_ctx_of(uint16_t nb) const;
 
-  inline bool has_sig_nbr(int x, int y) const {
-    int hh, vv, dd;
-    nbr_counts(x, y, hh, vv, dd);
-    return hh + vv + dd > 0;
-  }
+  inline int zc_ctx(int x, int y) const { return zc_ctx_of(nbh[pidx(x, y)]); }
+
+  inline bool has_sig_nbr(int x, int y) const { return nbh[pidx(x, y)] != 0; }
 
   inline void sc_ctx(int x, int y, int& cx, int& spb) const {
     auto contrib = [&](int xx, int yy) -> int {
@@ -363,6 +368,28 @@ struct BlockState {
     return CTX_MAG + (has_sig_nbr(x, y) ? 1 : 0);
   }
 };
+
+// ZC LUT: index = nbh word truncated to 7 bits (h:2, v:2, d:3), per orient.
+struct ZcLut {
+  uint8_t lut[4][128];
+  ZcLut() {
+    for (int orient = 0; orient < 4; orient++)
+      for (int word = 0; word < 128; word++) {
+        int hh = word & 3;
+        int vv = (word >> 2) & 3;
+        int dd = (word >> 4) & 7;
+        if (hh > 2) hh = 2;
+        if (vv > 2) vv = 2;
+        if (dd > 4) dd = 4;
+        lut[orient][word] = (uint8_t)(CTX_ZC + zc_context(hh, vv, dd, orient));
+      }
+  }
+};
+static const ZcLut ZC_LUT;
+
+inline int BlockState::zc_ctx_of(uint16_t nb) const {
+  return ZC_LUT.lut[orient][nb & 127];
+}
 
 static inline bool lazy_boundary(int passno, int ptype) {
   return passno >= 9 && ptype != PASS_SIG;
@@ -441,7 +468,7 @@ static int encode_cblk(const uint32_t* mag, const uint8_t* negp, int w, int h,
           if (raw) raw_enc.encode(bit); else mq.encode(bit, st.zc_ctx(x, y));
           if (bit) {
             code_sign(x, y, raw);
-            st.sig[i] = 1;
+            st.set_sig(x, y);
             total_dist += sig_dist(x, y, plane);
           }
           st.visited[i] = 1;
@@ -494,7 +521,7 @@ static int encode_cblk(const uint32_t* mag, const uint8_t* negp, int w, int h,
             mq.encode(r & 1, CTX_UNI);
             int y = k + r;
             code_sign(x, y, false);
-            st.sig[st.idx(x, y)] = 1;
+            st.set_sig(x, y);
             total_dist += sig_dist(x, y, plane);
             start = r + 1;
           }
@@ -506,7 +533,7 @@ static int encode_cblk(const uint32_t* mag, const uint8_t* negp, int w, int h,
           mq.encode(bit, st.zc_ctx(x, y));
           if (bit) {
             code_sign(x, y, false);
-            st.sig[i] = 1;
+            st.set_sig(x, y);
             total_dist += sig_dist(x, y, plane);
           }
         }
@@ -660,7 +687,7 @@ static void decode_cblk(const uint8_t* data, int len, const int32_t* seg_lens,
           int bit = raw ? rawd->decode() : mqd->decode(st.zc_ctx(x, y));
           if (bit) {
             int s = decode_sign(x, y, raw);
-            st.sig[i] = 1;
+            st.set_sig(x, y);
             st.neg[i] = (uint8_t)s;
             neg[i] = (uint8_t)s;
             mag[i] |= (1u << plane);
@@ -706,7 +733,7 @@ static void decode_cblk(const uint8_t* data, int len, const int32_t* seg_lens,
             int y = k + r;
             int s = decode_sign(x, y, false);
             int i = st.idx(x, y);
-            st.sig[i] = 1;
+            st.set_sig(x, y);
             st.neg[i] = (uint8_t)s;
             neg[i] = (uint8_t)s;
             mag[i] |= (1u << plane);
@@ -719,7 +746,7 @@ static void decode_cblk(const uint8_t* data, int len, const int32_t* seg_lens,
           int bit = mqd->decode(st.zc_ctx(x, y));
           if (bit) {
             int s = decode_sign(x, y, false);
-            st.sig[i] = 1;
+            st.set_sig(x, y);
             st.neg[i] = (uint8_t)s;
             neg[i] = (uint8_t)s;
             mag[i] |= (1u << plane);
