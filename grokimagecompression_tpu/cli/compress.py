@@ -1,0 +1,125 @@
+"""grk_compress-compatible encoder CLI.
+
+Flag set mirrors the reference CLI's core options (reference:
+src/bin/jp2/grk_compress.cpp main:1702): -i/-o, -r rates, -q PSNR layers,
+-n resolutions, -b code-block size, -c precincts, -t tiles, -p progression,
+-I irreversible 9/7, -S/-E SOP/EPH, -M mode switches, -H threads, -d/-T
+offsets. Run as `python -m grokimagecompression_tpu.cli.compress`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+from ..core.params import EncoderParams, Progression, Transform
+from ..codestream import encoder
+from . import common
+
+
+def _parse_pair(s: str, flag: str):
+    parts = s.replace("x", ",").split(",")
+    if len(parts) != 2:
+        common.fail(f"{flag} expects two comma-separated integers, got {s!r}")
+    return int(parts[0]), int(parts[1])
+
+
+def _parse_precincts(s: str):
+    # "[256,256],[128,128]" or "256,256" — highest resolution first.
+    out = []
+    for chunk in s.replace("][", "|").strip("[]").split("|"):
+        w, h = _parse_pair(chunk.strip("[]"), "-c")
+        out.append((w.bit_length() - 1, h.bit_length() - 1))
+    return out
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="grk_compress",
+        description="TPU-native JPEG 2000 encoder (Grok-compatible CLI)")
+    p.add_argument("-i", "--in-file", required=True)
+    p.add_argument("-o", "--out-file", required=True)
+    p.add_argument("-r", "--compression-ratios",
+                   help="layer compression ratios, e.g. 20,10,1")
+    p.add_argument("-q", "--quality", help="layer PSNR targets in dB")
+    p.add_argument("-n", "--resolutions", type=int, default=6)
+    p.add_argument("-b", "--code-block-dims", default="64,64")
+    p.add_argument("-c", "--precinct-dims",
+                   help="precinct sizes, e.g. [256,256],[128,128]")
+    p.add_argument("-t", "--tile-dims", help="tile size WxH, e.g. 512,512")
+    p.add_argument("-p", "--progression-order", default="LRCP",
+                   choices=[p.name for p in Progression])
+    p.add_argument("-I", "--irreversible", action="store_true",
+                   help="9/7 irreversible transform (default 5/3 lossless)")
+    p.add_argument("-S", "--sop", action="store_true", help="SOP markers")
+    p.add_argument("-E", "--eph", action="store_true", help="EPH markers")
+    p.add_argument("-M", "--mode", type=int, default=0,
+                   help="code-block style switches (1=LAZY 2=RESET 4=TERMALL"
+                        " 8=VSC 16=PTERM 32=SEGSYM)")
+    p.add_argument("-d", "--image-offset", help="image origin x,y")
+    p.add_argument("-T", "--tile-offset", help="tile grid origin x,y")
+    p.add_argument("-G", "--guard-bits", type=int, default=2)
+    p.add_argument("-H", "--num-workers", type=int, default=0,
+                   help="T1 worker threads (0 = all cores)")
+    p.add_argument("-C", "--comment", default=None)
+    p.add_argument("-D", "--device", action="store_true",
+                   help="run the transform pipeline on the TPU device")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.num_workers > 0:
+        os.environ["GROK_TPU_THREADS"] = str(args.num_workers)
+
+    image = common.read_image(args.in_file)
+
+    rates = tuple(float(r) for r in args.compression_ratios.split(",")) \
+        if args.compression_ratios else ()
+    quality = tuple(float(q) for q in args.quality.split(",")) \
+        if args.quality else ()
+    cb_w, cb_h = _parse_pair(args.code_block_dims, "-b")
+    params = EncoderParams(
+        numresolutions=args.resolutions,
+        cblk_w_exp=cb_w.bit_length() - 1,
+        cblk_h_exp=cb_h.bit_length() - 1,
+        cblk_style=args.mode,
+        transform=Transform.DWT_97 if args.irreversible else Transform.DWT_53,
+        progression=Progression[args.progression_order],
+        numlayers=max(1, len(rates), len(quality)),
+        rates=rates,
+        quality_psnr=quality,
+        precincts=_parse_precincts(args.precinct_dims)
+        if args.precinct_dims else None,
+        tile_size=_parse_pair(args.tile_dims, "-t") if args.tile_dims else None,
+        image_offset=_parse_pair(args.image_offset, "-d")
+        if args.image_offset else (0, 0),
+        tile_offset=_parse_pair(args.tile_offset, "-T")
+        if args.tile_offset else (0, 0),
+        num_guard_bits=args.guard_bits,
+        sop_markers=args.sop,
+        eph_markers=args.eph,
+        comment=args.comment,
+    )
+    t0 = time.perf_counter()
+    cs = encoder.encode(image, params, device=args.device)
+    dt = time.perf_counter() - t0
+    if args.out_file.lower().endswith(".jp2"):
+        from ..codestream import jp2
+        cs = jp2.wrap_codestream(
+            cs, image.xsiz, image.ysiz,
+            [(c.prec, c.signed) for c in image.components])
+    with open(args.out_file, "wb") as f:
+        f.write(cs)
+    if args.verbose:
+        px = image.xsiz * image.ysiz
+        print(f"encoded {px} px -> {len(cs)} bytes in {dt*1000:.1f} ms "
+              f"({px/dt/1e6:.2f} MP/s)", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

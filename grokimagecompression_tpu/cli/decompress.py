@@ -1,0 +1,62 @@
+"""grk_decompress-compatible decoder CLI.
+
+Mirrors the reference decoder CLI's core options (reference:
+src/bin/jp2/grk_decompress.cpp main:1122): -i/-o, -r reduce, -l layers,
+-d decode window, -t tile index. Run as
+`python -m grokimagecompression_tpu.cli.decompress`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from ..core.params import DecoderParams
+from ..codestream import decoder
+from . import common
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="grk_decompress",
+        description="TPU-native JPEG 2000 decoder (Grok-compatible CLI)")
+    p.add_argument("-i", "--in-file", required=True)
+    p.add_argument("-o", "--out-file", required=True)
+    p.add_argument("-r", "--reduce", type=int, default=0,
+                   help="discard this many highest resolution levels")
+    p.add_argument("-l", "--layers", type=int, default=0,
+                   help="decode only the first N quality layers (0 = all)")
+    p.add_argument("-d", "--decode-window",
+                   help="window x0,y0,x1,y1 in canvas coordinates")
+    p.add_argument("-t", "--tile", type=int, default=None,
+                   help="decode a single tile by index")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    with open(args.in_file, "rb") as f:
+        data = f.read()
+    window = None
+    if args.decode_window:
+        parts = [int(v) for v in args.decode_window.split(",")]
+        if len(parts) != 4:
+            common.fail("-d expects x0,y0,x1,y1")
+        window = tuple(parts)
+    params = DecoderParams(reduce=args.reduce, layers=args.layers,
+                           window=window, tile_index=args.tile)
+    t0 = time.perf_counter()
+    image = decoder.decode(data, params)
+    dt = time.perf_counter() - t0
+    common.write_image(args.out_file, image)
+    if args.verbose:
+        c0 = image.components[0].data
+        print(f"decoded {len(data)} bytes -> {c0.shape[1]}x{c0.shape[0]}"
+              f"x{len(image.components)} in {dt*1000:.1f} ms", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -98,8 +98,11 @@ def iter_tile_parts(data: bytes, start: int):
 
 
 def decode(data: bytes, params: Optional[DecoderParams] = None) -> Image:
-    """Decode a raw J2K codestream into an Image."""
+    """Decode a raw J2K codestream (or JP2 file) into an Image."""
     params = params or DecoderParams()
+    from . import jp2
+    if jp2.is_jp2(data):
+        data = jp2.extract_codestream(data)
     hdr = read_header(data)
     siz, cod, qcd = hdr.siz, hdr.cod, hdr.qcd
 

@@ -1,0 +1,113 @@
+"""CLI apps (compress/decompress/dump), JP2 container, BMP I/O."""
+
+import io
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from grokimagecompression_tpu.cli import compress, decompress, dump
+from grokimagecompression_tpu.codestream import decoder, encoder, jp2
+from grokimagecompression_tpu.core.image import Component, Image
+from grokimagecompression_tpu.core.params import EncoderParams
+from grokimagecompression_tpu.io import bmp
+from grokimagecompression_tpu.io.pnm import read_pnm, write_pnm
+
+
+@pytest.fixture
+def gray_pgm(tmp_path):
+    rng = np.random.default_rng(0)
+    d = rng.integers(0, 256, (90, 130)).astype(np.uint8)
+    p = tmp_path / "in.pgm"
+    p.write_bytes(b"P5\n130 90\n255\n" + d.tobytes())
+    return p, d
+
+
+def test_cli_roundtrip_lossless(gray_pgm, tmp_path):
+    p, d = gray_pgm
+    j2k = tmp_path / "out.j2k"
+    out = tmp_path / "dec.pgm"
+    assert compress.main(["-i", str(p), "-o", str(j2k), "-n", "4"]) == 0
+    assert decompress.main(["-i", str(j2k), "-o", str(out)]) == 0
+    rec = read_pnm(str(out)).components[0].data
+    np.testing.assert_array_equal(rec, d.astype(np.int32))
+
+
+def test_cli_lossy_rates(gray_pgm, tmp_path):
+    p, d = gray_pgm
+    j2k = tmp_path / "out.j2k"
+    assert compress.main(["-i", str(p), "-o", str(j2k), "-I",
+                          "-r", "20,5", "-p", "RPCL", "-n", "4"]) == 0
+    sz = j2k.stat().st_size
+    assert sz <= 90 * 130 / 5 + 400
+    out = tmp_path / "dec.pgm"
+    assert decompress.main(["-i", str(j2k), "-o", str(out), "-l", "1"]) == 0
+
+
+def test_cli_reduce(gray_pgm, tmp_path):
+    p, d = gray_pgm
+    j2k = tmp_path / "out.j2k"
+    out = tmp_path / "dec.pgm"
+    compress.main(["-i", str(p), "-o", str(j2k), "-n", "4"])
+    decompress.main(["-i", str(j2k), "-o", str(out), "-r", "1"])
+    rec = read_pnm(str(out)).components[0].data
+    assert rec.shape == (45, 65)
+
+
+def test_cli_dump(gray_pgm, tmp_path, capsys):
+    p, _ = gray_pgm
+    j2k = tmp_path / "out.j2k"
+    compress.main(["-i", str(p), "-o", str(j2k), "-n", "3",
+                   "-t", "64,64", "-S", "-E"])
+    assert dump.main(["-i", str(j2k)]) == 0
+    txt = capsys.readouterr().out
+    assert "x1=130, y1=90" in txt
+    assert "numresolutions=3" in txt
+    assert "tw=3, th=2" in txt
+    assert "tile-part" in txt
+
+
+def test_jp2_container_roundtrip(gray_pgm, tmp_path):
+    p, d = gray_pgm
+    jp2f = tmp_path / "out.jp2"
+    out = tmp_path / "dec.pgm"
+    compress.main(["-i", str(p), "-o", str(jp2f)])
+    raw = jp2f.read_bytes()
+    assert jp2.is_jp2(raw)
+    hdr, cs = jp2.read_jp2(raw)
+    assert (hdr.width, hdr.height, hdr.numcomps) == (130, 90, 1)
+    assert hdr.colourspace == jp2.CS_GREYSCALE
+    decompress.main(["-i", str(jp2f), "-o", str(out)])
+    rec = read_pnm(str(out)).components[0].data
+    np.testing.assert_array_equal(rec, d.astype(np.int32))
+
+
+def test_bmp_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    comps = [Component(data=rng.integers(0, 256, (33, 47)).astype(np.int32),
+                       prec=8, signed=False, dx=1, dy=1) for _ in range(3)]
+    img = Image(xsiz=47, ysiz=33, components=comps)
+    f = tmp_path / "x.bmp"
+    bmp.write_bmp(str(f), img)
+    back = bmp.read_bmp(str(f))
+    for c in range(3):
+        np.testing.assert_array_equal(back.components[c].data,
+                                      comps[c].data)
+
+
+def test_bmp_cli_pipeline(tmp_path):
+    rng = np.random.default_rng(2)
+    comps = [Component(data=rng.integers(0, 256, (40, 50)).astype(np.int32),
+                       prec=8, signed=False, dx=1, dy=1) for _ in range(3)]
+    img = Image(xsiz=50, ysiz=40, components=comps)
+    src = tmp_path / "in.bmp"
+    bmp.write_bmp(str(src), img)
+    j2k = tmp_path / "o.j2k"
+    out = tmp_path / "o.bmp"
+    compress.main(["-i", str(src), "-o", str(j2k), "-n", "3"])
+    decompress.main(["-i", str(j2k), "-o", str(out)])
+    back = bmp.read_bmp(str(out))
+    for c in range(3):
+        np.testing.assert_array_equal(back.components[c].data,
+                                      comps[c].data)
