@@ -114,13 +114,28 @@ def decode(data: bytes, params: Optional[DecoderParams] = None) -> Image:
         tile_bodies.setdefault(tp.tile_index, []).append(tp.body)
 
     reduce = min(params.reduce, cod.numresolutions - 1)
-    shift = cod.numresolutions - 1 - (cod.numresolutions - 1 - reduce)
+
+    # Decode window (canvas coords), clipped to the image area.
+    win = None
+    if params.window is not None:
+        from ..core.geometry import Rect
+        wx0, wy0, wx1, wy1 = params.window
+        win = Rect(max(wx0, siz.xosiz), max(wy0, siz.yosiz),
+                   min(wx1, siz.xsiz), min(wy1, siz.ysiz))
+        if win.x1 <= win.x0 or win.y1 <= win.y0:
+            raise ValueError(f"decode window {params.window} is empty "
+                             f"after clipping to the image area")
+    # Output area (canvas): window or whole image.
+    ax0 = win.x0 if win else siz.xosiz
+    ay0 = win.y0 if win else siz.yosiz
+    ax1 = win.x1 if win else siz.xsiz
+    ay1 = win.y1 if win else siz.ysiz
 
     # Output image dims at the reduced resolution.
     comps_out: List[np.ndarray] = []
     for c, cs in enumerate(siz.comps):
-        cw = ceil_div(siz.xsiz, cs.dx << reduce) - ceil_div(siz.xosiz, cs.dx << reduce)
-        ch = ceil_div(siz.ysiz, cs.dy << reduce) - ceil_div(siz.yosiz, cs.dy << reduce)
+        cw = ceil_div(ax1, cs.dx << reduce) - ceil_div(ax0, cs.dx << reduce)
+        ch = ceil_div(ay1, cs.dy << reduce) - ceil_div(ay0, cs.dy << reduce)
         comps_out.append(np.zeros((ch, cw), dtype=np.int32))
 
     tiles = (range(numtiles) if params.tile_index is None
@@ -130,18 +145,30 @@ def decode(data: bytes, params: Optional[DecoderParams] = None) -> Image:
             continue
         tr = tile_rect(t, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
                        siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
+        if win is not None and (tr.x1 <= win.x0 or tr.x0 >= win.x1
+                                or tr.y1 <= win.y0 or tr.y0 >= win.y1):
+            continue
         body = b"".join(tile_bodies[t])
         tcomps = decode_tile(body, siz, cod, qcd, tr, reduce=reduce,
-                             max_layers=params.layers)
+                             max_layers=params.layers, window=win)
         for c, arr in enumerate(tcomps):
             cs = siz.comps[c]
-            # Reduced tile-component rect.
+            # Reduced tile-component rect origin.
             tx0 = ceil_div(ceil_div(tr.x0, cs.dx), 1 << reduce)
             ty0 = ceil_div(ceil_div(tr.y0, cs.dy), 1 << reduce)
-            ox = ceil_div(siz.xosiz, cs.dx << reduce)
-            oy = ceil_div(siz.yosiz, cs.dy << reduce)
-            comps_out[c][ty0 - oy:ty0 - oy + arr.shape[0],
-                         tx0 - ox:tx0 - ox + arr.shape[1]] = arr
+            ox = ceil_div(ax0, cs.dx << reduce)
+            oy = ceil_div(ay0, cs.dy << reduce)
+            # Intersect the tile output with the output area.
+            dst = comps_out[c]
+            y_lo = max(0, oy - ty0)
+            x_lo = max(0, ox - tx0)
+            y_hi = min(arr.shape[0], oy + dst.shape[0] - ty0)
+            x_hi = min(arr.shape[1], ox + dst.shape[1] - tx0)
+            if y_hi <= y_lo or x_hi <= x_lo:
+                continue
+            dst[ty0 + y_lo - oy:ty0 + y_hi - oy,
+                tx0 + x_lo - ox:tx0 + x_hi - ox] = arr[y_lo:y_hi,
+                                                       x_lo:x_hi]
 
     comps = [
         Component(data=comps_out[c], dx=siz.comps[c].dx,
@@ -149,5 +176,4 @@ def decode(data: bytes, params: Optional[DecoderParams] = None) -> Image:
                   signed=siz.comps[c].signed)
         for c in range(len(siz.comps))
     ]
-    return Image(components=comps, x0=siz.xosiz, y0=siz.yosiz,
-                 xsiz=siz.xsiz, ysiz=siz.ysiz)
+    return Image(components=comps, x0=ax0, y0=ay0, xsiz=ax1, ysiz=ay1)

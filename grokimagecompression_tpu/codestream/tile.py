@@ -342,6 +342,28 @@ def encode_tile(
 # Decode
 # --------------------------------------------------------------------------
 
+def _band_window(win: Rect, r: int, orient: int, numresolutions: int,
+                 reversible: bool) -> Rect:
+    """Conservative band-coordinate region needed to reconstruct `win`
+    (full-resolution component canvas coords), grown by the synthesis filter
+    margin per level (reference: src/lib/jp2/transform/dwt.cpp
+    get_band_coordinates:1131, segment_grow:1172)."""
+    margin = 2 if reversible else 4
+    nl = numresolutions - 1
+    x0, y0, x1, y1 = win.x0, win.y0, win.x1, win.y1
+    # Walk down from full resolution to resolution r's band split.
+    levels = nl - r + 1 if r > 0 else nl
+    for _ in range(levels):
+        x0 = (x0 >> 1) - margin
+        y0 = (y0 >> 1) - margin
+        x1 = ((x1 + 1) >> 1) + margin
+        y1 = ((y1 + 1) >> 1) + margin
+    # Band offset: HL shifts x by floor at odd grid; conservative region
+    # already includes the +-margin growth, so the same rect works for all
+    # orientations at this level.
+    return Rect(x0, y0, x1, y1)
+
+
 def decode_tile(
     body: bytes,
     siz: SizInfo,
@@ -350,8 +372,15 @@ def decode_tile(
     tile: Rect,
     reduce: int = 0,
     max_layers: int = 0,
+    window: Optional[Rect] = None,
 ) -> List[np.ndarray]:
-    """Decode one tile's packet body back to component sample arrays."""
+    """Decode one tile's packet body back to component sample arrays.
+
+    `window` (canvas coords at full resolution) enables region decode:
+    code-blocks that cannot influence the window are skipped in T1
+    (reference: src/lib/jp2/t1/Tier1.cpp prepareDecodeCodeblocks:98 window
+    clipping); packets are still parsed to stay synchronized.
+    """
     ncomps = len(siz.comps)
     plans = [build_comp_plan(siz, cod, qcd, tile, c) for c in range(ncomps)]
     reversible = cod.transform == Transform.DWT_53
@@ -416,11 +445,24 @@ def decode_tile(
     t1_job_slots = []
     for c in range(ncomps):
         plan = plans[c]
+        comp_win = None
+        if window is not None:
+            comp_win = component_rect(window, siz.comps[c].dx,
+                                      siz.comps[c].dy)
         for res in plan.layout.resolutions:
             for band in res.bands:
+                bwin = None
+                if comp_win is not None:
+                    bwin = _band_window(comp_win, res.r, band.orient,
+                                        cod.numresolutions, reversible)
                 for cb in cblk_index[c][(res.r, band.orient)]:
                     if cb.numpasses == 0:
                         continue
+                    if bwin is not None:
+                        r_ = cb.geom.rect
+                        if (r_.x1 <= bwin.x0 or r_.x0 >= bwin.x1
+                                or r_.y1 <= bwin.y0 or r_.y0 >= bwin.y1):
+                            continue
                     data, seg_lengths = cb.data_and_seg_lengths()
                     t1_jobs.append((data, seg_lengths, cb.geom.rect.w,
                                     cb.geom.rect.h, band.orient, cb.numbps,
@@ -440,7 +482,7 @@ def decode_tile(
                 dtype = np.int32 if reversible else np.float32
                 arr = np.zeros((band.rect.h, band.rect.w), dtype=dtype)
                 for cb in cblk_index[c][(res.r, band.orient)]:
-                    if cb.numpasses == 0:
+                    if cb.numpasses == 0 or id(cb) not in decoded:
                         continue
                     mag, neg = decoded[id(cb)]
                     x0 = cb.geom.rect.x0 - band.rect.x0
