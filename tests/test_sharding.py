@@ -1,0 +1,62 @@
+"""Sharded multi-device encode: byte-identical to the sequential encoder."""
+
+import jax
+import numpy as np
+import pytest
+
+from grokimagecompression_tpu.codestream import decoder, encoder
+from grokimagecompression_tpu.core.image import Component, Image
+from grokimagecompression_tpu.core.params import EncoderParams, Transform
+from grokimagecompression_tpu.parallel import sharding
+
+
+def _image(w, h, ncomps=1, seed=0):
+    rng = np.random.default_rng(seed)
+    comps = [
+        Component(data=rng.integers(0, 256, (h, w)).astype(np.int32),
+                  prec=8, signed=False, dx=1, dy=1)
+        for _ in range(ncomps)
+    ]
+    return Image(xsiz=w, ysiz=h, components=comps)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    return sharding.default_mesh(8)
+
+
+def test_sharded_matches_sequential_gray(mesh8):
+    img = _image(512, 384, seed=1)
+    params = EncoderParams(numresolutions=4, tile_size=(128, 128))
+    seq = encoder.encode(img, params, device=False)
+    par = sharding.encode_sharded(img, params, mesh=mesh8)
+    assert seq == par
+    out = decoder.decode(par)
+    np.testing.assert_array_equal(out.components[0].data,
+                                  img.components[0].data)
+
+
+def test_sharded_matches_sequential_rgb(mesh8):
+    img = _image(300, 260, ncomps=3, seed=2)
+    params = EncoderParams(numresolutions=3, tile_size=(96, 96))
+    seq = encoder.encode(img, params, device=False)
+    par = sharding.encode_sharded(img, params, mesh=mesh8)
+    assert seq == par
+
+
+def test_sharded_lossy_rate_control(mesh8):
+    img = _image(256, 256, seed=3)
+    params = EncoderParams(numresolutions=4, transform=Transform.DWT_97,
+                           tile_size=(128, 128), rates=(16.0,))
+    seq = encoder.encode(img, params, device=False)
+    par = sharding.encode_sharded(img, params, mesh=mesh8)
+    assert seq == par
+
+
+def test_sharded_single_tile(mesh8):
+    img = _image(128, 128, seed=4)
+    params = EncoderParams(numresolutions=4)
+    seq = encoder.encode(img, params, device=False)
+    par = sharding.encode_sharded(img, params, mesh=mesh8)
+    assert seq == par
