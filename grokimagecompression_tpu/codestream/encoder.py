@@ -9,13 +9,14 @@ sequential stateful loop.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import List, Optional
 
 import numpy as np
 
 from ..core.geometry import ceil_div, tile_grid_size, tile_rect
 from ..core.image import Image
-from ..core.params import EncoderParams, MCT, Transform
+from ..core.params import EncoderParams, MCT, QuantStyle, Transform
 from . import markers
 from .markers import CodInfo, ComponentSiz, SizInfo, SotInfo
 from .tile import TileEncResult, default_qcd, encode_tile
@@ -95,13 +96,29 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
     if device is None:
         device = os.environ.get("GROK_TPU_DEVICE", "") == "1"
     params = params or EncoderParams()
+    is_ht = bool(params.cblk_style & 0x40)
     siz = build_siz(image, params)
     cod = build_cod(image, params)
-    qcd = default_qcd(siz, cod, params.num_guard_bits, params.base_step)
+    # HT (Part 15): JPH rsiz flag, single guard bit (like the reference,
+    # j2k.cpp:1834), CAP marker after SIZ.
+    guard_bits = 1 if is_ht else params.num_guard_bits
+    qcd = default_qcd(siz, cod, guard_bits, params.base_step)
+    if is_ht:
+        siz = dataclasses.replace(siz, rsiz=siz.rsiz | markers.JPH_RSIZ_FLAG)
+        if params.rates or params.quality_psnr:
+            raise ValueError("PCRD rate control is not available with the "
+                             "HT block coder (single cleanup pass)")
 
     out = bytearray()
     out += markers.write_soc()
     out += markers.write_siz(siz)
+    if is_ht:
+        reversible = cod.transform == Transform.DWT_53
+        if qcd.style == QuantStyle.NONE:
+            max_mb = max(e + qcd.num_guard_bits - 1 for e in qcd.exponents)
+        else:
+            max_mb = max(e + qcd.num_guard_bits - 1 for (e, m) in qcd.steps)
+        out += markers.write_cap(reversible, max_mb)
     out += markers.write_cod(cod)
     out += markers.write_qcd(qcd)
     if params.comment:

@@ -234,3 +234,26 @@ def write_sod() -> bytes:
 
 def write_eoc() -> bytes:
     return struct.pack(">H", EOC)
+
+
+def write_cap(reversible: bool, max_Mb: int) -> bytes:
+    """CAP marker for HTJ2K (Part 15): Pcap bit 15 set, Ccap15 per
+    reference j2k_write_cap (reference: src/lib/jp2/codestream/
+    j2k.cpp:3298): Bp derived from the maximum magnitude bits."""
+    pcap = 0x00020000
+    ccap = 0 if reversible else 0x0020
+    b = max_Mb
+    if b <= 8:
+        bp = 0
+    elif b < 28:
+        bp = b - 8
+    elif b < 48:
+        bp = 13 + (b >> 2)
+    else:
+        bp = 31
+    ccap |= bp
+    payload = struct.pack(">IH", pcap, ccap)
+    return struct.pack(">HH", CAP, 2 + len(payload)) + payload
+
+
+JPH_RSIZ_FLAG = 0x4000

@@ -210,7 +210,7 @@ def encode_tile(
                         y0 = cb.rect.y0 - band.rect.y0
                         m = mag[y0:y0 + cb.rect.h, x0:x0 + cb.rect.w]
                         s = neg[y0:y0 + cb.rect.h, x0:x0 + cb.rect.w]
-                        t1_inputs.append((m, s, band.orient))
+                        t1_inputs.append((m, s, band.orient, bp.kmax))
                         t1_slots.append((c, (res.r, band.orient), pi, cb, bp))
 
     t1_results = t1_backend.encode_cblk_batch(t1_inputs, cod.cblk_style)
@@ -464,9 +464,10 @@ def decode_tile(
                                 or r_.y1 <= bwin.y0 or r_.y0 >= bwin.y1):
                             continue
                     data, seg_lengths = cb.data_and_seg_lengths()
+                    bp_d = plan.bands[(res.r, band.orient)]
                     t1_jobs.append((data, seg_lengths, cb.geom.rect.w,
                                     cb.geom.rect.h, band.orient, cb.numbps,
-                                    cb.numpasses))
+                                    cb.numpasses, bp_d.kmax))
                     t1_job_slots.append((c, (res.r, band.orient), cb))
     t1_out = t1_backend.decode_cblk_batch(t1_jobs, cod.cblk_style)
     decoded: Dict[int, Tuple[np.ndarray, np.ndarray]] = {

@@ -1,0 +1,866 @@
+// HTJ2K (ISO/IEC 15444-15) block coder: cleanup-pass encoder and decoder.
+//
+// Original implementation written from the FBCOT algorithm structure
+// (quad-pair scanning, MEL/VLC/MagSgn triple stream) as standardized in
+// ISO/IEC 15444-15; stream framing and conventions match the reference
+// codec for interoperability (reference: src/lib/jp2/t1/t1_ht/coding/
+// ojph_block_encoder.cpp:465, ojph_block_decoder.cpp:687).  The CxtVLC
+// codeword tables are normative constants (see gen_ht_tables.py).
+//
+// Coefficients are exchanged as (mag, neg) arrays like the Part-1 coder;
+// alignment/shift conventions are internal.  Encode emits one HT Cleanup
+// segment; SigProp/MagRef refinement passes are not generated.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#include "ht_tables.inc"
+
+namespace {
+
+static inline int bit_length(uint32_t v) {
+  return v ? 32 - __builtin_clz(v) : 0;
+}
+
+// ---------------------------------------------------------------------------
+// Derived LUTs
+// ---------------------------------------------------------------------------
+
+// Encode LUT: [(c_q<<8)|(rho<<4)|eps] -> (cwd<<8)|(len<<4)|e_k
+static uint16_t enc_tbl0[2048], enc_tbl1[2048];
+// Decode LUT: [(c_q<<7)|cwd7] -> (e_k<<12)|(e_1<<8)|(rho<<4)|(u_off<<3)|len
+static uint16_t dec_tbl0[1024], dec_tbl1[1024];
+
+struct SrcEntry {
+  int c_q, rho, u_off, e_k, e_1, cwd, len;
+};
+
+static SrcEntry unpack(uint32_t w) {
+  SrcEntry e;
+  e.c_q = (w >> 28) & 0xF;
+  e.rho = (w >> 24) & 0xF;
+  e.u_off = (w >> 23) & 1;
+  e.e_k = (w >> 19) & 0xF;
+  e.e_1 = (w >> 15) & 0xF;
+  e.cwd = (w >> 7) & 0xFF;
+  e.len = w & 0x7F;
+  return e;
+}
+
+static void build_tables(const uint32_t* src, size_t n, uint16_t* enc,
+                         uint16_t* dec) {
+  for (int i = 0; i < 2048; i++) {
+    int c_q = i >> 8, rho = (i >> 4) & 0xF, emb = i & 0xF;
+    enc[i] = 0;
+    if (((emb & rho) != emb) || (rho == 0 && c_q == 0)) continue;
+    int best = -1, best_ones = -1;
+    for (size_t j = 0; j < n; j++) {
+      SrcEntry e = unpack(src[j]);
+      if (e.c_q != c_q || e.rho != rho) continue;
+      if (emb) {
+        if (e.u_off == 1 && (emb & e.e_k) == e.e_1) {
+          int ones = __builtin_popcount(e.e_k);
+          if (ones >= best_ones) { best = (int)j; best_ones = ones; }
+        }
+      } else if (e.u_off == 0) {
+        best = (int)j;
+        break;
+      }
+    }
+    if (best >= 0) {
+      SrcEntry e = unpack(src[best]);
+      enc[i] = (uint16_t)((e.cwd << 8) | (e.len << 4) | e.e_k);
+    }
+  }
+  for (int i = 0; i < 1024; i++) {
+    int cwd = i & 0x7F, c_q = i >> 7;
+    dec[i] = 0;
+    for (size_t j = 0; j < n; j++) {
+      SrcEntry e = unpack(src[j]);
+      if (e.c_q == c_q && e.cwd == (cwd & ((1 << e.len) - 1)))
+        dec[i] = (uint16_t)((e.e_k << 12) | (e.e_1 << 8) | (e.rho << 4)
+                            | (e.u_off << 3) | e.len);
+    }
+  }
+}
+
+// UVLC prefix/suffix codewords for u in 0..32.
+static int uvlc_pre[33], uvlc_pre_len[33], uvlc_suf[33], uvlc_suf_len[33];
+
+static void build_uvlc() {
+  const int pre[5] = {0, 1, 2, 4, 4};
+  const int pre_len[5] = {0, 1, 2, 3, 3};
+  const int suf[5] = {0, 0, 0, 0, 1};
+  const int suf_len[5] = {0, 0, 0, 1, 1};
+  for (int i = 0; i < 5; i++) {
+    uvlc_pre[i] = pre[i];
+    uvlc_pre_len[i] = pre_len[i];
+    uvlc_suf[i] = suf[i];
+    uvlc_suf_len[i] = suf_len[i];
+  }
+  for (int i = 5; i < 33; i++) {
+    uvlc_pre[i] = 0;
+    uvlc_pre_len[i] = 3;
+    uvlc_suf[i] = i - 5;
+    uvlc_suf_len[i] = 5;
+  }
+}
+
+static struct TablesInit {
+  TablesInit() {
+    build_tables(HT_VLC_SRC0, sizeof(HT_VLC_SRC0) / 4, enc_tbl0, dec_tbl0);
+    build_tables(HT_VLC_SRC1, sizeof(HT_VLC_SRC1) / 4, enc_tbl1, dec_tbl1);
+    build_uvlc();
+  }
+} tables_init;
+
+static const int MEL_EXP[13] = {0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 4, 5};
+
+// ---------------------------------------------------------------------------
+// Stream writers
+// ---------------------------------------------------------------------------
+
+struct MelEnc {
+  std::vector<uint8_t> buf;
+  int remaining = 8, tmp = 0, run = 0, k = 0, threshold = 1;
+
+  void emit_bit(int v) {
+    tmp = (tmp << 1) | v;
+    if (--remaining == 0) {
+      buf.push_back((uint8_t)tmp);
+      remaining = (tmp == 0xFF) ? 7 : 8;
+      tmp = 0;
+    }
+  }
+
+  void encode(bool bit) {
+    if (!bit) {
+      if (++run >= threshold) {
+        emit_bit(1);
+        run = 0;
+        k = k + 1 < 12 ? k + 1 : 12;
+        threshold = 1 << MEL_EXP[k];
+      }
+    } else {
+      emit_bit(0);
+      for (int t = MEL_EXP[k]; t > 0;)
+        emit_bit((run >> --t) & 1);
+      run = 0;
+      k = k > 0 ? k - 1 : 0;
+      threshold = 1 << MEL_EXP[k];
+    }
+  }
+};
+
+// Backward-growing VLC writer (bytes are emitted back-to-front).
+struct VlcEnc {
+  std::vector<uint8_t> rbuf;  // reversed order: rbuf[0] is the LAST byte
+  int used = 4, tmp = 0xF;
+  bool last_gt_8f = true;
+
+  VlcEnc() { rbuf.push_back(0xFF); }
+
+  void encode(int cwd, int len) {
+    while (len > 0) {
+      int avail = 8 - (last_gt_8f ? 1 : 0) - used;
+      int t = avail < len ? avail : len;
+      tmp |= (cwd & ((1 << t) - 1)) << used;
+      used += t;
+      avail -= t;
+      len -= t;
+      cwd >>= t;
+      if (avail == 0) {
+        if (last_gt_8f && tmp != 0x7F) {
+          last_gt_8f = false;
+          continue;  // the eighth bit is usable after all
+        }
+        rbuf.push_back((uint8_t)tmp);
+        last_gt_8f = tmp > 0x8F;
+        tmp = 0;
+        used = 0;
+      }
+    }
+  }
+};
+
+static void terminate_mel_vlc(MelEnc& mel, VlcEnc& vlc) {
+  if (mel.run > 0) mel.emit_bit(1);
+  mel.tmp <<= mel.remaining;
+  int mel_mask = (0xFF << mel.remaining) & 0xFF;
+  int vlc_mask = 0xFF >> (8 - vlc.used);
+  if ((mel_mask | vlc_mask) == 0) return;
+  int fuse = mel.tmp | vlc.tmp;
+  if ((((fuse ^ mel.tmp) & mel_mask) | ((fuse ^ vlc.tmp) & vlc_mask)) == 0
+      && fuse != 0xFF && vlc.rbuf.size() > 1) {
+    mel.buf.push_back((uint8_t)fuse);
+  } else {
+    mel.buf.push_back((uint8_t)mel.tmp);  // cannot be 0xFF here
+    vlc.rbuf.push_back((uint8_t)vlc.tmp);
+  }
+}
+
+struct MsEnc {
+  std::vector<uint8_t> buf;
+  int max_bits = 8, used = 0, tmp = 0;
+
+  void encode(uint32_t cwd, int len) {
+    while (len > 0) {
+      int t = (max_bits - used) < len ? (max_bits - used) : len;
+      tmp |= (cwd & ((1u << t) - 1)) << used;
+      used += t;
+      cwd >>= t;
+      len -= t;
+      if (used >= max_bits) {
+        buf.push_back((uint8_t)tmp);
+        max_bits = (tmp == 0xFF) ? 7 : 8;
+        tmp = 0;
+        used = 0;
+      }
+    }
+  }
+
+  void terminate() {
+    if (used) {
+      int t = max_bits - used;
+      tmp |= (0xFF & ((1 << t) - 1)) << used;
+      used += t;
+      if (tmp != 0xFF) buf.push_back((uint8_t)tmp);
+    } else if (max_bits == 7) {
+      buf.pop_back();
+    }
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Encoder
+// ---------------------------------------------------------------------------
+
+struct QuadInfo {
+  int rho = 0;
+  int e_q[4] = {0, 0, 0, 0};
+  int e_qmax = 0;
+  uint32_t s[4] = {0, 0, 0, 0};
+};
+
+// Gather one 2x2 quad at (x, y) from (mag, neg) arrays.
+static inline QuadInfo gather_quad(const uint32_t* mag, const uint8_t* neg,
+                                   int w, int h, int x, int y, int shift,
+                                   int p) {
+  QuadInfo q;
+  const int dx[4] = {0, 0, 1, 1};
+  const int dy[4] = {0, 1, 0, 1};
+  for (int n = 0; n < 4; n++) {
+    int xx = x + dx[n], yy = y + dy[n];
+    if (xx >= w || yy >= h) continue;
+    uint32_t m = mag[yy * w + xx] << shift;  // sign-magnitude alignment
+    uint32_t sign = neg[yy * w + xx] ? 1u : 0u;
+    uint32_t val = m << 1;                   // drop-sign double
+    val >>= p;
+    val &= ~1u;
+    if (val) {
+      q.rho |= 1 << n;
+      q.e_q[n] = bit_length(val - 1);
+      if (q.e_q[n] > q.e_qmax) q.e_qmax = q.e_q[n];
+      q.s[n] = (val - 2) + sign;             // v_n = 2(mu_p - 1) + s_n
+    }
+  }
+  return q;
+}
+
+// Encode one HT cleanup segment. Returns bytes.
+static std::vector<uint8_t> ht_encode(const uint32_t* mag,
+                                      const uint8_t* neg, int w, int h,
+                                      int Mb) {
+  MelEnc mel;
+  VlcEnc vlc;
+  MsEnc ms;
+
+  int shift = 31 - (Mb + 1);  // align magnitudes like the reference wrapper
+  int p = 30 - Mb;            // missing_msbs at encode time = Mb
+
+  int qw = (w + 1) / 2;  // quad columns
+  std::vector<uint8_t> e_val(qw + 2, 0), cx_val(qw + 2, 0);
+
+  // ---- initial row pair ----
+  {
+    uint8_t* lep = e_val.data();
+    uint8_t* lcxp = cx_val.data();
+    lep[0] = 0;
+    lcxp[0] = 0;
+    int c_q0 = 0;
+    for (int x = 0; x < w; x += 4) {
+      QuadInfo q0 = gather_quad(mag, neg, w, h, x, 0, shift, p);
+      int Uq0 = q0.e_qmax > 1 ? q0.e_qmax : 1;
+      int u_q0 = Uq0 - 1, u_q1 = 0;
+      int eps0 = 0;
+      if (u_q0 > 0) {
+        for (int n = 0; n < 4; n++)
+          eps0 |= (q0.e_q[n] == q0.e_qmax) << n;
+      }
+      lep[0] = lep[0] > q0.e_q[1] ? lep[0] : (uint8_t)q0.e_q[1];
+      lep++;
+      lep[0] = (uint8_t)q0.e_q[3];
+      lcxp[0] |= (q0.rho & 2) >> 1;
+      lcxp++;
+      lcxp[0] = (uint8_t)((q0.rho & 8) >> 3);
+
+      uint16_t t0 = enc_tbl0[(c_q0 << 8) | (q0.rho << 4) | eps0];
+      vlc.encode(t0 >> 8, (t0 >> 4) & 7);
+      if (c_q0 == 0) mel.encode(q0.rho != 0);
+      for (int n = 0; n < 4; n++) {
+        int m = (q0.rho >> n) & 1 ? Uq0 - ((t0 >> n) & 1) : 0;
+        ms.encode(q0.s[n] & ((1u << m) - 1), m);
+      }
+
+      int c_q1 = (q0.rho >> 1) | (q0.rho & 1);
+      QuadInfo q1;
+      if (x + 2 < w) {
+        q1 = gather_quad(mag, neg, w, h, x + 2, 0, shift, p);
+        int Uq1 = q1.e_qmax > 1 ? q1.e_qmax : 1;
+        u_q1 = Uq1 - 1;
+        int eps1 = 0;
+        if (u_q1 > 0) {
+          for (int n = 0; n < 4; n++)
+            eps1 |= (q1.e_q[n] == q1.e_qmax) << n;
+        }
+        lep[0] = lep[0] > q1.e_q[1] ? lep[0] : (uint8_t)q1.e_q[1];
+        lep++;
+        lep[0] = (uint8_t)q1.e_q[3];
+        lcxp[0] |= (q1.rho & 2) >> 1;
+        lcxp++;
+        lcxp[0] = (uint8_t)((q1.rho & 8) >> 3);
+
+        uint16_t t1 = enc_tbl0[(c_q1 << 8) | (q1.rho << 4) | eps1];
+        vlc.encode(t1 >> 8, (t1 >> 4) & 7);
+        if (c_q1 == 0) mel.encode(q1.rho != 0);
+        for (int n = 0; n < 4; n++) {
+          int m = (q1.rho >> n) & 1 ? Uq1 - ((t1 >> n) & 1) : 0;
+          ms.encode(q1.s[n] & ((1u << m) - 1), m);
+        }
+      }
+
+      // UVLC for the quad pair (initial-row rules).
+      if (u_q0 > 0 && u_q1 > 0)
+        mel.encode((u_q0 < u_q1 ? u_q0 : u_q1) > 2);
+      if (u_q0 > 2 && u_q1 > 2) {
+        vlc.encode(uvlc_pre[u_q0 - 2], uvlc_pre_len[u_q0 - 2]);
+        vlc.encode(uvlc_pre[u_q1 - 2], uvlc_pre_len[u_q1 - 2]);
+        vlc.encode(uvlc_suf[u_q0 - 2], uvlc_suf_len[u_q0 - 2]);
+        vlc.encode(uvlc_suf[u_q1 - 2], uvlc_suf_len[u_q1 - 2]);
+      } else if (u_q0 > 2 && u_q1 > 0) {
+        vlc.encode(uvlc_pre[u_q0], uvlc_pre_len[u_q0]);
+        vlc.encode(u_q1 - 1, 1);
+        vlc.encode(uvlc_suf[u_q0], uvlc_suf_len[u_q0]);
+      } else {
+        vlc.encode(uvlc_pre[u_q0], uvlc_pre_len[u_q0]);
+        vlc.encode(uvlc_pre[u_q1], uvlc_pre_len[u_q1]);
+        vlc.encode(uvlc_suf[u_q0], uvlc_suf_len[u_q0]);
+        vlc.encode(uvlc_suf[u_q1], uvlc_suf_len[u_q1]);
+      }
+      c_q0 = (q1.rho >> 1) | (q1.rho & 1);
+    }
+  }
+
+  // ---- non-initial row pairs ----
+  for (int y = 2; y < h; y += 2) {
+    uint8_t* lep = e_val.data();
+    uint8_t* lcxp = cx_val.data();
+    int max_e = (lep[0] > lep[1] ? lep[0] : lep[1]) - 1;
+    lep[0] = 0;
+    int c_q0 = lcxp[0] + (lcxp[1] << 2);
+    lcxp[0] = 0;
+    for (int x = 0; x < w; x += 4) {
+      QuadInfo q0 = gather_quad(mag, neg, w, h, x, y, shift, p);
+      int kappa = (q0.rho & (q0.rho - 1)) ? (max_e > 1 ? max_e : 1) : 1;
+      int Uq0 = q0.e_qmax > kappa ? q0.e_qmax : kappa;
+      int u_q0 = Uq0 - kappa, u_q1 = 0;
+      int eps0 = 0;
+      if (u_q0 > 0) {
+        for (int n = 0; n < 4; n++)
+          eps0 |= (q0.e_q[n] == q0.e_qmax) << n;
+      }
+      lep[0] = lep[0] > q0.e_q[1] ? lep[0] : (uint8_t)q0.e_q[1];
+      lep++;
+      max_e = (lep[0] > lep[1] ? lep[0] : lep[1]) - 1;
+      lep[0] = (uint8_t)q0.e_q[3];
+      lcxp[0] |= (q0.rho & 2) >> 1;
+      lcxp++;
+      int c_q1 = lcxp[0] + (lcxp[1] << 2);
+      lcxp[0] = (uint8_t)((q0.rho & 8) >> 3);
+
+      uint16_t t0 = enc_tbl1[(c_q0 << 8) | (q0.rho << 4) | eps0];
+      vlc.encode(t0 >> 8, (t0 >> 4) & 7);
+      if (c_q0 == 0) mel.encode(q0.rho != 0);
+      for (int n = 0; n < 4; n++) {
+        int m = (q0.rho >> n) & 1 ? Uq0 - ((t0 >> n) & 1) : 0;
+        ms.encode(q0.s[n] & ((1u << m) - 1), m);
+      }
+
+      QuadInfo q1;
+      if (x + 2 < w) {
+        q1 = gather_quad(mag, neg, w, h, x + 2, y, shift, p);
+        kappa = (q1.rho & (q1.rho - 1)) ? (max_e > 1 ? max_e : 1) : 1;
+        c_q1 |= ((q0.rho & 4) >> 1) | ((q0.rho & 8) >> 2);
+        int Uq1 = q1.e_qmax > kappa ? q1.e_qmax : kappa;
+        u_q1 = Uq1 - kappa;
+        int eps1 = 0;
+        if (u_q1 > 0) {
+          for (int n = 0; n < 4; n++)
+            eps1 |= (q1.e_q[n] == q1.e_qmax) << n;
+        }
+        lep[0] = lep[0] > q1.e_q[1] ? lep[0] : (uint8_t)q1.e_q[1];
+        lep++;
+        max_e = (lep[0] > lep[1] ? lep[0] : lep[1]) - 1;
+        lep[0] = (uint8_t)q1.e_q[3];
+        lcxp[0] |= (q1.rho & 2) >> 1;
+        lcxp++;
+        c_q0 = lcxp[0] + (lcxp[1] << 2);
+        lcxp[0] = (uint8_t)((q1.rho & 8) >> 3);
+
+        uint16_t t1 = enc_tbl1[(c_q1 << 8) | (q1.rho << 4) | eps1];
+        vlc.encode(t1 >> 8, (t1 >> 4) & 7);
+        if (c_q1 == 0) mel.encode(q1.rho != 0);
+        for (int n = 0; n < 4; n++) {
+          int m = (q1.rho >> n) & 1 ? Uq1 - ((t1 >> n) & 1) : 0;
+          ms.encode(q1.s[n] & ((1u << m) - 1), m);
+        }
+      } else {
+        // still consume the c_q0 context for the next pair
+        c_q0 = lcxp[0] + (lcxp[1] << 2);
+      }
+
+      vlc.encode(uvlc_pre[u_q0], uvlc_pre_len[u_q0]);
+      vlc.encode(uvlc_pre[u_q1], uvlc_pre_len[u_q1]);
+      vlc.encode(uvlc_suf[u_q0], uvlc_suf_len[u_q0]);
+      vlc.encode(uvlc_suf[u_q1], uvlc_suf_len[u_q1]);
+
+      c_q0 |= ((q1.rho & 4) >> 1) | ((q1.rho & 8) >> 2);
+    }
+  }
+
+  terminate_mel_vlc(mel, vlc);
+  ms.terminate();
+
+  // Assemble: MagSgn || MEL || reverse(VLC); last two bytes carry Scup.
+  std::vector<uint8_t> out;
+  out.reserve(ms.buf.size() + mel.buf.size() + vlc.rbuf.size());
+  out.insert(out.end(), ms.buf.begin(), ms.buf.end());
+  out.insert(out.end(), mel.buf.begin(), mel.buf.end());
+  for (auto it = vlc.rbuf.rbegin(); it != vlc.rbuf.rend(); ++it)
+    out.push_back(*it);
+  int scup = (int)(mel.buf.size() + vlc.rbuf.size());
+  size_t L = out.size();
+  out[L - 1] = (uint8_t)(scup >> 4);
+  out[L - 2] = (uint8_t)((out[L - 2] & 0xF0) | (scup & 0xF));
+  return out;
+}
+
+// ---------------------------------------------------------------------------
+// Stream readers
+// ---------------------------------------------------------------------------
+
+struct MelDec {
+  const uint8_t* data;
+  int size;       // bytes available (scup - 1)
+  uint64_t tmp = 0;
+  int bits = 0;
+  bool unstuff = false;
+  int k = 0;
+  int pos = 0;
+
+  MelDec(const uint8_t* d, int sz) : data(d), size(sz) {}
+
+  void read_byte() {
+    uint64_t d = (pos < size) ? data[pos] : 0xFF;
+    if (pos == size - 1) d |= 0xF;  // last byte's low nibble holds Scup bits
+    pos++;
+    int d_bits = 8 - (unstuff ? 1 : 0);
+    tmp = (tmp << d_bits) | d;
+    bits += d_bits;
+    unstuff = (d & 0xFF) == 0xFF;
+  }
+
+  // Decode one MEL event's run value (LSB set = run terminated by a 1).
+  int get_run() {
+    while (bits < 6) read_byte();
+    int eval = MEL_EXP[k];
+    int run;
+    if ((tmp >> (bits - 1)) & 1) {  // MSB of buffer: a full run of 2^eval
+      run = ((1 << eval) - 1) << 1;  // not terminating
+      k = k + 1 < 12 ? k + 1 : 12;
+      bits -= 1;
+    } else {
+      run = (int)((tmp >> (bits - 1 - eval)) & ((1 << eval) - 1));
+      run = (run << 1) + 1;  // terminating with a 1
+      k = k > 0 ? k - 1 : 0;
+      bits -= eval + 1;
+    }
+    return run;
+  }
+};
+
+// Backward VLC reader (reads bytes back-to-front with unstuffing).
+struct VlcDec {
+  const uint8_t* data;   // points at next byte to read (moving backward)
+  int size;
+  uint64_t tmp;
+  int bits;
+  bool unstuff;
+
+  VlcDec(const uint8_t* buf, int lcup, int scup) {
+    data = buf + lcup - 2;
+    size = scup - 2;
+    uint32_t d = *data--;
+    tmp = d >> 4;
+    bits = 4 - (((tmp & 7) == 7) ? 1 : 0);
+    unstuff = (d | 0xF) > 0x8F;
+  }
+
+  void read_byte() {
+    uint64_t d = (size > 0) ? *data : 0;
+    data--;
+    size--;
+    int d_bits = 8 - ((unstuff && ((d & 0x7F) == 0x7F)) ? 1 : 0);
+    tmp |= d << bits;
+    bits += d_bits;
+    unstuff = d > 0x8F;
+  }
+
+  uint32_t fetch() {
+    while (bits < 32) read_byte();
+    return (uint32_t)tmp;
+  }
+
+  void advance(int n) {
+    tmp >>= n;
+    bits -= n;
+  }
+};
+
+// Forward MagSgn reader (pads with 0xFF past the end).
+struct MsDec {
+  const uint8_t* data;
+  int size;
+  uint64_t tmp = 0;
+  int bits = 0;
+  bool unstuff = false;
+  int pos = 0;
+
+  MsDec(const uint8_t* d, int sz) : data(d), size(sz) {}
+
+  void read_byte() {
+    uint64_t d = (pos < size) ? data[pos] : 0xFF;
+    pos++;
+    int d_bits = 8 - (unstuff ? 1 : 0);
+    tmp |= d << bits;
+    bits += d_bits;
+    unstuff = (d & 0xFF) == 0xFF;
+  }
+
+  uint32_t fetch() {
+    while (bits < 32) read_byte();
+    return (uint32_t)tmp;
+  }
+
+  void advance(int n) {
+    tmp >>= n;
+    bits -= n;
+  }
+};
+
+// UVLC prefix decode helper: returns packed (consumed<<?)... decodes the
+// 3-bit prefix class from the low bits of `vlc`.
+struct UvlcPart {
+  int pre_len;   // prefix bits consumed
+  int suf_len;   // suffix bits
+  int base;      // prefix value
+};
+
+static inline UvlcPart uvlc_classify(uint32_t vlc) {
+  // prefix codes: 1 -> u=1; 01 -> u=2; 001 -> u=3..4 (1 suffix bit);
+  // 000 -> u=5..36 (5 suffix bits)
+  if (vlc & 1) return {1, 0, 1};
+  if ((vlc & 3) == 2) return {2, 0, 2};
+  if ((vlc & 7) == 4) return {3, 1, 3};
+  return {3, 5, 5};
+}
+
+// Decode u values for a quad pair; returns consumed bits.
+static int uvlc_decode(uint32_t vlc, int mode, bool initial, int* u) {
+  int consumed = 0;
+  u[0] = u[1] = 0;
+  if (mode == 0) return 0;
+  if (mode <= 2) {
+    UvlcPart c = uvlc_classify(vlc);
+    vlc >>= c.pre_len;
+    consumed = c.pre_len + c.suf_len;
+    int val = c.base + (int)(vlc & ((1u << c.suf_len) - 1));
+    u[mode == 1 ? 0 : 1] = val;
+    return consumed;
+  }
+  if (mode == 3 && initial) {
+    UvlcPart c1 = uvlc_classify(vlc);
+    vlc >>= c1.pre_len;
+    consumed = c1.pre_len;
+    if (c1.pre_len > 2) {
+      // u_q1 in {1, 2}, coded with a single extra bit
+      u[1] = (int)(vlc & 1) + 1;
+      vlc >>= 1;
+      consumed += 1;
+      consumed += c1.suf_len;
+      u[0] = c1.base + (int)(vlc & ((1u << c1.suf_len) - 1));
+    } else {
+      UvlcPart c2 = uvlc_classify(vlc);
+      vlc >>= c2.pre_len;
+      consumed += c2.pre_len;
+      consumed += c1.suf_len;
+      u[0] = c1.base + (int)(vlc & ((1u << c1.suf_len) - 1));
+      vlc >>= c1.suf_len;
+      consumed += c2.suf_len;
+      u[1] = c2.base + (int)(vlc & ((1u << c2.suf_len) - 1));
+    }
+    return consumed;
+  }
+  if (mode == 4) {  // initial row, both u > 2: values offset by +2
+    UvlcPart c1 = uvlc_classify(vlc);
+    vlc >>= c1.pre_len;
+    consumed = c1.pre_len;
+    UvlcPart c2 = uvlc_classify(vlc);
+    vlc >>= c2.pre_len;
+    consumed += c2.pre_len;
+    consumed += c1.suf_len;
+    u[0] = c1.base + (int)(vlc & ((1u << c1.suf_len) - 1)) + 2;
+    vlc >>= c1.suf_len;
+    consumed += c2.suf_len;
+    u[1] = c2.base + (int)(vlc & ((1u << c2.suf_len) - 1)) + 2;
+    return consumed;
+  }
+  // mode == 3, non-initial: two independent codes
+  {
+    UvlcPart c1 = uvlc_classify(vlc);
+    vlc >>= c1.pre_len;
+    consumed = c1.pre_len;
+    UvlcPart c2 = uvlc_classify(vlc);
+    vlc >>= c2.pre_len;
+    consumed += c2.pre_len;
+    consumed += c1.suf_len;
+    u[0] = c1.base + (int)(vlc & ((1u << c1.suf_len) - 1));
+    vlc >>= c1.suf_len;
+    consumed += c2.suf_len;
+    u[1] = c2.base + (int)(vlc & ((1u << c2.suf_len) - 1));
+    return consumed;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Decoder
+// ---------------------------------------------------------------------------
+
+// Decode the significant samples of one quad and update the per-quad-column
+// line state (bit 7 = sigma of the quad's bottom-right sample; bits 0..6 =
+// max exponent of the bottom samples), mirroring the reference data flow.
+struct QuadDecCtx {
+  MsDec* magsgn;
+  uint32_t* mag;
+  uint8_t* neg;
+  int w, h, p, out_shift;
+};
+
+static inline void decode_quad_samples(QuadDecCtx& ctx, uint32_t qf, int U_p,
+                                       int bx, int y, uint8_t*& lsp) {
+  const int dx[4] = {0, 0, 1, 1};
+  const int dy[4] = {0, 1, 0, 1};
+  for (int n = 0; n < 4; n++) {
+    int xx = bx + dx[n], yy = y + dy[n];
+    bool sig = (qf >> (4 + n)) & 1;
+    uint32_t v_n = 0;
+    if (sig) {
+      uint32_t ms_val = ctx.magsgn->fetch();
+      int m_n = U_p - ((qf >> (12 + n)) & 1);
+      ctx.magsgn->advance(m_n);
+      uint32_t sign = ms_val & 1;
+      v_n = ms_val & ((m_n < 32 ? (1u << m_n) : 0u) - 1u);
+      v_n |= ((qf >> (8 + n)) & 1) << m_n;
+      v_n |= 1;  // center of bin
+      if (xx < ctx.w && yy < ctx.h) {
+        uint64_t recon = ((uint64_t)(v_n + 2)) << (ctx.p - 1);
+        ctx.mag[yy * ctx.w + xx] = (uint32_t)(recon >> ctx.out_shift);
+        ctx.neg[yy * ctx.w + xx] = (uint8_t)sign;
+      }
+    }
+    if (n == 1) {
+      // bottom-left sample: fold into current line-state entry
+      if (sig) {
+        int s = (lsp[0] & 0x80) | 0x80;
+        int t = lsp[0] & 0x7F;
+        int e = bit_length(v_n);
+        lsp[0] = (uint8_t)(s | (t > e ? t : e));
+      }
+      ++lsp;
+      lsp[0] = 0;
+    } else if (n == 3) {
+      // bottom-right sample: initialize the next line-state entry
+      if (sig) lsp[0] = (uint8_t)(0x80 | bit_length(v_n));
+    }
+  }
+}
+
+static bool ht_decode(const uint8_t* coded, int lcup, int w, int h,
+                      int missing_msbs, uint32_t* mag, uint8_t* neg) {
+  std::memset(mag, 0, sizeof(uint32_t) * (size_t)w * h);
+  std::memset(neg, 0, (size_t)w * h);
+  if (lcup < 2) return false;
+  int p = 30 - missing_msbs;
+  int out_shift = 31 - (missing_msbs + 1);
+  int scup = (coded[lcup - 1] << 4) + (coded[lcup - 2] & 0xF);
+  if (scup > lcup || scup < 2) return false;
+
+  MelDec mel(coded + lcup - scup, scup - 1);
+  VlcDec vlc(coded, lcup, scup);
+  MsDec magsgn(coded, lcup - scup);
+
+  int qw = (w + 1) / 2;
+  std::vector<uint8_t> line_state(qw + 4, 0);
+  QuadDecCtx ctx{&magsgn, mag, neg, w, h, p, out_shift};
+
+  int run = mel.get_run();
+
+  // ---- initial row pair ----
+  {
+    uint8_t* lsp = line_state.data();
+    lsp[0] = 0;
+    int c_p = 0;
+    for (int x = 0; x < w; x += 4) {
+      uint32_t qinf[2] = {0, 0};
+      uint32_t vlc_val = vlc.fetch();
+      qinf[0] = dec_tbl0[(c_p << 7) | (vlc_val & 0x7F)];
+      if (c_p == 0) {
+        run -= 2;
+        qinf[0] = (run == -1) ? qinf[0] : 0;
+        if (run < 0) run = mel.get_run();
+      }
+      c_p = ((qinf[0] & 0x10) >> 4) | ((qinf[0] & 0xE0) >> 5);
+      vlc.advance(qinf[0] & 0x7);
+
+      if (x + 2 < w) {
+        vlc_val = vlc.fetch();
+        qinf[1] = dec_tbl0[(c_p << 7) | (vlc_val & 0x7F)];
+        if (c_p == 0) {
+          run -= 2;
+          qinf[1] = (run == -1) ? qinf[1] : 0;
+          if (run < 0) run = mel.get_run();
+        }
+        c_p = ((qinf[1] & 0x10) >> 4) | ((qinf[1] & 0xE0) >> 5);
+        vlc.advance(qinf[1] & 0x7);
+      }
+
+      int uvlc_mode = ((qinf[0] & 0x8) >> 3) | ((qinf[1] & 0x8) >> 2);
+      if (uvlc_mode == 3) {
+        run -= 2;
+        uvlc_mode += (run == -1) ? 1 : 0;
+        if (run < 0) run = mel.get_run();
+      }
+      int u[2];
+      int consumed = uvlc_decode(vlc.fetch(), uvlc_mode, true, u);
+      vlc.advance(consumed);
+      int U_p0 = u[0] + 1;  // kappa = 1 on the initial row
+      int U_p1 = u[1] + 1;
+
+      decode_quad_samples(ctx, qinf[0], U_p0, x, 0, lsp);
+      if (x + 2 < w)
+        decode_quad_samples(ctx, qinf[1], U_p1, x + 2, 0, lsp);
+    }
+  }
+
+  // ---- non-initial row pairs ----
+  for (int y = 2; y < h; y += 2) {
+    uint8_t* lsp = line_state.data();
+    uint8_t ls0 = lsp[0];
+    lsp[0] = 0;
+    int c_p = 0;
+    for (int x = 0; x < w; x += 4) {
+      uint32_t qinf[2] = {0, 0};
+      // context from the row above: sigma^NW | sigma^N / sigma^NE
+      c_p |= (ls0 >> 7);
+      c_p |= (lsp[1] >> 5) & 0x4;
+      uint32_t vlc_val = vlc.fetch();
+      qinf[0] = dec_tbl1[(c_p << 7) | (vlc_val & 0x7F)];
+      if (c_p == 0) {
+        run -= 2;
+        qinf[0] = (run == -1) ? qinf[0] : 0;
+        if (run < 0) run = mel.get_run();
+      }
+      c_p = ((qinf[0] & 0x40) >> 5) | ((qinf[0] & 0x80) >> 6);
+      vlc.advance(qinf[0] & 0x7);
+
+      if (x + 2 < w) {
+        c_p |= (lsp[1] >> 7);
+        c_p |= (lsp[2] >> 5) & 0x4;
+        vlc_val = vlc.fetch();
+        qinf[1] = dec_tbl1[(c_p << 7) | (vlc_val & 0x7F)];
+        if (c_p == 0) {
+          run -= 2;
+          qinf[1] = (run == -1) ? qinf[1] : 0;
+          if (run < 0) run = mel.get_run();
+        }
+        c_p = ((qinf[1] & 0x40) >> 5) | ((qinf[1] & 0x80) >> 6);
+        vlc.advance(qinf[1] & 0x7);
+      }
+
+      int uvlc_mode = ((qinf[0] & 0x8) >> 3) | ((qinf[1] & 0x8) >> 2);
+      int u[2];
+      int consumed = uvlc_decode(vlc.fetch(), uvlc_mode, false, u);
+      vlc.advance(consumed);
+      // kappa = 1 baseline; quads with 2+ significant samples add the
+      // exponent bonus from the row above (E_max - 2, if positive).
+      int U_p0 = u[0] + 1;
+      int U_p1 = u[1] + 1;
+      if ((qinf[0] & 0xF0) & ((qinf[0] & 0xF0) - 1)) {
+        int e = (ls0 & 0x7F);
+        int e2 = (lsp[1] & 0x7F);
+        e = (e > e2 ? e : e2) - 2;
+        U_p0 += e > 0 ? e : 0;
+      }
+      if ((qinf[1] & 0xF0) & ((qinf[1] & 0xF0) - 1)) {
+        int e = (lsp[1] & 0x7F);
+        int e2 = (lsp[2] & 0x7F);
+        e = (e > e2 ? e : e2) - 2;
+        U_p1 += e > 0 ? e : 0;
+      }
+
+      ls0 = lsp[2];
+      lsp[1] = lsp[2] = 0;
+
+      decode_quad_samples(ctx, qinf[0], U_p0, x, y, lsp);
+      if (x + 2 < w)
+        decode_quad_samples(ctx, qinf[1], U_p1, x + 2, y, lsp);
+    }
+  }
+  return true;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Encode one HT cleanup segment. Returns length or -1 on overflow.
+int grok_ht_encode(const uint32_t* mag, const uint8_t* neg, int w, int h,
+                   int Mb, uint8_t* out_buf, int out_cap) {
+  std::vector<uint8_t> out = ht_encode(mag, neg, w, h, Mb);
+  if ((int)out.size() > out_cap) return -1;
+  std::memcpy(out_buf, out.data(), out.size());
+  return (int)out.size();
+}
+
+// Decode one HT cleanup segment.
+int grok_ht_decode(const uint8_t* data, int len, int w, int h,
+                   int missing_msbs, uint32_t* mag, uint8_t* neg) {
+  return ht_decode(data, len, w, h, missing_msbs, mag, neg) ? 0 : -1;
+}
+
+}  // extern "C"

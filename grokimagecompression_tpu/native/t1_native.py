@@ -29,9 +29,10 @@ def _build() -> None:
 
 
 def _load() -> ctypes.CDLL:
-    if not os.path.exists(_SO) or (
-        os.path.getmtime(_SO)
-        < os.path.getmtime(os.path.join(_DIR, "src", "t1.cpp"))
+    srcs = [os.path.join(_DIR, "src", f) for f in
+            ("t1.cpp", "ht.cpp", "ht_tables.inc")]
+    if not os.path.exists(_SO) or any(
+        os.path.getmtime(_SO) < os.path.getmtime(f) for f in srcs
     ):
         _build()
     lib = ctypes.CDLL(_SO)
@@ -58,6 +59,16 @@ def _load() -> ctypes.CDLL:
     lib.grok_t1_decode_batch.argtypes = [
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+    ]
+    lib.grok_ht_encode.restype = ctypes.c_int
+    lib.grok_ht_encode.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+    ]
+    lib.grok_ht_decode.restype = ctypes.c_int
+    lib.grok_ht_decode.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
     ]
     return lib
 
@@ -227,3 +238,31 @@ def decode_cblk_batch(blocks: List[Tuple[bytes, Optional[List[int]], int,
         out_off += w * h
         results.append((mag, neg))
     return results
+
+
+def ht_encode_cblk(mag: np.ndarray, neg: np.ndarray, Mb: int) -> bytes:
+    """Encode one HTJ2K cleanup segment (Part 15)."""
+    h, w = mag.shape
+    mag = np.ascontiguousarray(mag, dtype=np.uint32)
+    neg = np.ascontiguousarray(neg, dtype=np.uint8)
+    cap = max(4096, w * h * 6)
+    out = np.empty(cap, dtype=np.uint8)
+    n = _lib.grok_ht_encode(mag.ctypes.data, neg.ctypes.data, w, h, Mb,
+                            out.ctypes.data, cap)
+    if n < 0:
+        raise RuntimeError("HT encode: output buffer overflow")
+    return bytes(out[:n])
+
+
+def ht_decode_cblk(data: bytes, w: int, h: int, missing_msbs: int
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode one HTJ2K cleanup segment into (mag, neg)."""
+    mag = np.zeros((h, w), dtype=np.uint32)
+    neg = np.zeros((h, w), dtype=np.uint8)
+    buf = np.frombuffer(bytes(data), dtype=np.uint8) if data else \
+        np.zeros(1, dtype=np.uint8)
+    rc = _lib.grok_ht_decode(buf.ctypes.data, len(data), w, h, missing_msbs,
+                             mag.ctypes.data, neg.ctypes.data)
+    if rc != 0:
+        raise RuntimeError("HT decode failed")
+    return mag, neg

@@ -54,21 +54,48 @@ def decode_cblk(data: bytes, seg_lengths: Optional[List[int]], w: int, h: int,
                              numpasses, cblk_style)
 
 
+CBLKSTY_HT = 0x40
+
+
 def encode_cblk_batch(blocks, cblk_style: int = 0):
-    """Batch encode: blocks = [(mag, neg, orient), ...] ->
+    """Batch encode: blocks = [(mag, neg, orient[, kmax]), ...] ->
     [(data, numbps, numpasses, passes), ...]. Uses native worker threads
-    when available."""
+    when available; the HT style bit (0x40) routes to the Part-15 cleanup
+    coder (kmax = band Mb required)."""
     nat = _get_native()
+    if cblk_style & CBLKSTY_HT:
+        if nat is None:
+            raise RuntimeError("HT coding requires the native backend")
+        out = []
+        for blk in blocks:
+            m, n, o, kmax = blk
+            data = nat.ht_encode_cblk(m, n, kmax)
+            out.append((data, 1, 1,
+                        [t1_np.PassInfo(rate=len(data), distortion=0.0,
+                                        terminated=True)]))
+        return out
+    blocks3 = [b[:3] for b in blocks]
     if nat is not None:
-        return nat.encode_cblk_batch(blocks, cblk_style)
-    return [t1_np.encode_cblk(m, n, o, cblk_style) for (m, n, o) in blocks]
+        return nat.encode_cblk_batch(blocks3, cblk_style)
+    return [t1_np.encode_cblk(m, n, o, cblk_style) for (m, n, o) in blocks3]
 
 
 def decode_cblk_batch(blocks, cblk_style: int = 0):
     """Batch decode: blocks = [(data, seg_lengths, w, h, orient, numbps,
-    numpasses), ...] -> [(mag, neg), ...]."""
+    numpasses[, kmax]), ...] -> [(mag, neg), ...]."""
     nat = _get_native()
+    if cblk_style & CBLKSTY_HT:
+        if nat is None:
+            raise RuntimeError("HT decoding requires the native backend")
+        out = []
+        for blk in blocks:
+            d, s, w, h, o, nb, np_, kmax = blk
+            if s:  # multiple segments: concatenate (single HT Cleanup set)
+                d = bytes(d)
+            out.append(nat.ht_decode_cblk(d, w, h, kmax - nb))
+        return out
+    blocks7 = [b[:7] for b in blocks]
     if nat is not None:
-        return nat.decode_cblk_batch(blocks, cblk_style)
+        return nat.decode_cblk_batch(blocks7, cblk_style)
     return [t1_np.decode_cblk(d, s, w, h, o, nb, np_, cblk_style)
-            for (d, s, w, h, o, nb, np_) in blocks]
+            for (d, s, w, h, o, nb, np_) in blocks7]
