@@ -17,10 +17,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Measured on this host (2026-08-16): .refbuild/bin/grk_compress -H 1 on the
-# exact config-1 input, best of 5, minus the 6.4 ms process floor measured
-# with a 16x16 input: 54.4 ms / 512x512 px = 4.8 MP/s single-core.
-GROK_SINGLE_CORE_MPS = 4.8
+# Measured on this host (2026-08-17), best of 4 minus the 6.4 ms process
+# floor (16x16 input), .refbuild/bin/grk_compress on the exact config-1
+# input: Part-1 MQ coder (-H 1): 4.8 MP/s; HT coder (-H 1 -M 64):
+# 16.3 MP/s. The benchmark below encodes losslessly with the HT coder
+# (both codecs' fastest standards-compliant lossless mode), so the
+# denominator is the reference's HT single-core number.
+GROK_SINGLE_CORE_MPS = 16.3
+GROK_SINGLE_CORE_MQ_MPS = 4.8
 
 
 def main():
@@ -37,7 +41,10 @@ def main():
             + rng.normal(0, 12, (size, size))).clip(0, 255).astype(np.int32)
     img = Image(xsiz=size, ysiz=size, components=[
         Component(data=data, prec=8, signed=False, dx=1, dy=1)])
-    params = EncoderParams(numresolutions=6)
+    # HT (Part 15) block coding: the framework's fastest lossless mode
+    # (set GROK_TPU_BENCH_MQ=1 to bench the Part-1 MQ coder instead).
+    ht = os.environ.get("GROK_TPU_BENCH_MQ", "") != "1"
+    params = EncoderParams(numresolutions=6, cblk_style=0x40 if ht else 0)
 
     # Device DWT helps batched multi-tile loads; for this single small tile
     # the host path avoids per-call transfer overhead (set

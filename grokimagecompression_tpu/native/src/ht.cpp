@@ -864,3 +864,70 @@ int grok_ht_decode(const uint8_t* data, int len, int w, int h,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batch entry points (worker threads over code-blocks)
+// ---------------------------------------------------------------------------
+
+#include <atomic>
+#include <thread>
+
+extern "C" {
+
+// desc per block (int64): [0]=coeff offset, [1]=w, [2]=h, [3]=Mb
+int grok_ht_encode_batch(int nblocks, const uint32_t* mag_flat,
+                         const uint8_t* neg_flat, const int64_t* desc,
+                         uint8_t* out_flat, int out_stride,
+                         int32_t* out_lens, int nthreads) {
+  std::atomic<int> next(0);
+  std::atomic<int> err(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= nblocks) break;
+      const int64_t* d = desc + (size_t)i * 4;
+      std::vector<uint8_t> out = ht_encode(mag_flat + d[0], neg_flat + d[0],
+                                           (int)d[1], (int)d[2], (int)d[3]);
+      if ((int)out.size() > out_stride) { err.store(1); continue; }
+      std::memcpy(out_flat + (size_t)i * out_stride, out.data(), out.size());
+      out_lens[i] = (int32_t)out.size();
+    }
+  };
+  if (nthreads <= 1 || nblocks <= 1) {
+    worker();
+  } else {
+    int nt = nthreads < nblocks ? nthreads : nblocks;
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; t++) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+  }
+  return err.load() ? -1 : 0;
+}
+
+// desc per block (int64): [0]=data offset, [1]=len, [2]=w, [3]=h,
+// [4]=missing_msbs, [5]=output offset
+int grok_ht_decode_batch(int nblocks, const uint8_t* data_flat,
+                         const int64_t* desc, uint32_t* mag_flat,
+                         uint8_t* neg_flat, int nthreads) {
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= nblocks) break;
+      const int64_t* d = desc + (size_t)i * 6;
+      ht_decode(data_flat + d[0], (int)d[1], (int)d[2], (int)d[3],
+                (int)d[4], mag_flat + d[5], neg_flat + d[5]);
+    }
+  };
+  if (nthreads <= 1 || nblocks <= 1) {
+    worker();
+  } else {
+    int nt = nthreads < nblocks ? nthreads : nblocks;
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; t++) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -70,6 +70,16 @@ def _load() -> ctypes.CDLL:
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.grok_ht_encode_batch.restype = ctypes.c_int
+    lib.grok_ht_encode_batch.argtypes = [
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+    ]
+    lib.grok_ht_decode_batch.restype = ctypes.c_int
+    lib.grok_ht_decode_batch.argtypes = [
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int,
+    ]
     return lib
 
 
@@ -266,3 +276,76 @@ def ht_decode_cblk(data: bytes, w: int, h: int, missing_msbs: int
     if rc != 0:
         raise RuntimeError("HT decode failed")
     return mag, neg
+
+
+def ht_encode_cblk_batch(blocks, nthreads: Optional[int] = None):
+    """Batch HT encode: blocks = [(mag, neg, Mb), ...] -> [bytes, ...]."""
+    n = len(blocks)
+    if n == 0:
+        return []
+    sizes = [b[0].size for b in blocks]
+    total = int(sum(sizes))
+    mag_flat = np.empty(total, dtype=np.uint32)
+    neg_flat = np.empty(total, dtype=np.uint8)
+    desc = np.empty(n * 4, dtype=np.int64)
+    off = 0
+    max_wh = 0
+    for i, (mag, neg, Mb) in enumerate(blocks):
+        h, w = mag.shape
+        mag_flat[off:off + w * h] = mag.astype(np.uint32).ravel()
+        neg_flat[off:off + w * h] = neg.astype(np.uint8).ravel()
+        desc[i * 4] = off
+        desc[i * 4 + 1] = w
+        desc[i * 4 + 2] = h
+        desc[i * 4 + 3] = Mb
+        off += w * h
+        max_wh = max(max_wh, w * h)
+    out_stride = max(4096, max_wh * 6)
+    out_flat = np.empty(n * out_stride, dtype=np.uint8)
+    out_lens = np.zeros(n, dtype=np.int32)
+    rc = _lib.grok_ht_encode_batch(
+        n, mag_flat.ctypes.data, neg_flat.ctypes.data, desc.ctypes.data,
+        out_flat.ctypes.data, out_stride, out_lens.ctypes.data,
+        nthreads if nthreads is not None else default_threads())
+    if rc != 0:
+        raise RuntimeError("HT batch encode failed")
+    return [bytes(out_flat[i * out_stride:i * out_stride + int(out_lens[i])])
+            for i in range(n)]
+
+
+def ht_decode_cblk_batch(blocks, nthreads: Optional[int] = None):
+    """Batch HT decode: blocks = [(data, w, h, missing_msbs), ...] ->
+    [(mag, neg), ...]."""
+    n = len(blocks)
+    if n == 0:
+        return []
+    data_parts = [bytes(b[0]) for b in blocks]
+    data_flat = np.frombuffer(b"".join(data_parts) or b"\x00",
+                              dtype=np.uint8)
+    desc = np.empty(n * 6, dtype=np.int64)
+    data_off = 0
+    out_off = 0
+    for i, (data, w, h, miss) in enumerate(blocks):
+        d = desc[i * 6:(i + 1) * 6]
+        d[0] = data_off
+        d[1] = len(data)
+        d[2] = w
+        d[3] = h
+        d[4] = miss
+        d[5] = out_off
+        data_off += len(data)
+        out_off += w * h
+    mag_flat = np.zeros(out_off, dtype=np.uint32)
+    neg_flat = np.zeros(out_off, dtype=np.uint8)
+    _lib.grok_ht_decode_batch(
+        n, data_flat.ctypes.data, desc.ctypes.data, mag_flat.ctypes.data,
+        neg_flat.ctypes.data,
+        nthreads if nthreads is not None else default_threads())
+    out = []
+    out_off = 0
+    for (data, w, h, miss) in blocks:
+        mag = mag_flat[out_off:out_off + w * h].reshape(h, w).copy()
+        neg = neg_flat[out_off:out_off + w * h].reshape(h, w).copy()
+        out_off += w * h
+        out.append((mag, neg))
+    return out

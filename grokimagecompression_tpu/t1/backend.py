@@ -66,14 +66,11 @@ def encode_cblk_batch(blocks, cblk_style: int = 0):
     if cblk_style & CBLKSTY_HT:
         if nat is None:
             raise RuntimeError("HT coding requires the native backend")
-        out = []
-        for blk in blocks:
-            m, n, o, kmax = blk
-            data = nat.ht_encode_cblk(m, n, kmax)
-            out.append((data, 1, 1,
-                        [t1_np.PassInfo(rate=len(data), distortion=0.0,
-                                        terminated=True)]))
-        return out
+        datas = nat.ht_encode_cblk_batch(
+            [(m, n, kmax) for (m, n, o, kmax) in blocks])
+        return [(d, 1, 1, [t1_np.PassInfo(rate=len(d), distortion=0.0,
+                                          terminated=True)])
+                for d in datas]
     blocks3 = [b[:3] for b in blocks]
     if nat is not None:
         return nat.encode_cblk_batch(blocks3, cblk_style)
@@ -87,13 +84,9 @@ def decode_cblk_batch(blocks, cblk_style: int = 0):
     if cblk_style & CBLKSTY_HT:
         if nat is None:
             raise RuntimeError("HT decoding requires the native backend")
-        out = []
-        for blk in blocks:
-            d, s, w, h, o, nb, np_, kmax = blk
-            if s:  # multiple segments: concatenate (single HT Cleanup set)
-                d = bytes(d)
-            out.append(nat.ht_decode_cblk(d, w, h, kmax - nb))
-        return out
+        return nat.ht_decode_cblk_batch(
+            [(bytes(d), w, h, kmax - nb)
+             for (d, s, w, h, o, nb, np_, kmax) in blocks])
     blocks7 = [b[:7] for b in blocks]
     if nat is not None:
         return nat.decode_cblk_batch(blocks7, cblk_style)
