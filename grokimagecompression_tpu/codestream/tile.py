@@ -27,7 +27,7 @@ from ..core.geometry import (
     component_rect,
 )
 from ..core.params import Progression, QuantStyle, Transform
-from ..ops import dwt_np, mct_np, quant
+from ..ops import dwt_host, dwt_np, mct_np, quant
 from ..t1 import backend as t1_backend
 from .markers import CodInfo, QcdInfo, SizInfo
 from .packetiter import CompIterInfo, packet_order
@@ -185,8 +185,8 @@ def encode_tile(
         for c in range(ncomps):
             tc = plans[c].layout.tc_rect
             coeff_bands.append(
-                dwt_np.fwd_dwt_2d(data[c], tc, cod.numresolutions,
-                                  reversible=reversible))
+                dwt_host.fwd_dwt_2d(data[c], tc, cod.numresolutions,
+                                    reversible=reversible))
 
     # T1-encode every code-block: collect the whole tile's blocks first,
     # then run one batched native call (worker threads inside), the analog
@@ -496,9 +496,9 @@ def decode_tile(
                             quant.dequantize(mag, neg, bp.stepsize)
                 bands_arrays[(res.r, band.orient)] = arr
         max_res = cod.numresolutions - 1 - reduce
-        a = dwt_np.inv_dwt_2d(bands_arrays, plan.layout.tc_rect,
-                              cod.numresolutions, reversible=reversible,
-                              max_res=max_res)
+        a = dwt_host.inv_dwt_2d(bands_arrays, plan.layout.tc_rect,
+                                cod.numresolutions, reversible=reversible,
+                                max_res=max_res)
         out.append(a)
 
     # Inverse MCT + DC unshift.
