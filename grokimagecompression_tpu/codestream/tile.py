@@ -65,9 +65,10 @@ def build_comp_plan(siz: SizInfo, cod: CodInfo, qcd: QcdInfo,
                     tile: Rect, compno: int) -> TileCompPlan:
     comp = siz.comps[compno]
     tc = component_rect(tile, comp.dx, comp.dy)
+    precincts = tuple(cod.precincts) if cod.precincts else None
     layout = build_tile_component_layout(
         tc, cod.numresolutions, cod.cblk_w_exp, cod.cblk_h_exp,
-        cod.precincts)
+        precincts)
     reversible = cod.transform == Transform.DWT_53
     nl = cod.numresolutions - 1
     bands: Dict[Tuple[int, int], BandPlan] = {}
@@ -283,11 +284,45 @@ def encode_tile(
                         cb.passes_used = 0
                     pe.init_trees()
 
+    _t2_native = None
+    import os as _os
+    if _os.environ.get("GROK_TPU_T2", "") != "python":
+        try:
+            from ..native import t2_native as _t2_native
+        except Exception:
+            _t2_native = None
+
     def _emit(max_layer: int, collect: Optional[bytearray]) -> Tuple[int, int]:
         """Emit packets for layers 0..max_layer; returns (bytes, packets)."""
-        _reset_t2_state()
         nbytes = 0
         npk = 0
+        if _t2_native is not None:
+            # Native path: every layer's fragment for a precinct group is
+            # produced in one call (tag-tree/lblock state lives inside);
+            # fragments are then stitched in progression order.
+            frags: Dict[Tuple[int, int, int], List[bytes]] = {}
+            for (l, r, c, p) in packet_order(cod.progression, numlayers,
+                                             comps_iter, tile):
+                if l > max_layer:
+                    continue
+                key = (r, c, p)
+                if key not in frags:
+                    orients = (0,) if r == 0 else (1, 2, 3)
+                    precs = [prec_enc[c][(r, o)][p] for o in orients
+                             if (r, o) in prec_enc[c]]
+                    frags[key] = _t2_native.encode_precinct_layers(
+                        precs, numlayers, cod.cblk_style, cod.eph)
+                pkt = frags[key][l]
+                if cod.sop:
+                    import struct as _struct
+                    pkt = _struct.pack(">HHH", 0xFF91, 4,
+                                      npk & 0xFFFF) + pkt
+                nbytes += len(pkt)
+                if collect is not None:
+                    collect += pkt
+                npk += 1
+            return nbytes, npk
+        _reset_t2_state()
         for (l, r, c, p) in packet_order(cod.progression, numlayers,
                                          comps_iter, tile):
             if l > max_layer:

@@ -16,6 +16,7 @@ but expressed as immutable dataclasses instead of a mutable C++ object tree.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Tuple
 
 __all__ = [
@@ -328,6 +329,7 @@ def _build_band_precincts(
     return tuple(precincts)
 
 
+@functools.lru_cache(maxsize=512)
 def build_tile_component_layout(
     tc_rect: Rect,
     numresolutions: int,

@@ -30,7 +30,7 @@ def _build() -> None:
 
 def _load() -> ctypes.CDLL:
     srcs = [os.path.join(_DIR, "src", f) for f in
-            ("t1.cpp", "ht.cpp", "dwt.cpp", "ht_tables.inc")]
+            ("t1.cpp", "ht.cpp", "dwt.cpp", "t2.cpp", "ht_tables.inc")]
     if not os.path.exists(_SO) or any(
         os.path.getmtime(_SO) < os.path.getmtime(f) for f in srcs
     ):

@@ -1,0 +1,74 @@
+"""ctypes binding for the native Tier-2 packet encoder (src/t2.cpp).
+
+One call encodes every layer's packet for a precinct group; Python
+assembles fragments in progression order (and prepends SOP markers, which
+carry the global packet index)."""
+
+from __future__ import annotations
+
+import ctypes
+from typing import List
+
+import numpy as np
+
+from .t1_native import _lib
+
+_lib.grok_t2_encode_precinct.restype = ctypes.c_int
+_lib.grok_t2_encode_precinct.argtypes = [
+    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+    ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+]
+
+
+def encode_precinct_layers(precincts, numlayers: int, cblk_style: int,
+                           eph: bool) -> List[bytes]:
+    """precincts: list of PrecEnc (1 per band). Returns per-layer packet
+    fragments (header+body, EPH included, no SOP)."""
+    nbands = len(precincts)
+    grid = np.zeros(nbands * 2, dtype=np.int32)
+    ncblks = np.zeros(nbands, dtype=np.int32)
+    cblks = []
+    for b, pr in enumerate(precincts):
+        grid[b * 2] = max(1, pr.geom.cblk_grid_w)
+        grid[b * 2 + 1] = max(1, pr.geom.cblk_grid_h)
+        ncblks[b] = len(pr.cblks)
+        cblks.extend(pr.cblks)
+    n = len(cblks)
+    pass_stride = max([cb.numpasses for cb in cblks] + [1])
+    meta = np.zeros(max(1, n * 5), dtype=np.int64)
+    layer_np = np.zeros(max(1, n * numlayers), dtype=np.int32)
+    rates = np.zeros(max(1, n * pass_stride), dtype=np.int32)
+    term = np.zeros(max(1, n * pass_stride), dtype=np.uint8)
+    datas = []
+    off = 0
+    total_body = 0
+    for i, cb in enumerate(cblks):
+        meta[i * 5] = cb.geom.cx
+        meta[i * 5 + 1] = cb.geom.cy
+        meta[i * 5 + 2] = cb.imsb
+        meta[i * 5 + 3] = cb.numpasses
+        meta[i * 5 + 4] = off
+        for l in range(numlayers):
+            layer_np[i * numlayers + l] = cb.layer_npasses[l]
+        for j, p in enumerate(cb.passes):
+            rates[i * pass_stride + j] = p.rate
+            term[i * pass_stride + j] = 1 if p.terminated else 0
+        datas.append(cb.data)
+        off += len(cb.data)
+        total_body += len(cb.data)
+    data_flat = np.frombuffer(b"".join(datas) or b"\x00", dtype=np.uint8)
+    out_cap = total_body + 4096 * numlayers + 64 * n
+    out = np.empty(out_cap, dtype=np.uint8)
+    layer_off = np.zeros(numlayers + 1, dtype=np.int64)
+    rc = _lib.grok_t2_encode_precinct(
+        numlayers, cblk_style, 1 if eph else 0, nbands, grid.ctypes.data,
+        ncblks.ctypes.data, meta.ctypes.data, layer_np.ctypes.data,
+        rates.ctypes.data, term.ctypes.data, pass_stride,
+        data_flat.ctypes.data, out.ctypes.data, out_cap,
+        layer_off.ctypes.data)
+    if rc < 0:
+        raise RuntimeError("native T2 encode overflow")
+    return [bytes(out[layer_off[l]:layer_off[l + 1]])
+            for l in range(numlayers)]
