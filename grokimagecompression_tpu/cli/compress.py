@@ -66,6 +66,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-C", "--comment", default=None)
     p.add_argument("-D", "--device", action="store_true",
                    help="run the transform pipeline on the TPU device")
+    p.add_argument("--cinema2k", type=int, choices=[24, 48], default=None,
+                   help="Digital Cinema 2K profile at the given fps")
+    p.add_argument("--cinema4k", action="store_true",
+                   help="Digital Cinema 4K profile (24 fps)")
+    p.add_argument("--imf", choices=["2k", "4k", "8k"], default=None,
+                   help="IMF profile variant")
+    p.add_argument("--broadcast", type=int, default=None, metavar="LEVEL",
+                   help="Broadcast profile (single tile) at the given level")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -105,7 +113,22 @@ def main(argv=None) -> int:
         comment=args.comment,
     )
     t0 = time.perf_counter()
-    cs = encoder.encode(image, params, device=args.device)
+    if args.cinema2k or args.cinema4k or args.imf or args.broadcast:
+        from ..codestream import profiles
+        if args.cinema2k or args.cinema4k:
+            prof = profiles.apply_cinema(params, image,
+                                         fps=args.cinema2k or 24,
+                                         four_k=args.cinema4k)
+        elif args.imf:
+            prof = profiles.apply_imf(params, image, args.imf)
+        else:
+            prof = profiles.apply_broadcast(params, image,
+                                            level=args.broadcast)
+        for w in prof.warnings:
+            print(f"warning: {w}", file=sys.stderr)
+        cs = profiles.encode_with_profile(image, prof)
+    else:
+        cs = encoder.encode(image, params, device=args.device)
     dt = time.perf_counter() - t0
     if args.out_file.lower().endswith(".jp2"):
         from ..codestream import jp2

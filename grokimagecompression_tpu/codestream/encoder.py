@@ -86,7 +86,8 @@ def extract_tile_comps(image: Image, siz: SizInfo, t: int) -> List[np.ndarray]:
 
 
 def encode(image: Image, params: Optional[EncoderParams] = None,
-           layer_alloc=None, device: Optional[bool] = None) -> bytes:
+           layer_alloc=None, device: Optional[bool] = None,
+           rsiz: int = 0) -> bytes:
     """Encode an Image to a raw J2K codestream.
 
     `device=True` runs the tile transform pipeline (DC shift/MCT/DWT) on the
@@ -98,6 +99,8 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
     params = params or EncoderParams()
     is_ht = bool(params.cblk_style & 0x40)
     siz = build_siz(image, params)
+    if rsiz:
+        siz = dataclasses.replace(siz, rsiz=siz.rsiz | rsiz)
     cod = build_cod(image, params)
     # HT (Part 15): JPH rsiz flag, single guard bit (like the reference,
     # j2k.cpp:1834), CAP marker after SIZ.

@@ -100,10 +100,14 @@ class PCRDAllocator:
 
     def __init__(self, rates: Sequence[float] = (),
                  quality_psnr: Sequence[float] = (),
-                 image_bytes: int = 0):
+                 image_bytes: int = 0,
+                 max_abs_bytes: int = 0):
         self.rates = tuple(rates)
         self.quality_psnr = tuple(quality_psnr)
         self.image_bytes = image_bytes
+        # Absolute codestream byte cap (profiles): overrides ratio-derived
+        # targets on the final layer.
+        self.max_abs_bytes = max_abs_bytes
 
     def __call__(self, ctx: RateControlCtx) -> None:
         cblks = [cb for cb in ctx.cblks if cb.numpasses > 0]
@@ -153,6 +157,10 @@ class PCRDAllocator:
             target_bytes = 0
             if rate > 0:
                 target_bytes = int(self.image_bytes / rate * tile_frac)
+            if self.max_abs_bytes and layer == ctx.numlayers - 1:
+                cap = int(self.max_abs_bytes * tile_frac)
+                target_bytes = min(target_bytes, cap) if target_bytes \
+                    else cap
             if target_bytes <= 0 and q <= 0:
                 apply(None, layer)
                 for cb in cblks:

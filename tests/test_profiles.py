@@ -1,0 +1,86 @@
+"""Cinema / Broadcast / IMF profile enforcement."""
+
+import numpy as np
+import pytest
+
+from grokimagecompression_tpu.codestream import decoder, encoder, profiles
+from grokimagecompression_tpu.core.image import Component, Image
+from grokimagecompression_tpu.core.params import EncoderParams, Progression
+
+
+def _image(w, h, ncomps=3, seed=0):
+    rng = np.random.default_rng(seed)
+    comps = [
+        Component(data=rng.integers(0, 256, (h, w)).astype(np.int32),
+                  prec=8, signed=False, dx=1, dy=1)
+        for _ in range(ncomps)
+    ]
+    return Image(xsiz=w, ysiz=h, components=comps)
+
+
+def test_cinema2k_forces_parameters():
+    img = _image(640, 360)
+    prof = profiles.apply_cinema(
+        EncoderParams(numresolutions=8, numlayers=4, tile_size=(256, 256)),
+        img)
+    p = prof.params
+    assert p.numresolutions == 6
+    assert p.numlayers == 1
+    assert p.tile_size is None
+    assert p.cblk_w_exp == 5 and p.cblk_h_exp == 5
+    assert p.progression == Progression.CPRL
+    assert prof.rsiz == profiles.PROFILE_CINEMA_2K
+    assert prof.max_cs_bytes == profiles.CINEMA_24_CS
+
+
+def test_cinema2k_rate_cap_and_rsiz():
+    # Natural-ish image large enough that the (test-scale) cap binds.
+    rng = np.random.default_rng(1)
+    yy, xx = np.mgrid[0:360, 0:640]
+    comps = [
+        Component(data=(120 + 80 * np.sin(yy / (13.0 + c))
+                        * np.cos(xx / (17.0 + c))
+                        + rng.normal(0, 6, (360, 640))
+                        ).clip(0, 255).astype(np.int32),
+                  prec=8, signed=False, dx=1, dy=1)
+        for c in range(3)
+    ]
+    img = Image(xsiz=640, ysiz=360, components=comps)
+    prof = profiles.apply_cinema(EncoderParams(), img)
+    prof.max_cs_bytes = 60_000  # test-scale stand-in for the 1.3 MB cap
+    cs = profiles.encode_with_profile(img, prof)
+    assert len(cs) <= 60_000
+    hdr = decoder.read_header(cs)
+    assert hdr.siz.rsiz & 0xFF == profiles.PROFILE_CINEMA_2K
+    out = decoder.decode(cs)
+    err = (out.components[0].data.astype(np.float64)
+           - img.components[0].data)
+    assert np.sqrt((err ** 2).mean()) < 40
+
+
+def test_cinema48_cap():
+    img = _image(64, 64)
+    prof = profiles.apply_cinema(EncoderParams(), img, fps=48)
+    assert prof.max_cs_bytes == profiles.CINEMA_48_CS
+
+
+def test_imf_profile():
+    img = _image(320, 180)
+    prof = profiles.apply_imf(EncoderParams(numresolutions=9), img, "2k",
+                              mainlevel=2, sublevel=1)
+    assert prof.params.numresolutions == 6
+    assert (prof.rsiz & 0xFF00) == profiles.PROFILE_IMF_2K
+    cs = profiles.encode_with_profile(img, prof)
+    out = decoder.decode(cs)
+    np.testing.assert_array_equal(out.components[0].data,
+                                  img.components[0].data)
+
+
+def test_broadcast_profile():
+    img = _image(160, 120)
+    prof = profiles.apply_broadcast(EncoderParams(numresolutions=7), img,
+                                    level=3)
+    assert prof.params.numresolutions == 6
+    assert prof.rsiz & 0xFF00 == profiles.PROFILE_BC_SINGLE
+    cs = profiles.encode_with_profile(img, prof)
+    assert decoder.read_header(cs).siz.rsiz == prof.rsiz
