@@ -30,12 +30,23 @@ class CodestreamHeader:
     qcd: QcdInfo
     comments: List[str]
     main_header_end: int  # offset of first SOT
+    cod_comp: Optional[List[Optional[CodInfo]]] = None  # COC overrides
+    qcd_comp: Optional[List[Optional[QcdInfo]]] = None  # QCC overrides
+    pocs: Optional[list] = None                          # POC entries
+    tlm: Optional[list] = None                           # (tile, length)
 
 
 @dataclasses.dataclass
 class TilePart:
     tile_index: int
     body: bytes
+    # Tile-part header overrides (COD/COC/QCD/QCC/POC between SOT and SOD);
+    # COC/QCC kept as raw payloads, parsed once ncomps is known.
+    cod: Optional[CodInfo] = None
+    coc_raw: List[bytes] = dataclasses.field(default_factory=list)
+    qcd: Optional[QcdInfo] = None
+    qcc_raw: List[bytes] = dataclasses.field(default_factory=list)
+    poc_raw: Optional[bytes] = None
 
 
 def read_header(data: bytes) -> CodestreamHeader:
@@ -44,6 +55,10 @@ def read_header(data: bytes) -> CodestreamHeader:
     pos = 2
     siz = cod = qcd = None
     comments: List[str] = []
+    coc_raw = []
+    qcc_raw = []
+    pocs = None
+    tlm = None
     while pos + 4 <= len(data):
         marker = struct.unpack(">H", data[pos:pos + 2])[0]
         if marker == markers.SOT:
@@ -54,17 +69,40 @@ def read_header(data: bytes) -> CodestreamHeader:
             siz = markers.parse_siz(payload)
         elif marker == markers.COD:
             cod = markers.parse_cod(payload)
+        elif marker == markers.COC:
+            coc_raw.append(payload)
         elif marker == markers.QCD:
             qcd = markers.parse_qcd(payload)
+        elif marker == markers.QCC:
+            qcc_raw.append(payload)
+        elif marker == markers.POC:
+            pocs = payload  # parsed below once ncomps is known
+        elif marker == markers.TLM:
+            tlm = markers.parse_tlm(payload)
         elif marker == markers.COM:
             if len(payload) >= 2:
                 comments.append(payload[2:].decode("latin-1", "replace"))
-        # COC/QCC/POC/TLM/PLM/PPM/CRG: skipped by length (future rounds).
+        # PLM/PPM/CRG/CAP: skipped by length.
         pos += 2 + length
     if siz is None or cod is None or qcd is None:
         raise ValueError("incomplete main header (need SIZ, COD, QCD)")
+    ncomps = len(siz.comps)
+    cod_comp = None
+    if coc_raw:
+        cod_comp = [None] * ncomps
+        for payload in coc_raw:
+            compno, cc = markers.parse_coc(payload, ncomps, cod)
+            cod_comp[compno] = cc
+    qcd_comp = None
+    if qcc_raw:
+        qcd_comp = [None] * ncomps
+        for payload in qcc_raw:
+            compno, qq = markers.parse_qcc(payload, ncomps)
+            qcd_comp[compno] = qq
+    poc_entries = markers.parse_poc(pocs, ncomps) if pocs else None
     return CodestreamHeader(siz=siz, cod=cod, qcd=qcd, comments=comments,
-                            main_header_end=pos)
+                            main_header_end=pos, cod_comp=cod_comp,
+                            qcd_comp=qcd_comp, pocs=poc_entries, tlm=tlm)
 
 
 def iter_tile_parts(data: bytes, start: int):
@@ -84,16 +122,30 @@ def iter_tile_parts(data: bytes, start: int):
         sot = markers.parse_sot(data[pos + 4:pos + 12])
         psot = sot.psot if sot.psot else len(data) - pos
         tp_end = min(pos + psot, len(data))
-        # Walk markers inside the tile-part header until SOD.
+        # Walk markers inside the tile-part header until SOD, collecting
+        # per-tile parameter overrides.
         hp = pos + 12
+        tp = TilePart(tile_index=sot.tile_index, body=b"")
         while hp + 2 <= tp_end:
             m = struct.unpack(">H", data[hp:hp + 2])[0]
             if m == markers.SOD:
                 hp += 2
                 break
             ln = struct.unpack(">H", data[hp + 2:hp + 4])[0]
+            payload = data[hp + 4:hp + 2 + ln]
+            if m == markers.COD:
+                tp.cod = markers.parse_cod(payload)
+            elif m == markers.QCD:
+                tp.qcd = markers.parse_qcd(payload)
+            elif m == markers.COC:
+                tp.coc_raw.append(payload)
+            elif m == markers.QCC:
+                tp.qcc_raw.append(payload)
+            elif m == markers.POC:
+                tp.poc_raw = payload
             hp += 2 + ln
-        yield TilePart(tile_index=sot.tile_index, body=data[hp:tp_end])
+        tp.body = data[hp:tp_end]
+        yield tp
         pos = pos + psot if sot.psot else tp_end
 
 
@@ -109,9 +161,41 @@ def decode(data: bytes, params: Optional[DecoderParams] = None) -> Image:
     ntx, nty = tile_grid_size(siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
                               siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
     numtiles = ntx * nty
+    ncomps = len(siz.comps)
     tile_bodies: Dict[int, List[bytes]] = {}
+    tile_over: Dict[int, TilePart] = {}
     for tp in iter_tile_parts(data, hdr.main_header_end):
         tile_bodies.setdefault(tp.tile_index, []).append(tp.body)
+        if tp.cod or tp.qcd or tp.coc_raw or tp.qcc_raw or tp.poc_raw:
+            tile_over[tp.tile_index] = tp
+
+    def _tile_params(t: int):
+        """Effective (cod, qcd, cod_comp, qcd_comp, pocs) for tile t."""
+        tcod, tqcd = cod, qcd
+        cod_comp = list(hdr.cod_comp) if hdr.cod_comp else None
+        qcd_comp = list(hdr.qcd_comp) if hdr.qcd_comp else None
+        pocs = hdr.pocs
+        tp = tile_over.get(t)
+        if tp is not None:
+            if tp.cod:
+                tcod = tp.cod
+                cod_comp = None
+            if tp.qcd:
+                tqcd = tp.qcd
+                qcd_comp = None
+            if tp.coc_raw:
+                cod_comp = cod_comp or [None] * ncomps
+                for payload in tp.coc_raw:
+                    compno, cc = markers.parse_coc(payload, ncomps, tcod)
+                    cod_comp[compno] = cc
+            if tp.qcc_raw:
+                qcd_comp = qcd_comp or [None] * ncomps
+                for payload in tp.qcc_raw:
+                    compno, qq = markers.parse_qcc(payload, ncomps)
+                    qcd_comp[compno] = qq
+            if tp.poc_raw:
+                pocs = markers.parse_poc(tp.poc_raw, ncomps)
+        return tcod, tqcd, cod_comp, qcd_comp, pocs
 
     reduce = min(params.reduce, cod.numresolutions - 1)
 
@@ -149,8 +233,11 @@ def decode(data: bytes, params: Optional[DecoderParams] = None) -> Image:
                                 or tr.y1 <= win.y0 or tr.y0 >= win.y1):
             continue
         body = b"".join(tile_bodies[t])
-        tcomps = decode_tile(body, siz, cod, qcd, tr, reduce=reduce,
-                             max_layers=params.layers, window=win)
+        tcod, tqcd, cod_comp, qcd_comp, pocs = _tile_params(t)
+        tcomps = decode_tile(body, siz, tcod, tqcd, tr, reduce=reduce,
+                             max_layers=params.layers, window=win,
+                             cod_comp=cod_comp, qcd_comp=qcd_comp,
+                             pocs=pocs)
         for c, arr in enumerate(tcomps):
             cs = siz.comps[c]
             # Reduced tile-component rect origin.

@@ -112,6 +112,14 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
             raise ValueError("PCRD rate control is not available with the "
                              "HT block coder (single cleanup pass)")
 
+    # Per-component COD overrides (COC markers).
+    cod_comp = None
+    if params.comp_cblk_exps:
+        cod_comp = [None] * len(siz.comps)
+        for compno, (we, he) in params.comp_cblk_exps.items():
+            cod_comp[compno] = dataclasses.replace(
+                cod, cblk_w_exp=we, cblk_h_exp=he)
+
     out = bytearray()
     out += markers.write_soc()
     out += markers.write_siz(siz)
@@ -123,7 +131,13 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
             max_mb = max(e + qcd.num_guard_bits - 1 for (e, m) in qcd.steps)
         out += markers.write_cap(reversible, max_mb)
     out += markers.write_cod(cod)
+    if cod_comp:
+        for compno, cc in enumerate(cod_comp):
+            if cc is not None:
+                out += markers.write_coc(compno, cc, len(siz.comps))
     out += markers.write_qcd(qcd)
+    if params.pocs:
+        out += markers.write_poc(params.pocs, len(siz.comps))
     if params.comment:
         out += markers.write_com(params.comment)
 
@@ -134,6 +148,8 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
     if layer_alloc is None and needs_rc:
         from .pcrd import make_layer_alloc
         layer_alloc = make_layer_alloc(image, params)
+    tile_parts = bytearray()
+    tp_lengths = []
     for t in range(ntx * nty):
         tr = tile_rect(t, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
                        siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
@@ -145,10 +161,16 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
             coeff_bands = device_pipeline.device_fwd_bands(comps, cfg)
         res: TileEncResult = encode_tile(comps, siz, cod, qcd, tr,
                                          layer_alloc=layer_alloc,
-                                         coeff_bands=coeff_bands)
+                                         coeff_bands=coeff_bands,
+                                         cod_comp=cod_comp,
+                                         pocs=params.pocs or None)
         psot = 12 + 2 + len(res.body)  # SOT(12) + SOD(2) + body
-        out += markers.write_sot(SotInfo(tile_index=t, psot=psot))
-        out += markers.write_sod()
-        out += res.body
+        tile_parts += markers.write_sot(SotInfo(tile_index=t, psot=psot))
+        tile_parts += markers.write_sod()
+        tile_parts += res.body
+        tp_lengths.append((t, psot))
+    if params.tlm_markers:
+        out += markers.write_tlm(tp_lengths)
+    out += tile_parts
     out += markers.write_eoc()
     return bytes(out)

@@ -257,3 +257,146 @@ def write_cap(reversible: bool, max_Mb: int) -> bytes:
 
 
 JPH_RSIZ_FLAG = 0x4000
+
+
+# ---------------------------------------------------------------------------
+# COC / QCC (per-component overrides), POC, TLM
+# ---------------------------------------------------------------------------
+
+def write_coc(compno: int, c: CodInfo, ncomps: int) -> bytes:
+    """COC marker: per-component coding style (A.6.2)."""
+    payload = struct.pack(">H" if ncomps > 256 else ">B", compno)
+    scoc = 0x01 if c.precincts is not None else 0
+    payload += struct.pack(">B", scoc)
+    payload += _spcod_tail(c)
+    return _seg(COC, payload)
+
+
+def parse_coc(payload: bytes, ncomps: int, base: CodInfo):
+    """Returns (compno, CodInfo) using `base` for packet-level fields."""
+    if ncomps > 256:
+        compno = struct.unpack(">H", payload[:2])[0]
+        off = 2
+    else:
+        compno = payload[0]
+        off = 1
+    scoc = payload[off]
+    off += 1
+    nl, cbw, cbh, cbsty, tr = struct.unpack(
+        ">BBBBB", payload[off:off + 5])
+    numres = nl + 1
+    precincts = None
+    if scoc & 0x01:
+        precincts = tuple(
+            (payload[off + 5 + i] & 0x0F, payload[off + 5 + i] >> 4)
+            for i in range(numres))
+    cod = dataclasses.replace(
+        base, numresolutions=numres, cblk_w_exp=cbw + 2, cblk_h_exp=cbh + 2,
+        cblk_style=cbsty, transform=Transform(tr), precincts=precincts)
+    return compno, cod
+
+
+def write_qcc(compno: int, q: QcdInfo, ncomps: int) -> bytes:
+    payload = struct.pack(">H" if ncomps > 256 else ">B", compno)
+    sq = int(q.style) | (q.num_guard_bits << 5)
+    payload += struct.pack(">B", sq)
+    if q.style == QuantStyle.NONE:
+        for e in q.exponents:
+            payload += struct.pack(">B", e << 3)
+    else:
+        for (expn, mant) in q.steps:
+            payload += struct.pack(">H", (expn << 11) | mant)
+    return _seg(QCC, payload)
+
+
+def parse_qcc(payload: bytes, ncomps: int):
+    if ncomps > 256:
+        compno = struct.unpack(">H", payload[:2])[0]
+        off = 2
+    else:
+        compno = payload[0]
+        off = 1
+    return compno, parse_qcd(payload[off:])
+
+
+@dataclasses.dataclass
+class PocEntry:
+    """One progression-order-change volume (A.6.6)."""
+
+    rs: int                 # RSpoc: first resolution
+    cs: int                 # CSpoc: first component
+    lye: int                # LYEpoc: layer bound (exclusive)
+    re: int                 # REpoc: resolution bound (exclusive)
+    ce: int                 # CEpoc: component bound (exclusive)
+    prog: Progression
+
+
+def write_poc(entries, ncomps: int) -> bytes:
+    payload = b""
+    wide = ncomps > 256
+    for e in entries:
+        payload += struct.pack(">B", e.rs)
+        payload += struct.pack(">H" if wide else ">B", e.cs)
+        payload += struct.pack(">HB", e.lye, e.re)
+        payload += struct.pack(">H" if wide else ">B", e.ce)
+        payload += struct.pack(">B", int(e.prog))
+    return _seg(POC, payload)
+
+
+def parse_poc(payload: bytes, ncomps: int):
+    wide = ncomps > 256
+    csz = 2 if wide else 1
+    entry = 1 + csz + 2 + 1 + csz + 1
+    out = []
+    pos = 0
+    while pos + entry <= len(payload):
+        rs = payload[pos]
+        pos += 1
+        cs = struct.unpack(">H" if wide else ">B",
+                           payload[pos:pos + csz])[0]
+        pos += csz
+        lye, re = struct.unpack(">HB", payload[pos:pos + 3])
+        pos += 3
+        ce = struct.unpack(">H" if wide else ">B",
+                           payload[pos:pos + csz])[0]
+        pos += csz
+        prog = Progression(payload[pos])
+        pos += 1
+        out.append(PocEntry(rs=rs, cs=cs, lye=lye, re=re, ce=ce, prog=prog))
+    return out
+
+
+def write_tlm(tile_part_lengths) -> bytes:
+    """TLM: tile-part lengths (A.7.1). `tile_part_lengths` is a list of
+    (tile_index, length) in codestream order."""
+    big_tiles = any(t > 255 for (t, _) in tile_part_lengths)
+    st = 2 if big_tiles else 1
+    stlm = (st << 4) | 0x40  # SP=1: 32-bit lengths
+    payload = struct.pack(">BB", 0, stlm)
+    for (t, ln) in tile_part_lengths:
+        payload += struct.pack(">H" if st == 2 else ">B", t)
+        payload += struct.pack(">I", ln)
+    return _seg(TLM, payload)
+
+
+def parse_tlm(payload: bytes):
+    stlm = payload[1]
+    st = (stlm >> 4) & 0x3
+    sp = (stlm >> 6) & 0x1
+    lsz = 4 if sp else 2
+    out = []
+    pos = 2
+    i = 0
+    while pos + st + lsz <= len(payload):
+        if st == 0:
+            t = i
+        elif st == 1:
+            t = payload[pos]
+        else:
+            t = struct.unpack(">H", payload[pos:pos + 2])[0]
+        pos += st
+        ln = struct.unpack(">I" if sp else ">H", payload[pos:pos + lsz])[0]
+        pos += lsz
+        out.append((t, ln))
+        i += 1
+    return out

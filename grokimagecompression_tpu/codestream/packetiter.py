@@ -98,3 +98,24 @@ def packet_order(
     for (r, y, x, c, p) in entries:
         for l in range(numlayers):
             yield (l, r, c, p)
+
+
+def packet_order_poc(pocs, numlayers, comps, tile):
+    """Packet order with progression-order changes (A.6.6): each POC entry
+    iterates its own progression restricted to its resolution/component/
+    layer volume; packets already emitted by an earlier entry are skipped
+    (reference: src/lib/jp2/codestream/PacketIter.cpp pi_update_decode_poc).
+    """
+    seen = set()
+    for poc in pocs:
+        lye = min(numlayers, poc.lye)
+        for tup in packet_order(poc.prog, numlayers, comps, tile):
+            l, r, c, p = tup
+            if l >= lye or not (poc.rs <= r < poc.re):
+                continue
+            if not (poc.cs <= c < poc.ce):
+                continue
+            if tup in seen:
+                continue
+            seen.add(tup)
+            yield tup

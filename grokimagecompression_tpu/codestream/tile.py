@@ -165,6 +165,9 @@ def encode_tile(
     layer_alloc=None,
     coeff_bands: Optional[List[Dict[Tuple[int, int], np.ndarray]]] = None,
     image_samples: Optional[int] = None,
+    cod_comp: Optional[List[CodInfo]] = None,
+    qcd_comp: Optional[List[QcdInfo]] = None,
+    pocs=None,
 ) -> TileEncResult:
     """Encode one tile to its packet body bytes.
 
@@ -177,7 +180,12 @@ def encode_tile(
     per-tile byte budgets.
     """
     ncomps = len(comps_data)
-    plans = [build_comp_plan(siz, cod, qcd, tile, c) for c in range(ncomps)]
+    cods = [cod_comp[c] if cod_comp and cod_comp[c] else cod
+            for c in range(ncomps)]
+    qcds = [qcd_comp[c] if qcd_comp and qcd_comp[c] else qcd
+            for c in range(ncomps)]
+    plans = [build_comp_plan(siz, cods[c], qcds[c], tile, c)
+             for c in range(ncomps)]
     reversible = cod.transform == Transform.DWT_53
 
     if coeff_bands is None:
@@ -186,8 +194,9 @@ def encode_tile(
         for c in range(ncomps):
             tc = plans[c].layout.tc_rect
             coeff_bands.append(
-                dwt_host.fwd_dwt_2d(data[c], tc, cod.numresolutions,
-                                    reversible=reversible))
+                dwt_host.fwd_dwt_2d(data[c], tc, cods[c].numresolutions,
+                                    reversible=cods[c].transform
+                                    == Transform.DWT_53))
 
     # T1-encode every code-block: collect the whole tile's blocks first,
     # then run one batched native call (worker threads inside), the analog
@@ -197,11 +206,12 @@ def encode_tile(
     t1_slots = []           # (comp, (r, orient), precinct_idx, bp)
     for c in range(ncomps):
         plan = plans[c]
+        rev_c = cods[c].transform == Transform.DWT_53
         for res in plan.layout.resolutions:
             for band in res.bands:
                 bp = plan.bands[(res.r, band.orient)]
                 arr = coeff_bands[c][(res.r, band.orient)]
-                if reversible:
+                if rev_c:
                     mag, neg = quant.to_sign_magnitude(arr)
                 else:
                     mag, neg = quant.quantize(arr, bp.stepsize)
@@ -220,7 +230,6 @@ def encode_tile(
     prec_enc: List[Dict[Tuple[int, int], List[PrecEnc]]] = [
         {} for _ in range(ncomps)]
     slot_cblks: Dict[Tuple[int, Tuple[int, int], int], List[CblkEnc]] = {}
-    nl = cod.numresolutions - 1
     mct_norms = None
     if cod.mct and ncomps >= 3:
         mct_norms = (mct_np.MCT_NORMS_REV if reversible
@@ -235,6 +244,7 @@ def encode_tile(
         # norm, squared (reference: Tier1.cpp encodeCodeblocks stepsize/
         # band weighting + mct.cpp:67 norms).
         r, orient = key
+        nl = cods[c].numresolutions - 1
         level = nl - r if r > 0 else nl
         wgt = quant.band_norm(orient, level, reversible) * bp.stepsize
         if mct_norms is not None and c < 3:
@@ -262,7 +272,7 @@ def encode_tile(
     # Progression iteration info (shared by simulation and real emission).
     comps_iter = [
         CompIterInfo(
-            numresolutions=cod.numresolutions,
+            numresolutions=cods[c].numresolutions,
             dx=siz.comps[c].dx,
             dy=siz.comps[c].dy,
             tc_rect=plans[c].layout.tc_rect,
@@ -273,6 +283,12 @@ def encode_tile(
         for c in range(ncomps)
     ]
     numlayers = cod.numlayers
+
+    def _packet_iter():
+        if pocs:
+            from .packetiter import packet_order_poc
+            return packet_order_poc(pocs, numlayers, comps_iter, tile)
+        return packet_order(cod.progression, numlayers, comps_iter, tile)
 
     def _reset_t2_state():
         for per_res in prec_enc:
@@ -301,8 +317,7 @@ def encode_tile(
             # produced in one call (tag-tree/lblock state lives inside);
             # fragments are then stitched in progression order.
             frags: Dict[Tuple[int, int, int], List[bytes]] = {}
-            for (l, r, c, p) in packet_order(cod.progression, numlayers,
-                                             comps_iter, tile):
+            for (l, r, c, p) in _packet_iter():
                 if l > max_layer:
                     continue
                 key = (r, c, p)
@@ -323,8 +338,7 @@ def encode_tile(
                 npk += 1
             return nbytes, npk
         _reset_t2_state()
-        for (l, r, c, p) in packet_order(cod.progression, numlayers,
-                                         comps_iter, tile):
+        for (l, r, c, p) in _packet_iter():
             if l > max_layer:
                 continue
             orients = (0,) if r == 0 else (1, 2, 3)
@@ -377,6 +391,20 @@ def encode_tile(
 # Decode
 # --------------------------------------------------------------------------
 
+def _decode_mixed_styles(t1_jobs, t1_job_slots, cods):
+    """Batch-decode when components carry different code-block styles
+    (COC overrides): group jobs per style, one batch per group."""
+    by_style: Dict[int, List[int]] = {}
+    for i, slot in enumerate(t1_job_slots):
+        by_style.setdefault(cods[slot[0]].cblk_style, []).append(i)
+    out = [None] * len(t1_jobs)
+    for style, idxs in by_style.items():
+        res = t1_backend.decode_cblk_batch([t1_jobs[i] for i in idxs], style)
+        for i, r in zip(idxs, res):
+            out[i] = r
+    return out
+
+
 def _band_window(win: Rect, r: int, orient: int, numresolutions: int,
                  reversible: bool) -> Rect:
     """Conservative band-coordinate region needed to reconstruct `win`
@@ -408,6 +436,9 @@ def decode_tile(
     reduce: int = 0,
     max_layers: int = 0,
     window: Optional[Rect] = None,
+    cod_comp: Optional[List[CodInfo]] = None,
+    qcd_comp: Optional[List[QcdInfo]] = None,
+    pocs=None,
 ) -> List[np.ndarray]:
     """Decode one tile's packet body back to component sample arrays.
 
@@ -417,7 +448,12 @@ def decode_tile(
     clipping); packets are still parsed to stay synchronized.
     """
     ncomps = len(siz.comps)
-    plans = [build_comp_plan(siz, cod, qcd, tile, c) for c in range(ncomps)]
+    cods = [cod_comp[c] if cod_comp and cod_comp[c] else cod
+            for c in range(ncomps)]
+    qcds = [qcd_comp[c] if qcd_comp and qcd_comp[c] else qcd
+            for c in range(ncomps)]
+    plans = [build_comp_plan(siz, cods[c], qcds[c], tile, c)
+             for c in range(ncomps)]
     reversible = cod.transform == Transform.DWT_53
 
     # Build decode structures.
@@ -444,7 +480,7 @@ def decode_tile(
 
     comps_iter = [
         CompIterInfo(
-            numresolutions=cod.numresolutions,
+            numresolutions=cods[c].numresolutions,
             dx=siz.comps[c].dx,
             dy=siz.comps[c].dy,
             tc_rect=plans[c].layout.tc_rect,
@@ -456,9 +492,14 @@ def decode_tile(
     ]
     numlayers = cod.numlayers if max_layers == 0 else min(
         cod.numlayers, max_layers)
+    if pocs:
+        from .packetiter import packet_order_poc
+        piter = packet_order_poc(pocs, cod.numlayers, comps_iter, tile)
+    else:
+        piter = packet_order(cod.progression, cod.numlayers, comps_iter,
+                             tile)
     pos = 0
-    for (l, r, c, p) in packet_order(cod.progression, cod.numlayers,
-                                     comps_iter, tile):
+    for (l, r, c, p) in piter:
         if pos >= len(body):
             break
         orients = (0,) if r == 0 else (1, 2, 3)
@@ -470,7 +511,8 @@ def decode_tile(
         # but their pass data is discarded; for every code-block the
         # dropped layers are a suffix of its packets, so the retained
         # segment state stays consistent.
-        pos = decode_packet(body, pos, l, precs, kmaxs, cod.cblk_style,
+        pos = decode_packet(body, pos, l, precs, kmaxs,
+                            cods[c].cblk_style,
                             sop=cod.sop, eph=cod.eph,
                             discard=(l >= numlayers))
 
@@ -504,7 +546,9 @@ def decode_tile(
                                     cb.geom.rect.h, band.orient, cb.numbps,
                                     cb.numpasses, bp_d.kmax))
                     t1_job_slots.append((c, (res.r, band.orient), cb))
-    t1_out = t1_backend.decode_cblk_batch(t1_jobs, cod.cblk_style)
+    t1_out = t1_backend.decode_cblk_batch(t1_jobs, cods[0].cblk_style) \
+        if not cod_comp else _decode_mixed_styles(t1_jobs, t1_job_slots,
+                                                  cods)
     decoded: Dict[int, Tuple[np.ndarray, np.ndarray]] = {
         id(slot[2]): mn for slot, mn in zip(t1_job_slots, t1_out)}
 
@@ -512,10 +556,11 @@ def decode_tile(
     for c in range(ncomps):
         plan = plans[c]
         bands_arrays: Dict[Tuple[int, int], np.ndarray] = {}
+        rev_c2 = cods[c].transform == Transform.DWT_53
         for res in plan.layout.resolutions:
             for band in res.bands:
                 bp = plan.bands[(res.r, band.orient)]
-                dtype = np.int32 if reversible else np.float32
+                dtype = np.int32 if rev_c2 else np.float32
                 arr = np.zeros((band.rect.h, band.rect.w), dtype=dtype)
                 for cb in cblk_index[c][(res.r, band.orient)]:
                     if cb.numpasses == 0 or id(cb) not in decoded:
@@ -523,16 +568,17 @@ def decode_tile(
                     mag, neg = decoded[id(cb)]
                     x0 = cb.geom.rect.x0 - band.rect.x0
                     y0 = cb.geom.rect.y0 - band.rect.y0
-                    if reversible:
+                    if rev_c2:
                         arr[y0:y0 + cb.geom.rect.h, x0:x0 + cb.geom.rect.w] = \
                             quant.from_sign_magnitude(mag, neg)
                     else:
                         arr[y0:y0 + cb.geom.rect.h, x0:x0 + cb.geom.rect.w] = \
                             quant.dequantize(mag, neg, bp.stepsize)
                 bands_arrays[(res.r, band.orient)] = arr
-        max_res = cod.numresolutions - 1 - reduce
+        max_res = cods[c].numresolutions - 1 - reduce
+        rev_c = cods[c].transform == Transform.DWT_53
         a = dwt_host.inv_dwt_2d(bands_arrays, plan.layout.tc_rect,
-                                cod.numresolutions, reversible=reversible,
+                                cods[c].numresolutions, reversible=rev_c,
                                 max_res=max_res)
         out.append(a)
 
@@ -546,7 +592,7 @@ def decode_tile(
     final = []
     for c in range(ncomps):
         a = out[c]
-        if not reversible:
+        if a.dtype != np.int32:
             a = np.round(a).astype(np.int64)
         a = mct_np.dc_shift_inv(a, plans[c].prec, plans[c].signed)
         final.append(a.astype(np.int32))

@@ -87,6 +87,13 @@ class EncoderParams:
     # Base quantization step for 9/7 (scalar expounded derivation).
     base_step: float = 0.0  # 0 => derived from bit depth
     comment: Optional[str] = "grokimagecompression_tpu"
+    # Progression order changes: tuple of markers.PocEntry.
+    pocs: Tuple = ()
+    # Write a TLM (tile-part lengths) marker in the main header.
+    tlm_markers: bool = False
+    # Per-component code-block exponent overrides {compno: (wexp, hexp)}
+    # signalled via COC markers.
+    comp_cblk_exps: Optional[dict] = None
 
     def precinct_exps_for(self, numresolutions: int) -> Tuple[Tuple[int, int], ...]:
         """Resolve per-resolution (PPx, PPy), indexed by r = 0..NL.

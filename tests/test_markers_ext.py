@@ -1,0 +1,144 @@
+"""COC/QCC per-component overrides, POC progression changes, TLM."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from grokimagecompression_tpu.codestream import decoder, encoder, markers
+from grokimagecompression_tpu.codestream.markers import PocEntry
+from grokimagecompression_tpu.core.image import Component, Image
+from grokimagecompression_tpu.core.params import (
+    EncoderParams,
+    Progression,
+    QuantStyle,
+)
+
+BIN = os.path.join(os.path.dirname(__file__), "..", ".refbuild", "bin")
+GRK_COMPRESS = os.path.abspath(os.path.join(BIN, "grk_compress"))
+GRK_DECOMPRESS = os.path.abspath(os.path.join(BIN, "grk_decompress"))
+HAVE_GROK = os.path.exists(GRK_COMPRESS) and os.path.exists(GRK_DECOMPRESS)
+
+
+def _image(w, h, ncomps=3, seed=0):
+    rng = np.random.default_rng(seed)
+    comps = [
+        Component(data=rng.integers(0, 256, (h, w)).astype(np.int32),
+                  prec=8, signed=False, dx=1, dy=1)
+        for _ in range(ncomps)
+    ]
+    return Image(xsiz=w, ysiz=h, components=comps)
+
+
+def test_poc_marker_roundtrip():
+    entries = [PocEntry(rs=0, cs=0, lye=1, re=4, ce=3,
+                        prog=Progression.CPRL),
+               PocEntry(rs=4, cs=0, lye=1, re=5, ce=3,
+                        prog=Progression.CPRL)]
+    seg = markers.write_poc(entries, 3)
+    assert seg[:2] == b"\xff\x5f"
+    back = markers.parse_poc(seg[4:], 3)
+    assert back == entries
+
+
+def test_tlm_marker_roundtrip():
+    lens = [(0, 12345), (1, 99), (2, 70000)]
+    seg = markers.write_tlm(lens)
+    back = markers.parse_tlm(seg[4:])
+    assert back == lens
+
+
+def test_coc_marker_roundtrip():
+    from grokimagecompression_tpu.codestream.markers import CodInfo
+    base = CodInfo()
+    import dataclasses
+    cc = dataclasses.replace(base, cblk_w_exp=5, cblk_h_exp=4)
+    seg = markers.write_coc(2, cc, 3)
+    compno, back = markers.parse_coc(seg[4:], 3, base)
+    assert compno == 2
+    assert back.cblk_w_exp == 5 and back.cblk_h_exp == 4
+
+
+def test_encode_decode_with_poc():
+    img = _image(160, 128, seed=1)
+    numres = 4
+    pocs = (PocEntry(rs=0, cs=0, lye=1, re=numres - 1, ce=3,
+                     prog=Progression.CPRL),
+            PocEntry(rs=numres - 1, cs=0, lye=1, re=numres, ce=3,
+                     prog=Progression.CPRL))
+    cs = encoder.encode(img, EncoderParams(numresolutions=numres,
+                                           pocs=pocs))
+    hdr = decoder.read_header(cs)
+    assert hdr.pocs == list(pocs)
+    out = decoder.decode(cs)
+    for c in range(3):
+        np.testing.assert_array_equal(out.components[c].data,
+                                      img.components[c].data)
+
+
+def test_encode_decode_with_coc():
+    img = _image(140, 100, seed=2)
+    cs = encoder.encode(img, EncoderParams(
+        numresolutions=4, comp_cblk_exps={1: (5, 5), 2: (4, 6)}))
+    hdr = decoder.read_header(cs)
+    assert hdr.cod_comp is not None
+    assert hdr.cod_comp[1].cblk_w_exp == 5
+    assert hdr.cod_comp[2].cblk_h_exp == 6
+    out = decoder.decode(cs)
+    for c in range(3):
+        np.testing.assert_array_equal(out.components[c].data,
+                                      img.components[c].data)
+
+
+def test_tlm_written_and_parsed():
+    img = _image(160, 128, seed=3)
+    cs = encoder.encode(img, EncoderParams(numresolutions=3,
+                                           tile_size=(64, 64),
+                                           tlm_markers=True))
+    hdr = decoder.read_header(cs)
+    assert hdr.tlm is not None and len(hdr.tlm) == 6
+    # TLM entries must match the actual tile-part spans.
+    tps = list(decoder.iter_tile_parts(cs, hdr.main_header_end))
+    assert len(tps) == 6
+    out = decoder.decode(cs)
+    np.testing.assert_array_equal(out.components[0].data,
+                                  img.components[0].data)
+
+
+@pytest.mark.skipif(not HAVE_GROK, reason="Grok reference binaries not built")
+def test_grok_decodes_our_poc_stream(tmp_path):
+    from grokimagecompression_tpu.io.pnm import read_pnm, write_pnm
+    img = _image(160, 128, seed=4)
+    numres = 4
+    pocs = (PocEntry(rs=0, cs=0, lye=1, re=numres - 1, ce=3,
+                     prog=Progression.CPRL),
+            PocEntry(rs=numres - 1, cs=0, lye=1, re=numres, ce=3,
+                     prog=Progression.CPRL))
+    cs = encoder.encode(img, EncoderParams(numresolutions=numres,
+                                           pocs=pocs))
+    j2k = tmp_path / "poc.j2k"
+    j2k.write_bytes(cs)
+    out = tmp_path / "poc.ppm"
+    subprocess.run([GRK_DECOMPRESS, "-i", str(j2k), "-o", str(out)],
+                   check=True, capture_output=True)
+    rec = read_pnm(str(out))
+    for c in range(3):
+        np.testing.assert_array_equal(rec.components[c].data,
+                                      img.components[c].data)
+
+
+@pytest.mark.skipif(not HAVE_GROK, reason="Grok reference binaries not built")
+def test_we_decode_grok_poc_stream(tmp_path):
+    from grokimagecompression_tpu.io.pnm import read_pnm, write_pnm
+    img = _image(160, 128, seed=5)
+    src = tmp_path / "in.ppm"
+    write_pnm(str(src), img)
+    j2k = tmp_path / "poc.j2k"
+    subprocess.run([GRK_COMPRESS, "-i", str(src), "-o", str(j2k),
+                    "-n", "4", "-P", "T1=0,0,1,3,3,CPRL/T1=3,0,1,4,3,CPRL"],
+                   check=True, capture_output=True)
+    out = decoder.decode(j2k.read_bytes())
+    for c in range(3):
+        np.testing.assert_array_equal(out.components[c].data,
+                                      img.components[c].data)
