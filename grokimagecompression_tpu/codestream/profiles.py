@@ -57,6 +57,17 @@ def apply_cinema(params: EncoderParams, image, fps: int = 24,
         numres = 6
     if params.numlayers > 1:
         warnings.append("cinema: layers forced to 1")
+    pocs = ()
+    if four_k:
+        # 4K: two POC volumes — all but the top resolution, then the top
+        # (reference: j2kprofile.cpp initialise_4K_poc).
+        from .markers import PocEntry
+        pocs = (
+            PocEntry(rs=0, cs=0, lye=1, re=numres - 1, ce=3,
+                     prog=Progression.CPRL),
+            PocEntry(rs=numres - 1, cs=0, lye=1, re=numres, ce=3,
+                     prog=Progression.CPRL),
+        )
     new = dataclasses.replace(
         params,
         tile_size=None,
@@ -71,6 +82,8 @@ def apply_cinema(params: EncoderParams, image, fps: int = 24,
         quality_psnr=(),
         progression=Progression.CPRL,
         precincts=tuple((8, 8) for _ in range(numres)),  # 256x256
+        pocs=pocs,
+        tlm_markers=True,
     )
     cap = CINEMA_24_CS if fps <= 24 else CINEMA_48_CS
     comp_cap = CINEMA_24_COMP if fps <= 24 else CINEMA_48_COMP
