@@ -399,7 +399,8 @@ def _decode_mixed_styles(t1_jobs, t1_job_slots, cods):
         by_style.setdefault(cods[slot[0]].cblk_style, []).append(i)
     out = [None] * len(t1_jobs)
     for style, idxs in by_style.items():
-        res = t1_backend.decode_cblk_batch([t1_jobs[i] for i in idxs], style)
+        res = t1_backend.decode_cblk_batch([t1_jobs[i] for i in idxs], style,
+                                           signed_out=True)
         for i, r in zip(idxs, res):
             out[i] = r
     return out
@@ -498,23 +499,54 @@ def decode_tile(
     else:
         piter = packet_order(cod.progression, cod.numlayers, comps_iter,
                              tile)
-    pos = 0
-    for (l, r, c, p) in piter:
-        if pos >= len(body):
-            break
-        orients = (0,) if r == 0 else (1, 2, 3)
-        precs = [prec_dec[c][(r, o)][p] for o in orients
-                 if (r, o) in prec_dec[c]]
-        kmaxs = [plans[c].bands[(r, o)].kmax for o in orients
-                 if (r, o) in plans[c].bands]
-        # Layers beyond the decode limit are parsed (to stay in sync)
-        # but their pass data is discarded; for every code-block the
-        # dropped layers are a suffix of its packets, so the retained
-        # segment state stays consistent.
-        pos = decode_packet(body, pos, l, precs, kmaxs,
-                            cods[c].cblk_style,
-                            sop=cod.sop, eph=cod.eph,
-                            discard=(l >= numlayers))
+    pkt_list = list(piter)
+
+    import os as _os
+    _t2nat = None
+    if _os.environ.get("GROK_TPU_T2", "") != "python" \
+            and numlayers == cod.numlayers:
+        try:
+            from ..native import t2_native as _t2nat
+        except Exception:
+            _t2nat = None
+    parsed = False
+    if _t2nat is not None:
+        groups = []
+        group_idx: Dict[Tuple[int, int, int], int] = {}
+        packets = []
+        for (l, r, c, p) in pkt_list:
+            key = (r, c, p)
+            if key not in group_idx:
+                group_idx[key] = len(groups)
+                orients = (0,) if r == 0 else (1, 2, 3)
+                groups.append([
+                    (prec_dec[c][(r, o)][p],
+                     plans[c].bands[(r, o)].kmax,
+                     cods[c].cblk_style)
+                    for o in orients if (r, o) in prec_dec[c]
+                ])
+            packets.append((group_idx[key], l))
+        rc = _t2nat.decode_tile_packets(body, packets, groups, None, None,
+                                        cod.sop, cod.eph)
+        parsed = rc is not None
+    if not parsed:
+        pos = 0
+        for (l, r, c, p) in pkt_list:
+            if pos >= len(body):
+                break
+            orients = (0,) if r == 0 else (1, 2, 3)
+            precs = [prec_dec[c][(r, o)][p] for o in orients
+                     if (r, o) in prec_dec[c]]
+            kmaxs = [plans[c].bands[(r, o)].kmax for o in orients
+                     if (r, o) in plans[c].bands]
+            # Layers beyond the decode limit are parsed (to stay in sync)
+            # but their pass data is discarded; for every code-block the
+            # dropped layers are a suffix of its packets, so the retained
+            # segment state stays consistent.
+            pos = decode_packet(body, pos, l, precs, kmaxs,
+                                cods[c].cblk_style,
+                                sop=cod.sop, eph=cod.eph,
+                                discard=(l >= numlayers))
 
     # T1 decode (one batched native call over the whole tile's blocks) +
     # dequantize into band arrays, then inverse DWT per comp.
@@ -546,7 +578,8 @@ def decode_tile(
                                     cb.geom.rect.h, band.orient, cb.numbps,
                                     cb.numpasses, bp_d.kmax))
                     t1_job_slots.append((c, (res.r, band.orient), cb))
-    t1_out = t1_backend.decode_cblk_batch(t1_jobs, cods[0].cblk_style) \
+    t1_out = t1_backend.decode_cblk_batch(t1_jobs, cods[0].cblk_style,
+                                          signed_out=True) \
         if not cod_comp else _decode_mixed_styles(t1_jobs, t1_job_slots,
                                                   cods)
     decoded: Dict[int, Tuple[np.ndarray, np.ndarray]] = {
@@ -565,15 +598,15 @@ def decode_tile(
                 for cb in cblk_index[c][(res.r, band.orient)]:
                     if cb.numpasses == 0 or id(cb) not in decoded:
                         continue
-                    mag, neg = decoded[id(cb)]
+                    coef = decoded[id(cb)]
                     x0 = cb.geom.rect.x0 - band.rect.x0
                     y0 = cb.geom.rect.y0 - band.rect.y0
                     if rev_c2:
-                        arr[y0:y0 + cb.geom.rect.h, x0:x0 + cb.geom.rect.w] = \
-                            quant.from_sign_magnitude(mag, neg)
+                        arr[y0:y0 + cb.geom.rect.h,
+                            x0:x0 + cb.geom.rect.w] = coef
                     else:
                         arr[y0:y0 + cb.geom.rect.h, x0:x0 + cb.geom.rect.w] = \
-                            quant.dequantize(mag, neg, bp.stepsize)
+                            quant.dequantize_signed(coef, bp.stepsize)
                 bands_arrays[(res.r, band.orient)] = arr
         max_res = cods[c].numresolutions - 1 - reduce
         rev_c = cods[c].transform == Transform.DWT_53

@@ -906,9 +906,12 @@ int grok_ht_encode_batch(int nblocks, const uint32_t* mag_flat,
 
 // desc per block (int64): [0]=data offset, [1]=len, [2]=w, [3]=h,
 // [4]=missing_msbs, [5]=output offset
+// signed_out != 0: mag_flat receives signed int32 coefficients instead of
+// magnitudes (neg still filled for callers that need it).
 int grok_ht_decode_batch(int nblocks, const uint8_t* data_flat,
                          const int64_t* desc, uint32_t* mag_flat,
-                         uint8_t* neg_flat, int nthreads) {
+                         uint8_t* neg_flat, int nthreads,
+                         int signed_out) {
   std::atomic<int> next(0);
   auto worker = [&]() {
     for (;;) {
@@ -917,6 +920,15 @@ int grok_ht_decode_batch(int nblocks, const uint8_t* data_flat,
       const int64_t* d = desc + (size_t)i * 6;
       ht_decode(data_flat + d[0], (int)d[1], (int)d[2], (int)d[3],
                 (int)d[4], mag_flat + d[5], neg_flat + d[5]);
+      if (signed_out) {
+        int n = (int)(d[2] * d[3]);
+        int32_t* out = (int32_t*)(mag_flat + d[5]);
+        const uint8_t* neg = neg_flat + d[5];
+        for (int j = 0; j < n; j++) {
+          int32_t v = (int32_t)out[j];
+          out[j] = neg[j] ? -v : v;
+        }
+      }
     }
   };
   if (nthreads <= 1 || nblocks <= 1) {

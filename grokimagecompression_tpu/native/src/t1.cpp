@@ -877,7 +877,7 @@ int grok_t1_encode_batch(int nblocks, const uint32_t* mag_flat,
 int grok_t1_decode_batch(int nblocks, const uint8_t* data_flat,
                          const int32_t* seg_lens_flat, const int64_t* desc,
                          uint32_t* mag_flat, uint8_t* neg_flat,
-                         int nthreads) {
+                         int nthreads, int signed_out) {
   std::atomic<int> next(0);
   auto worker = [&]() {
     for (;;) {
@@ -888,6 +888,15 @@ int grok_t1_decode_batch(int nblocks, const uint8_t* data_flat,
                   seg_lens_flat + d[2], (int)d[3], (int)d[4], (int)d[5],
                   (int)d[6], (int)d[7], (int)d[8], (int)d[9],
                   mag_flat + d[10], neg_flat + d[10]);
+      if (signed_out) {
+        int n = (int)(d[4] * d[5]);
+        int32_t* out = (int32_t*)(mag_flat + d[10]);
+        const uint8_t* neg = neg_flat + d[10];
+        for (int j = 0; j < n; j++) {
+          int32_t v = (int32_t)out[j];
+          out[j] = neg[j] ? -v : v;
+        }
+      }
     }
   };
   if (nthreads <= 1 || nblocks <= 1) {

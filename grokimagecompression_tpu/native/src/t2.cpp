@@ -307,3 +307,298 @@ int grok_t2_encode_precinct(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Tier-2 packet PARSER: walks a tile's whole packet sequence natively.
+// Mirror of the Python reader (codestream/t2.py decode_packet,
+// bitio.py BitReader); per-code-block output is a segment list into the
+// body buffer plus (numbps-driving) imsb and pass counts.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct BitReader {
+  const uint8_t* data;
+  int64_t pos, start, size;
+  int buf = 0, ct = 0;
+
+  BitReader(const uint8_t* d, int64_t p, int64_t n)
+      : data(d), pos(p), start(p), size(n) {}
+
+  int read_bit() {
+    if (ct == 0) {
+      bool prev_ff = pos > start && pos - 1 < size && data[pos - 1] == 0xFF;
+      buf = (pos < size) ? data[pos] : 0;
+      pos++;
+      ct = prev_ff ? 7 : 8;
+    }
+    ct--;
+    return (buf >> ct) & 1;
+  }
+
+  uint32_t read_bits(int n) {
+    uint32_t v = 0;
+    for (int i = 0; i < n; i++) v = (v << 1) | read_bit();
+    return v;
+  }
+
+  void align() {
+    ct = 0;
+    if (pos > start && pos <= size && data[pos - 1] == 0xFF) pos++;
+  }
+
+  int read_commacode() {
+    int n = 0;
+    while (read_bit()) n++;
+    return n;
+  }
+
+  int read_numpasses() {
+    if (!read_bit()) return 1;
+    if (!read_bit()) return 2;
+    int n = (int)read_bits(2);
+    if (n != 3) return 3 + n;
+    n = (int)read_bits(5);
+    if (n != 31) return 6 + n;
+    return 37 + (int)read_bits(7);
+  }
+};
+
+// Tag-tree decoder (mirror of tagtree.py decode).
+struct TagTreeDec {
+  int w, h, nlev;
+  std::vector<int> dims_w, dims_h, off;
+  std::vector<int> value, low;
+
+  TagTreeDec(int w_, int h_) : w(w_), h(h_) {
+    int lw = w, lh = h, o = 0;
+    for (;;) {
+      dims_w.push_back(lw);
+      dims_h.push_back(lh);
+      off.push_back(o);
+      o += lw * lh;
+      if (lw == 1 && lh == 1) break;
+      lw = (lw + 1) / 2;
+      lh = (lh + 1) / 2;
+    }
+    nlev = (int)dims_w.size();
+    value.assign(o, T2_INF);
+    low.assign(o, 0);
+  }
+
+  bool decode(BitReader& br, int x, int y, int threshold) {
+    int lo = 0;
+    int leaf = -1;
+    for (int lev = nlev - 1; lev >= 0; lev--) {
+      int idx = off[lev] + (y >> lev) * dims_w[lev] + (x >> lev);
+      leaf = idx;
+      if (lo < low[idx]) lo = low[idx];
+      while (lo < threshold) {
+        if (lo >= value[idx]) break;
+        if (br.read_bit())
+          value[idx] = lo;
+        else
+          lo += 1;
+      }
+      low[idx] = lo;
+    }
+    return value[leaf] < threshold;
+  }
+};
+
+constexpr int T2D_MAX_SEGS = 64;
+constexpr int T2D_MAX_CHUNKS = 160;
+
+struct CblkDecState {
+  int cx, cy, kmax;
+  bool included = false;
+  int lblock = 3;
+  int numbps = 0, imsb = 0;
+  int numpasses = 0;
+  int nsegs = 0;
+  int seg_np[T2D_MAX_SEGS];     // passes accumulated per segment
+  int seg_max[T2D_MAX_SEGS];    // termination-rule capacity
+  // Segment bytes arrive as per-packet chunks at non-contiguous body
+  // offsets; record each chunk with its segment index.
+  int nchunks = 0;
+  int chunk_seg[T2D_MAX_CHUNKS];
+  int chunk_np[T2D_MAX_CHUNKS];
+  int64_t chunk_off[T2D_MAX_CHUNKS];
+  int64_t chunk_len[T2D_MAX_CHUNKS];
+};
+
+static int dec_seg_maxpasses(int seg_index, int style) {
+  if (style & CBLKSTY_TERMALL) return 1;
+  if (style & CBLKSTY_LAZY) {
+    if (seg_index == 0) return 10;
+    return (seg_index % 2 == 1) ? 2 : 1;
+  }
+  return 109;
+}
+
+struct PrecDecState {
+  TagTreeDec incl, imsbt;
+  std::vector<CblkDecState*> cblks;
+  PrecDecState(int gw, int gh) : incl(gw, gh), imsbt(gw, gh) {}
+};
+
+}  // namespace
+
+extern "C" {
+
+// Parse all packets of one tile.
+//   body/body_len: the tile's packet bytes
+//   npackets, pkt_group[i], pkt_layer[i]: progression-ordered packet list;
+//     pkt_group indexes the precinct group, pkt_layer the quality layer
+//   ngroups; per group: gband_off[g]..gband_off[g+1] indexes into the
+//     band-precinct arrays: grid dims (int32 x2), ncblks, kmax, style
+//   per cblk (int64 x 3): cx, cy, (unused)
+//   sop/eph flags
+// Outputs per cblk: meta (int64 x 4): numbps, numpasses, nsegs, seg_base
+//   (index into seg_out); seg_out (int64 x 3 per segment): offset, length,
+//   numpasses.  Returns number of bytes consumed or -1 on error.
+int64_t grok_t2_decode_tile(
+    const uint8_t* body, int64_t body_len, int npackets,
+    const int32_t* pkt_group, const int32_t* pkt_layer, int ngroups,
+    const int32_t* gband_off, const int32_t* band_grid,
+    const int32_t* band_ncblks, const int32_t* band_kmax,
+    const int32_t* band_style, const int64_t* cblk_meta, int sop, int eph,
+    int64_t* out_meta, int64_t* seg_out, int64_t seg_cap) {
+  // Build precinct-group state.
+  int total_cblks = 0;
+  int total_bands = gband_off[ngroups];
+  std::vector<int> band_cblk_base(total_bands);
+  for (int b = 0; b < total_bands; b++) {
+    band_cblk_base[b] = total_cblks;
+    total_cblks += band_ncblks[b];
+  }
+  std::vector<CblkDecState> cblks(total_cblks);
+  for (int i = 0; i < total_cblks; i++) {
+    cblks[i].cx = (int)cblk_meta[i * 3];
+    cblks[i].cy = (int)cblk_meta[i * 3 + 1];
+  }
+  std::vector<PrecDecState> bands;
+  bands.reserve(total_bands);
+  for (int b = 0; b < total_bands; b++) {
+    bands.emplace_back(band_grid[b * 2] > 0 ? band_grid[b * 2] : 1,
+                       band_grid[b * 2 + 1] > 0 ? band_grid[b * 2 + 1] : 1);
+    for (int k = 0; k < band_ncblks[b]; k++) {
+      CblkDecState* cs = &cblks[band_cblk_base[b] + k];
+      cs->kmax = band_kmax[b];
+      bands[b].cblks.push_back(cs);
+    }
+  }
+
+  int64_t pos = 0;
+  struct PendSeg { CblkDecState* cb; int seg_idx; };
+  std::vector<PendSeg> pend;
+  std::vector<int64_t> chunk_lens;
+  for (int pi = 0; pi < npackets; pi++) {
+    if (pos >= body_len) break;
+    int g = pkt_group[pi];
+    int layer = pkt_layer[pi];
+    int b0 = gband_off[g], b1 = gband_off[g + 1];
+    int style = band_style[b0];
+    // optional SOP
+    if (sop && pos + 6 <= body_len && body[pos] == 0xFF &&
+        body[pos + 1] == 0x91)
+      pos += 6;
+    BitReader br(body, pos, body_len);
+    pend.clear();
+    if (!br.read_bit()) {
+      br.align();
+      pos = br.pos;
+      if (eph && pos + 2 <= body_len && body[pos] == 0xFF &&
+          body[pos + 1] == 0x92)
+        pos += 2;
+      continue;
+    }
+    bool bad = false;
+    for (int b = b0; b < b1 && !bad; b++) {
+      PrecDecState& pr = bands[b];
+      for (auto* cb : pr.cblks) {
+        bool inc;
+        if (!cb->included) {
+          inc = pr.incl.decode(br, cb->cx, cb->cy, layer + 1);
+        } else {
+          inc = br.read_bit() != 0;
+        }
+        if (!inc) continue;
+        if (!cb->included) {
+          int t = 1;
+          while (!pr.imsbt.decode(br, cb->cx, cb->cy, t)) t++;
+          cb->imsb = t - 1;
+          cb->numbps = cb->kmax - cb->imsb;
+          cb->included = true;
+          cb->lblock = 3;
+        }
+        int n = br.read_numpasses();
+        int increment = br.read_commacode();
+        cb->lblock += increment;
+        int remaining = n;
+        while (remaining > 0) {
+          int si;
+          if (cb->nsegs > 0 &&
+              cb->seg_np[cb->nsegs - 1] < cb->seg_max[cb->nsegs - 1]) {
+            si = cb->nsegs - 1;
+          } else {
+            if (cb->nsegs >= T2D_MAX_SEGS) { bad = true; break; }
+            si = cb->nsegs++;
+            cb->seg_np[si] = 0;
+            cb->seg_max[si] = dec_seg_maxpasses(si, style);
+          }
+          int take = remaining < cb->seg_max[si] - cb->seg_np[si]
+                         ? remaining
+                         : cb->seg_max[si] - cb->seg_np[si];
+          int fl = 0;
+          { int v = take; while (v > 1) { v >>= 1; fl++; } }
+          int64_t ln = br.read_bits(cb->lblock + fl);
+          if (cb->nchunks >= T2D_MAX_CHUNKS) { bad = true; break; }
+          int ci2 = cb->nchunks++;
+          cb->chunk_seg[ci2] = si;
+          cb->chunk_np[ci2] = take;
+          cb->chunk_len[ci2] = ln;
+          pend.push_back({cb, ci2});
+          chunk_lens.push_back(ln);
+          cb->seg_np[si] += take;
+          cb->numpasses += take;
+          remaining -= take;
+        }
+      }
+    }
+    if (bad) return -1;
+    br.align();
+    pos = br.pos;
+    if (eph && pos + 2 <= body_len && body[pos] == 0xFF &&
+        body[pos + 1] == 0x92)
+      pos += 2;
+    // body bytes in header order
+    for (size_t k = 0; k < pend.size(); k++) {
+      CblkDecState* cb = pend[k].cb;
+      int ci2 = pend[k].seg_idx;  // chunk index
+      cb->chunk_off[ci2] = pos;
+      pos += chunk_lens[k];
+    }
+    chunk_lens.clear();
+  }
+
+  // Emit outputs: per-cblk chunk lists (offset, length, segment index).
+  int64_t base = 0;
+  for (int i = 0; i < total_cblks; i++) {
+    CblkDecState& cb = cblks[i];
+    out_meta[i * 4] = cb.numbps;
+    out_meta[i * 4 + 1] = cb.numpasses;
+    out_meta[i * 4 + 2] = cb.nchunks;
+    out_meta[i * 4 + 3] = base;
+    for (int k = 0; k < cb.nchunks; k++) {
+      if (base + 1 > seg_cap) return -1;
+      seg_out[base * 3] = cb.chunk_off[k];
+      seg_out[base * 3 + 1] = cb.chunk_len[k];
+      seg_out[base * 3 + 2] = cb.chunk_seg[k];
+      base++;
+    }
+  }
+  return pos;
+}
+
+}  // extern "C"

@@ -58,7 +58,7 @@ def _load() -> ctypes.CDLL:
     lib.grok_t1_decode_batch.restype = ctypes.c_int
     lib.grok_t1_decode_batch.argtypes = [
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
     ]
     lib.grok_ht_encode.restype = ctypes.c_int
     lib.grok_ht_encode.argtypes = [
@@ -78,7 +78,7 @@ def _load() -> ctypes.CDLL:
     lib.grok_ht_decode_batch.restype = ctypes.c_int
     lib.grok_ht_decode_batch.argtypes = [
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
     ]
     return lib
 
@@ -198,7 +198,8 @@ def encode_cblk_batch(blocks: List[Tuple[np.ndarray, np.ndarray, int]],
 
 def decode_cblk_batch(blocks: List[Tuple[bytes, Optional[List[int]], int,
                                          int, int, int, int]],
-                      cblk_style: int = 0, nthreads: Optional[int] = None
+                      cblk_style: int = 0, nthreads: Optional[int] = None,
+                      signed_out: bool = False
                       ) -> List[Tuple[np.ndarray, np.ndarray]]:
     """Decode many code-blocks in one native call.
 
@@ -239,14 +240,20 @@ def decode_cblk_batch(blocks: List[Tuple[bytes, Optional[List[int]], int,
     _lib.grok_t1_decode_batch(
         n, data_flat.ctypes.data, segs_flat.ctypes.data, desc.ctypes.data,
         mag_flat.ctypes.data, neg_flat.ctypes.data,
-        nthreads if nthreads is not None else default_threads())
+        nthreads if nthreads is not None else default_threads(),
+        1 if signed_out else 0)
+    if signed_out:
+        coef = mag_flat.view(np.int32)
     results = []
     out_off = 0
     for i, (data, segs, w, h, orient, numbps, numpasses) in enumerate(blocks):
-        mag = mag_flat[out_off:out_off + w * h].reshape(h, w).copy()
-        neg = neg_flat[out_off:out_off + w * h].reshape(h, w).copy()
+        if signed_out:
+            results.append(coef[out_off:out_off + w * h].reshape(h, w))
+        else:
+            mag = mag_flat[out_off:out_off + w * h].reshape(h, w).copy()
+            neg = neg_flat[out_off:out_off + w * h].reshape(h, w).copy()
+            results.append((mag, neg))
         out_off += w * h
-        results.append((mag, neg))
     return results
 
 
@@ -313,7 +320,8 @@ def ht_encode_cblk_batch(blocks, nthreads: Optional[int] = None):
             for i in range(n)]
 
 
-def ht_decode_cblk_batch(blocks, nthreads: Optional[int] = None):
+def ht_decode_cblk_batch(blocks, nthreads: Optional[int] = None,
+                         signed_out: bool = False):
     """Batch HT decode: blocks = [(data, w, h, missing_msbs), ...] ->
     [(mag, neg), ...]."""
     n = len(blocks)
@@ -340,12 +348,18 @@ def ht_decode_cblk_batch(blocks, nthreads: Optional[int] = None):
     _lib.grok_ht_decode_batch(
         n, data_flat.ctypes.data, desc.ctypes.data, mag_flat.ctypes.data,
         neg_flat.ctypes.data,
-        nthreads if nthreads is not None else default_threads())
+        nthreads if nthreads is not None else default_threads(),
+        1 if signed_out else 0)
+    if signed_out:
+        coef = mag_flat.view(np.int32)
     out = []
     out_off = 0
     for (data, w, h, miss) in blocks:
-        mag = mag_flat[out_off:out_off + w * h].reshape(h, w).copy()
-        neg = neg_flat[out_off:out_off + w * h].reshape(h, w).copy()
+        if signed_out:
+            out.append(coef[out_off:out_off + w * h].reshape(h, w))
+        else:
+            mag = mag_flat[out_off:out_off + w * h].reshape(h, w).copy()
+            neg = neg_flat[out_off:out_off + w * h].reshape(h, w).copy()
+            out.append((mag, neg))
         out_off += w * h
-        out.append((mag, neg))
     return out

@@ -72,3 +72,85 @@ def encode_precinct_layers(precincts, numlayers: int, cblk_style: int,
         raise RuntimeError("native T2 encode overflow")
     return [bytes(out[layer_off[l]:layer_off[l + 1]])
             for l in range(numlayers)]
+
+
+_lib.grok_t2_decode_tile.restype = ctypes.c_int64
+_lib.grok_t2_decode_tile.argtypes = [
+    ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
+    ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+    ctypes.c_int64,
+]
+
+
+def decode_tile_packets(body: bytes, packets, groups, kmaxs_per_band,
+                        styles_per_band, sop: bool, eph: bool):
+    """Parse a tile's whole packet sequence natively.
+
+    packets: [(group_index, layer), ...] in progression order.
+    groups: per group, a list of PrecDec (band-precincts); their CblkDec
+    objects are filled (numbps, numpasses, segs).
+    Returns bytes consumed, or None if the native parser declined.
+    """
+    ngroups = len(groups)
+    gband_off = np.zeros(ngroups + 1, dtype=np.int32)
+    grids = []
+    ncblks = []
+    kmaxs = []
+    styles = []
+    cblks = []
+    for g, precs in enumerate(groups):
+        gband_off[g + 1] = gband_off[g] + len(precs)
+        for (pr, kmax, style) in precs:
+            grids.append((max(1, pr.geom.cblk_grid_w),
+                          max(1, pr.geom.cblk_grid_h)))
+            ncblks.append(len(pr.cblks))
+            kmaxs.append(kmax)
+            styles.append(style)
+            cblks.extend(pr.cblks)
+    nb = len(grids)
+    n = len(cblks)
+    grid_arr = np.asarray(grids, dtype=np.int32).reshape(-1)
+    if grid_arr.size == 0:
+        grid_arr = np.zeros(2, dtype=np.int32)
+    ncblk_arr = np.asarray(ncblks or [0], dtype=np.int32)
+    kmax_arr = np.asarray(kmaxs or [0], dtype=np.int32)
+    style_arr = np.asarray(styles or [0], dtype=np.int32)
+    meta = np.zeros(max(1, n * 3), dtype=np.int64)
+    for i, cb in enumerate(cblks):
+        meta[i * 3] = cb.geom.cx
+        meta[i * 3 + 1] = cb.geom.cy
+    pkt_group = np.asarray([p[0] for p in packets] or [0], dtype=np.int32)
+    pkt_layer = np.asarray([p[1] for p in packets] or [0], dtype=np.int32)
+    body_arr = np.frombuffer(body or b"\x00", dtype=np.uint8)
+    out_meta = np.zeros(max(1, n * 4), dtype=np.int64)
+    seg_cap = max(16, n * 12)
+    seg_out = np.zeros(seg_cap * 3, dtype=np.int64)
+    rc = _lib.grok_t2_decode_tile(
+        body_arr.ctypes.data, len(body), len(packets),
+        pkt_group.ctypes.data, pkt_layer.ctypes.data, ngroups,
+        gband_off.ctypes.data, grid_arr.ctypes.data, ncblk_arr.ctypes.data,
+        kmax_arr.ctypes.data, style_arr.ctypes.data, meta.ctypes.data,
+        1 if sop else 0, 1 if eph else 0, out_meta.ctypes.data,
+        seg_out.ctypes.data, seg_cap)
+    if rc < 0:
+        return None
+    from ..codestream.t2 import SegDec
+    for i, cb in enumerate(cblks):
+        cb.numbps = int(out_meta[i * 4])
+        cb.numpasses = int(out_meta[i * 4 + 1])
+        nchunks = int(out_meta[i * 4 + 2])
+        base = int(out_meta[i * 4 + 3])
+        segs = {}
+        order = []
+        for k in range(nchunks):
+            off = int(seg_out[(base + k) * 3])
+            ln = int(seg_out[(base + k) * 3 + 1])
+            si = int(seg_out[(base + k) * 3 + 2])
+            if si not in segs:
+                segs[si] = SegDec()
+                order.append(si)
+            segs[si].data += body[off:off + ln]
+        cb.segs = [segs[si] for si in order]
+    return int(rc)

@@ -78,6 +78,16 @@ def dequantize(mag: np.ndarray, neg: np.ndarray, stepsize: float,
     return np.where(neg > 0, -v, v).astype(np.float32)
 
 
+def dequantize_signed(coef: np.ndarray, stepsize: float,
+                      half_bit: bool = True) -> np.ndarray:
+    """Mid-point reconstruction from signed integer coefficients."""
+    m = np.abs(coef).astype(np.float32)
+    if half_bit:
+        m = np.where(coef != 0, m + np.float32(0.5), m)
+    v = m * np.float32(stepsize)
+    return np.where(coef < 0, -v, v).astype(np.float32)
+
+
 def to_sign_magnitude(a: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Reversible path: integer coefficients -> (mag, neg)."""
     return np.abs(a).astype(np.uint32), (a < 0).astype(np.uint8)

@@ -77,18 +77,27 @@ def encode_cblk_batch(blocks, cblk_style: int = 0):
     return [t1_np.encode_cblk(m, n, o, cblk_style) for (m, n, o) in blocks3]
 
 
-def decode_cblk_batch(blocks, cblk_style: int = 0):
+def decode_cblk_batch(blocks, cblk_style: int = 0, signed_out: bool = False):
     """Batch decode: blocks = [(data, seg_lengths, w, h, orient, numbps,
-    numpasses[, kmax]), ...] -> [(mag, neg), ...]."""
+    numpasses[, kmax]), ...] -> [(mag, neg), ...] or signed int32 arrays
+    when `signed_out`."""
     nat = _get_native()
     if cblk_style & CBLKSTY_HT:
         if nat is None:
             raise RuntimeError("HT decoding requires the native backend")
         return nat.ht_decode_cblk_batch(
             [(bytes(d), w, h, kmax - nb)
-             for (d, s, w, h, o, nb, np_, kmax) in blocks])
+             for (d, s, w, h, o, nb, np_, kmax) in blocks],
+            signed_out=signed_out)
     blocks7 = [b[:7] for b in blocks]
     if nat is not None:
-        return nat.decode_cblk_batch(blocks7, cblk_style)
-    return [t1_np.decode_cblk(d, s, w, h, o, nb, np_, cblk_style)
-            for (d, s, w, h, o, nb, np_) in blocks7]
+        return nat.decode_cblk_batch(blocks7, cblk_style,
+                                     signed_out=signed_out)
+    out = [t1_np.decode_cblk(d, s, w, h, o, nb, np_, cblk_style)
+           for (d, s, w, h, o, nb, np_) in blocks7]
+    if signed_out:
+        import numpy as _np
+        return [_np.where(neg > 0, -(mag.astype(_np.int64)),
+                          mag.astype(_np.int64)).astype(_np.int32)
+                for (mag, neg) in out]
+    return out
