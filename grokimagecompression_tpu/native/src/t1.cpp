@@ -134,6 +134,20 @@ struct MQEncoder {
     if (!out.empty() && out.back() == 0xFF) out.pop_back();
     dst.insert(dst.end(), out.begin(), out.end());
   }
+
+  // Predictable termination (PTERM; reference: mqc_enc.cpp
+  // mqc_erterm_enc).
+  void erterm_into(std::vector<uint8_t>& dst) {
+    int k = 11 - ct + 1;
+    while (k > 0) {
+      c <<= ct;
+      ct = 0;
+      byteout();
+      k -= ct;
+    }
+    if (out.empty() || out.back() != 0xFF) byteout();
+    dst.insert(dst.end(), out.begin(), out.end());
+  }
 };
 
 struct MQDecoder {
@@ -234,9 +248,21 @@ struct RawEncoder {
     }
   }
 
-  void flush_into(std::vector<uint8_t>& dst) {
+  void flush_into(std::vector<uint8_t>& dst, bool erterm = false) {
+    // Pad the partial byte with alternating 0,1,... (the reference's
+    // bypass flush does this unconditionally, mqc_bypass_flush_enc);
+    // PTERM additionally forces emission after a stuffed 0xFF.
     int full_ct = (!out.empty() && out.back() == 0xFF) ? 7 : 8;
-    if (ct < full_ct) out.push_back((uint8_t)((c << ct) & 0xFF));
+    if (ct < full_ct || (erterm && ct == 7)) {
+      uint32_t cc = c;
+      int cnt = ct, bit = 0;
+      while (cnt > 0) {
+        cnt--;
+        cc = (cc << 1) | bit;
+        bit = 1 - bit;
+      }
+      out.push_back((uint8_t)(cc & 0xFF));
+    }
     dst.insert(dst.end(), out.begin(), out.end());
   }
 };
@@ -273,6 +299,8 @@ struct RawDecoder {
 constexpr int CBLKSTY_LAZY = 0x01;
 constexpr int CBLKSTY_RESET = 0x02;
 constexpr int CBLKSTY_TERMALL = 0x04;
+constexpr int CBLKSTY_VSC = 0x08;
+constexpr int CBLKSTY_PTERM = 0x10;
 constexpr int CBLKSTY_SEGSYM = 0x20;
 
 constexpr int PASS_SIG = 0, PASS_REF = 1, PASS_CLN = 2;
@@ -315,11 +343,12 @@ static const int SC_SPB2[9] = {1, 1, 1, 1, 0, 0, 0, 0, 0};
 // ZC context comes from a 512-entry LUT per orientation.
 struct BlockState {
   int w, h, orient, stride;
+  bool vsc;
   std::vector<uint16_t> nbh;   // padded (h+2) x (w+2)
   std::vector<uint8_t> sig, neg, visited, refined;  // w*h
 
-  BlockState(int w_, int h_, int orient_)
-      : w(w_), h(h_), orient(orient_), stride(w_ + 2),
+  BlockState(int w_, int h_, int orient_, bool vsc_ = false)
+      : w(w_), h(h_), orient(orient_), stride(w_ + 2), vsc(vsc_),
         nbh((w_ + 2) * (h_ + 2), 0),
         sig(w_ * h_, 0), neg(w_ * h_, 0), visited(w_ * h_, 0),
         refined(w_ * h_, 0) {}
@@ -332,11 +361,16 @@ struct BlockState {
     uint16_t* p = &nbh[pidx(x, y)];
     p[-1] += 1;            // left:   horizontal count
     p[+1] += 1;            // right
-    p[-stride] += 4;       // up:     vertical count (bit 2)
+    // VSC (stripe-causal): a stripe's first row does not propagate into
+    // the stripe above (so the row above never sees it as significant).
+    bool up_ok = !(vsc && (y & 3) == 0);
+    if (up_ok) {
+      p[-stride] += 4;     // up:     vertical count (bit 2)
+      p[-stride - 1] += 16;
+      p[-stride + 1] += 16;
+    }
     p[+stride] += 4;       // down
-    p[-stride - 1] += 16;  // diagonals (bit 4)
-    p[-stride + 1] += 16;
-    p[+stride - 1] += 16;
+    p[+stride - 1] += 16;  // diagonals (bit 4)
     p[+stride + 1] += 16;
   }
 
@@ -355,7 +389,8 @@ struct BlockState {
     int hc = contrib(x - 1, y) + contrib(x + 1, y);
     if (hc > 1) hc = 1;
     if (hc < -1) hc = -1;
-    int vc = contrib(x, y - 1) + contrib(x, y + 1);
+    int below = (vsc && (y & 3) == 3) ? 0 : contrib(x, y + 1);
+    int vc = contrib(x, y - 1) + below;
     if (vc > 1) vc = 1;
     if (vc < -1) vc = -1;
     int k = (hc + 1) * 3 + (vc + 1);
@@ -414,13 +449,14 @@ static int encode_cblk(const uint32_t* mag, const uint8_t* negp, int w, int h,
   *numpasses_out = 0;
   if (numbps == 0) return 0;
 
-  BlockState st(w, h, orient);
+  BlockState st(w, h, orient, (style & CBLKSTY_VSC) != 0);
   std::memcpy(st.neg.data(), negp, w * h);
 
   bool lazy = style & CBLKSTY_LAZY;
   bool termall = style & CBLKSTY_TERMALL;
   bool reset = style & CBLKSTY_RESET;
   bool segsym = style & CBLKSTY_SEGSYM;
+  bool pterm = style & CBLKSTY_PTERM;
 
   CtxState ctx[NUM_CTXS];
   init_states(ctx);
@@ -578,8 +614,9 @@ static int encode_cblk(const uint32_t* mag, const uint8_t* negp, int w, int h,
 
       bool terminated = false;
       if (termall || is_last || (lazy && lazy_boundary(passno, ptype))) {
-        if (raw) raw_enc.flush_into(out);
+        if (raw) raw_enc.flush_into(out, pterm);
         else {
+          // PTERM uses the standard FLUSH (see t1_np.py note).
           mq.flush_into(out);
           ctx_saved = !reset;
         }
@@ -619,7 +656,7 @@ static void decode_cblk(const uint8_t* data, int len, const int32_t* seg_lens,
   std::memset(neg, 0, (size_t)w * h);
   if (numpasses == 0 || numbps == 0) return;
 
-  BlockState st(w, h, orient);
+  BlockState st(w, h, orient, (style & CBLKSTY_VSC) != 0);
   bool lazy = style & CBLKSTY_LAZY;
   bool termall = style & CBLKSTY_TERMALL;
   bool reset = style & CBLKSTY_RESET;

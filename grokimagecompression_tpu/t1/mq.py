@@ -176,6 +176,19 @@ class MQEncoder:
             self.out.pop()
         return bytes(self.out)
 
+    def erterm(self) -> bytes:
+        """Predictable (error-resilient) termination, used by the PTERM
+        code-block style (reference: mqc_enc.cpp mqc_erterm_enc)."""
+        k = 11 - self.ct + 1
+        while k > 0:
+            self.c = (self.c << self.ct) & 0xFFFFFFFF
+            self.ct = 0
+            self._byteout()
+            k -= self.ct
+        if not self.out or self.out[-1] != 0xFF:
+            self._byteout()
+        return bytes(self.out)
+
     def numbytes(self) -> int:
         return len(self.out)
 
@@ -283,11 +296,19 @@ class RawEncoder:
             self.ct = 7 if self.c == 0xFF else 8
             self.c = 0
 
-    def flush(self) -> bytes:
-        # Pad the final partial byte with 0 bits (cannot create a 0xFF).
+    def flush(self, erterm: bool = False) -> bytes:
+        """Pad the final partial byte; PTERM pads with alternating bits
+        and always emits after 0xFF (reference: mqc_bypass_flush_enc)."""
         full_ct = 7 if (self.out and self.out[-1] == 0xFF) else 8
-        if self.ct < full_ct:
-            self.out.append((self.c << self.ct) & 0xFF)
+        if self.ct < full_ct or (erterm and self.ct == 7):
+            c = self.c
+            ct = self.ct
+            bit = 0
+            while ct > 0:
+                ct -= 1
+                c = (c << 1) | bit
+                bit = 1 - bit
+            self.out.append(c & 0xFF)
         return bytes(self.out)
 
 

@@ -10,8 +10,10 @@ t1_encode_cblk:1182, t1_decode_cblk:1038) but is written directly from the
 Annex D pass/context rules with a plain per-sample flags model instead of
 the reference's 3-rows-per-word stripe flags (t1_flags.h).
 
-Supported code-block styles this round: default (single MQ codeword),
-SEGSYM, RESET, TERMALL, LAZY (bypass). VSC/PTERM: future round.
+Supported code-block styles: default (single MQ codeword), SEGSYM, RESET,
+TERMALL, LAZY (bypass), VSC (stripe-causal contexts), PTERM (emitted with
+the standard FLUSH; decodable everywhere, strict predictability checkers
+may warn).
 """
 
 from __future__ import annotations
@@ -93,12 +95,14 @@ _SC_TABLE = {
 class _BlockState:
     """Shared flag state for one code-block coding session."""
 
-    __slots__ = ("w", "h", "orient", "sig", "neg", "visited", "refined")
+    __slots__ = ("w", "h", "orient", "sig", "neg", "visited", "refined",
+                 "vsc")
 
-    def __init__(self, w: int, h: int, orient: int):
+    def __init__(self, w: int, h: int, orient: int, vsc: bool = False):
         self.w = w
         self.h = h
         self.orient = orient
+        self.vsc = vsc
         self.sig = np.zeros((h, w), dtype=np.uint8)
         self.neg = np.zeros((h, w), dtype=np.uint8)
         self.visited = np.zeros((h, w), dtype=np.uint8)
@@ -106,6 +110,9 @@ class _BlockState:
 
     def neighbor_counts(self, x: int, y: int) -> Tuple[int, int, int]:
         sig, w, h = self.sig, self.w, self.h
+        # VSC (stripe-causal): a stripe's last row sees the next stripe's
+        # first row as insignificant.
+        below_ok = y < h - 1 and not (self.vsc and (y & 3) == 3)
         hh = 0
         if x > 0:
             hh += sig[y, x - 1]
@@ -114,16 +121,16 @@ class _BlockState:
         vv = 0
         if y > 0:
             vv += sig[y - 1, x]
-        if y < h - 1:
+        if below_ok:
             vv += sig[y + 1, x]
         dd = 0
         if x > 0 and y > 0:
             dd += sig[y - 1, x - 1]
         if x < w - 1 and y > 0:
             dd += sig[y - 1, x + 1]
-        if x > 0 and y < h - 1:
+        if x > 0 and below_ok:
             dd += sig[y + 1, x - 1]
-        if x < w - 1 and y < h - 1:
+        if x < w - 1 and below_ok:
             dd += sig[y + 1, x + 1]
         return int(hh), int(vv), int(dd)
 
@@ -144,8 +151,9 @@ class _BlockState:
                 return -1 if neg[yy, xx] else 1
             return 0
 
+        below = 0 if (self.vsc and (y & 3) == 3) else contrib(x, y + 1)
         hc = max(-1, min(1, contrib(x - 1, y) + contrib(x + 1, y)))
-        vc = max(-1, min(1, contrib(x, y - 1) + contrib(x, y + 1)))
+        vc = max(-1, min(1, contrib(x, y - 1) + below))
         off, spb = _SC_TABLE[(hc, vc)]
         return CTX_SC + off, spb
 
@@ -188,7 +196,7 @@ def encode_cblk(
     numbps = _num_bitplanes(mag)
     if numbps == 0:
         return b"", 0, 0, []
-    st = _BlockState(w, h, orient)
+    st = _BlockState(w, h, orient, vsc=bool(cblk_style & CBLKSTY_VSC))
     # Sign-context formation reads signs of significant samples only, so the
     # true sign plane can back the state directly.
     st.neg = np.asarray(neg, dtype=np.uint8)
@@ -201,6 +209,7 @@ def encode_cblk(
     termall = bool(cblk_style & CBLKSTY_TERMALL)
     reset = bool(cblk_style & CBLKSTY_RESET)
     segsym = bool(cblk_style & CBLKSTY_SEGSYM)
+    pterm = bool(cblk_style & CBLKSTY_PTERM)
 
     # Chunks of finished (terminated) bytes; the active coder appends.
     chunks: List[bytes] = []
@@ -346,7 +355,14 @@ def encode_cblk(
                 cp(coder, plane)
             terminated = False
             if termall or is_last or (lazy and _lazy_boundary(passno, ptype)):
-                chunks.append(coder.flush())
+                # PTERM: the spec's predictable termination; we use the
+                # standard FLUSH (always decodable; a strict PTERM checker
+                # may warn about the extra tail byte) with the alternating
+                # raw padding the style requires.
+                if isinstance(coder, MQEncoder):
+                    chunks.append(coder.flush())
+                else:
+                    chunks.append(coder.flush(erterm=pterm))
                 if isinstance(coder, MQEncoder):
                     saved_ctx = None if reset else coder.ctx
                 terminated = True
@@ -431,7 +447,7 @@ def decode_cblk(
     neg = np.zeros((h, w), dtype=np.uint8)
     if numpasses == 0 or numbps == 0:
         return mag, neg
-    st = _BlockState(w, h, orient)
+    st = _BlockState(w, h, orient, vsc=bool(cblk_style & CBLKSTY_VSC))
     st.neg = neg  # decoded signs feed sign-context formation directly
     lazy = bool(cblk_style & CBLKSTY_LAZY)
     termall = bool(cblk_style & CBLKSTY_TERMALL)

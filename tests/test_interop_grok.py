@@ -223,3 +223,32 @@ def test_grok_to_ours_modes(tmp_path):
 def test_grok_to_ours_lazy(tmp_path):
     ours_roundtrip_grok(tmp_path, synth(48, 48, seed=29),
                         extra_args=["-M", "1"])
+
+
+@pytest.mark.parametrize("mode", [8, 9, 16, 24, 63])
+def test_mode_switch_interop(tmp_path, mode):
+    """VSC/PTERM/compound mode switches interop in both directions."""
+    import subprocess
+    from grokimagecompression_tpu.codestream import decoder as _dec
+    from grokimagecompression_tpu.codestream import encoder as _enc
+    from grokimagecompression_tpu.core.image import Component, Image
+    rng = np.random.default_rng(mode)
+    data = rng.integers(0, 256, (90, 120)).astype(np.int32)
+    img = Image(xsiz=120, ysiz=90, components=[
+        Component(data=data, prec=8, signed=False, dx=1, dy=1)])
+    src = tmp_path / "in.pgm"
+    write_pnm(str(src), img)
+    j2k = tmp_path / "m.j2k"
+    subprocess.run([GRK_COMPRESS, "-i", str(src), "-o", str(j2k),
+                    "-M", str(mode)], check=True, capture_output=True)
+    out = _dec.decode(j2k.read_bytes())
+    np.testing.assert_array_equal(out.components[0].data, data)
+    # reverse: our stream with the same style
+    cs = _enc.encode(img, EncoderParams(numresolutions=4, cblk_style=mode))
+    ours = tmp_path / "ours.j2k"
+    ours.write_bytes(cs)
+    dec = tmp_path / "ours.pgm"
+    subprocess.run([GRK_DECOMPRESS, "-i", str(ours), "-o", str(dec)],
+                   check=True, capture_output=True)
+    rec = read_pnm(str(dec)).components[0].data
+    np.testing.assert_array_equal(rec, data)

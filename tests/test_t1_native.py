@@ -92,3 +92,21 @@ def test_python_decode_of_native_stream():
     data, numbps, npasses, _ = t1_native.encode_cblk(mag, neg, 2, 0)
     m2, n2 = t1_np.decode_cblk(data, None, 17, 33, 2, numbps, npasses, 0)
     np.testing.assert_array_equal(m2, mag)
+
+
+@pytest.mark.parametrize("style", [0x08, 0x09, 0x10, 0x18, 0x2D, 0x3F])
+def test_vsc_pterm_styles(style):
+    rng = np.random.default_rng(style + 77)
+    for _ in range(3):
+        h, w = [int(v) for v in rng.integers(1, 65, 2)]
+        orient = int(rng.integers(0, 4))
+        mag = rng.integers(0, 1 << 10, (h, w)).astype(np.uint32)
+        neg = rng.integers(0, 2, (h, w)).astype(np.uint8)
+        ref = t1_np.encode_cblk(mag, neg, orient, style)
+        nat = t1_native.encode_cblk(mag, neg, orient, style)
+        assert ref[0] == nat[0]
+        segs = _seg_lengths(ref[3])
+        m2, n2 = t1_native.decode_cblk(
+            ref[0], segs if len(segs) > 1 else None, w, h, orient,
+            ref[1], ref[2], style)
+        np.testing.assert_array_equal(m2, mag)
