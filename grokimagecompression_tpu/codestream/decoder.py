@@ -34,6 +34,7 @@ class CodestreamHeader:
     qcd_comp: Optional[List[Optional[QcdInfo]]] = None  # QCC overrides
     pocs: Optional[list] = None                          # POC entries
     tlm: Optional[list] = None                           # (tile, length)
+    roishifts: Optional[List[int]] = None                # RGN per comp
 
 
 @dataclasses.dataclass
@@ -57,6 +58,7 @@ def read_header(data: bytes) -> CodestreamHeader:
     comments: List[str] = []
     coc_raw = []
     qcc_raw = []
+    rgn_raw = []
     pocs = None
     tlm = None
     while pos + 4 <= len(data):
@@ -79,6 +81,8 @@ def read_header(data: bytes) -> CodestreamHeader:
             pocs = payload  # parsed below once ncomps is known
         elif marker == markers.TLM:
             tlm = markers.parse_tlm(payload)
+        elif marker == markers.RGN:
+            rgn_raw.append(payload)
         elif marker == markers.COM:
             if len(payload) >= 2:
                 comments.append(payload[2:].decode("latin-1", "replace"))
@@ -100,9 +104,17 @@ def read_header(data: bytes) -> CodestreamHeader:
             compno, qq = markers.parse_qcc(payload, ncomps)
             qcd_comp[compno] = qq
     poc_entries = markers.parse_poc(pocs, ncomps) if pocs else None
+    roishifts = None
+    if rgn_raw:
+        roishifts = [0] * ncomps
+        for payload in rgn_raw:
+            compno, srgn, shift = markers.parse_rgn(payload, ncomps)
+            if srgn == 0:
+                roishifts[compno] = shift
     return CodestreamHeader(siz=siz, cod=cod, qcd=qcd, comments=comments,
                             main_header_end=pos, cod_comp=cod_comp,
-                            qcd_comp=qcd_comp, pocs=poc_entries, tlm=tlm)
+                            qcd_comp=qcd_comp, pocs=poc_entries, tlm=tlm,
+                            roishifts=roishifts)
 
 
 def iter_tile_parts(data: bytes, start: int):
@@ -237,7 +249,7 @@ def decode(data: bytes, params: Optional[DecoderParams] = None) -> Image:
         tcomps = decode_tile(body, siz, tcod, tqcd, tr, reduce=reduce,
                              max_layers=params.layers, window=win,
                              cod_comp=cod_comp, qcd_comp=qcd_comp,
-                             pocs=pocs)
+                             pocs=pocs, roishifts=hdr.roishifts)
         for c, arr in enumerate(tcomps):
             cs = siz.comps[c]
             # Reduced tile-component rect origin.

@@ -138,6 +138,15 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
     out += markers.write_qcd(qcd)
     if params.pocs:
         out += markers.write_poc(params.pocs, len(siz.comps))
+    roishifts = None
+    if params.roi_comp is not None and params.roi_shift > 0:
+        if is_ht:
+            raise ValueError("ROI upshift is not supported with the HT "
+                             "block coder")
+        roishifts = [0] * len(siz.comps)
+        roishifts[params.roi_comp] = params.roi_shift
+        out += markers.write_rgn(params.roi_comp, params.roi_shift,
+                                 len(siz.comps))
     if params.comment:
         out += markers.write_com(params.comment)
 
@@ -163,7 +172,8 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
                                          layer_alloc=layer_alloc,
                                          coeff_bands=coeff_bands,
                                          cod_comp=cod_comp,
-                                         pocs=params.pocs or None)
+                                         pocs=params.pocs or None,
+                                         roishifts=roishifts)
         psot = 12 + 2 + len(res.body)  # SOT(12) + SOD(2) + body
         tile_parts += markers.write_sot(SotInfo(tile_index=t, psot=psot))
         tile_parts += markers.write_sod()

@@ -400,3 +400,22 @@ def parse_tlm(payload: bytes):
         out.append((t, ln))
         i += 1
     return out
+
+
+def write_rgn(compno: int, shift: int, ncomps: int) -> bytes:
+    """RGN marker (A.6.3): component ROI upshift, Srgn=0 (implicit)."""
+    payload = struct.pack(">H" if ncomps > 256 else ">B", compno)
+    payload += struct.pack(">BB", 0, shift)
+    return _seg(RGN, payload)
+
+
+def parse_rgn(payload: bytes, ncomps: int):
+    if ncomps > 256:
+        compno = struct.unpack(">H", payload[:2])[0]
+        off = 2
+    else:
+        compno = payload[0]
+        off = 1
+    srgn = payload[off]
+    shift = payload[off + 1]
+    return compno, srgn, shift

@@ -62,7 +62,13 @@ def _band_index(r: int, orient: int) -> int:
 
 
 def build_comp_plan(siz: SizInfo, cod: CodInfo, qcd: QcdInfo,
-                    tile: Rect, compno: int) -> TileCompPlan:
+                    tile: Rect, compno: int,
+                    roishift: int = 0) -> TileCompPlan:
+    """`roishift` (RGN marker) inflates Kmax like the reference quantizer
+    (reference: Quantizer.cpp:91 band->numbps = roishift + expn + gb - 1);
+    the coefficient data itself stays unshifted on the wire — the upshift
+    exists in the signalled missing-bit-plane budget, which is what gives
+    the component of interest earlier truncation priority."""
     comp = siz.comps[compno]
     tc = component_rect(tile, comp.dx, comp.dy)
     precincts = tuple(cod.precincts) if cod.precincts else None
@@ -90,7 +96,7 @@ def build_comp_plan(siz: SizInfo, cod: CodInfo, qcd: QcdInfo,
                 expn = e0 - nl + nb
                 mant = m0
                 stepsize = quant.decode_stepsize(expn, mant, comp.prec + gain)
-            kmax = qcd.num_guard_bits + expn - 1
+            kmax = qcd.num_guard_bits + expn - 1 + roishift
             bands[(r, orient)] = BandPlan(
                 r=r, orient=orient, rect=band.rect, gain=gain,
                 expn=expn, mant=mant, stepsize=stepsize, kmax=kmax)
@@ -168,6 +174,7 @@ def encode_tile(
     cod_comp: Optional[List[CodInfo]] = None,
     qcd_comp: Optional[List[QcdInfo]] = None,
     pocs=None,
+    roishifts: Optional[List[int]] = None,
 ) -> TileEncResult:
     """Encode one tile to its packet body bytes.
 
@@ -184,7 +191,8 @@ def encode_tile(
             for c in range(ncomps)]
     qcds = [qcd_comp[c] if qcd_comp and qcd_comp[c] else qcd
             for c in range(ncomps)]
-    plans = [build_comp_plan(siz, cods[c], qcds[c], tile, c)
+    plans = [build_comp_plan(siz, cods[c], qcds[c], tile, c,
+                             roishifts[c] if roishifts else 0)
              for c in range(ncomps)]
     reversible = cod.transform == Transform.DWT_53
 
@@ -440,6 +448,7 @@ def decode_tile(
     cod_comp: Optional[List[CodInfo]] = None,
     qcd_comp: Optional[List[QcdInfo]] = None,
     pocs=None,
+    roishifts: Optional[List[int]] = None,
 ) -> List[np.ndarray]:
     """Decode one tile's packet body back to component sample arrays.
 
@@ -453,7 +462,8 @@ def decode_tile(
             for c in range(ncomps)]
     qcds = [qcd_comp[c] if qcd_comp and qcd_comp[c] else qcd
             for c in range(ncomps)]
-    plans = [build_comp_plan(siz, cods[c], qcds[c], tile, c)
+    plans = [build_comp_plan(siz, cods[c], qcds[c], tile, c,
+                             roishifts[c] if roishifts else 0)
              for c in range(ncomps)]
     reversible = cod.transform == Transform.DWT_53
 

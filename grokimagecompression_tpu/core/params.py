@@ -94,6 +94,10 @@ class EncoderParams:
     # Per-component code-block exponent overrides {compno: (wexp, hexp)}
     # signalled via COC markers.
     comp_cblk_exps: Optional[dict] = None
+    # ROI: upshift this component's quantization indices (RGN marker,
+    # maxshift-style 'component of interest' like the reference -R flag).
+    roi_comp: Optional[int] = None
+    roi_shift: int = 0
 
     def precinct_exps_for(self, numresolutions: int) -> Tuple[Tuple[int, int], ...]:
         """Resolve per-resolution (PPx, PPy), indexed by r = 0..NL.
