@@ -35,6 +35,7 @@ class CodestreamHeader:
     pocs: Optional[list] = None                          # POC entries
     tlm: Optional[list] = None                           # (tile, length)
     roishifts: Optional[List[int]] = None                # RGN per comp
+    custom_mct: Optional[tuple] = None                   # (matrix, offsets)
 
 
 @dataclasses.dataclass
@@ -59,6 +60,7 @@ def read_header(data: bytes) -> CodestreamHeader:
     coc_raw = []
     qcc_raw = []
     rgn_raw = []
+    mct_raw = []
     pocs = None
     tlm = None
     while pos + 4 <= len(data):
@@ -83,6 +85,8 @@ def read_header(data: bytes) -> CodestreamHeader:
             tlm = markers.parse_tlm(payload)
         elif marker == markers.RGN:
             rgn_raw.append(payload)
+        elif marker == markers.MCT:
+            mct_raw.append(payload)
         elif marker == markers.COM:
             if len(payload) >= 2:
                 comments.append(payload[2:].decode("latin-1", "replace"))
@@ -111,10 +115,24 @@ def read_header(data: bytes) -> CodestreamHeader:
             compno, srgn, shift = markers.parse_rgn(payload, ncomps)
             if srgn == 0:
                 roishifts[compno] = shift
+    custom_mct = None
+    if mct_raw:
+        matrix = offsets = None
+        n = ncomps
+        for payload in mct_raw:
+            idx, at, et, data = markers.parse_mct_record(payload)
+            if at == markers.MCT_ARRAY_DECORRELATION and data.size == n * n:
+                matrix = data.reshape(n, n)
+            elif at == markers.MCT_ARRAY_OFFSET and data.size == n:
+                offsets = data
+        if matrix is not None:
+            if offsets is None:
+                offsets = np.zeros(n, dtype=np.float32)
+            custom_mct = (matrix, offsets)
     return CodestreamHeader(siz=siz, cod=cod, qcd=qcd, comments=comments,
                             main_header_end=pos, cod_comp=cod_comp,
                             qcd_comp=qcd_comp, pocs=poc_entries, tlm=tlm,
-                            roishifts=roishifts)
+                            roishifts=roishifts, custom_mct=custom_mct)
 
 
 def iter_tile_parts(data: bytes, start: int):
@@ -169,6 +187,8 @@ def decode(data: bytes, params: Optional[DecoderParams] = None) -> Image:
         data = jp2.extract_codestream(data)
     hdr = read_header(data)
     siz, cod, qcd = hdr.siz, hdr.cod, hdr.qcd
+    if hdr.custom_mct is not None:
+        cod = dataclasses.replace(cod, mct=2)
 
     ntx, nty = tile_grid_size(siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
                               siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
@@ -249,7 +269,8 @@ def decode(data: bytes, params: Optional[DecoderParams] = None) -> Image:
         tcomps = decode_tile(body, siz, tcod, tqcd, tr, reduce=reduce,
                              max_layers=params.layers, window=win,
                              cod_comp=cod_comp, qcd_comp=qcd_comp,
-                             pocs=pocs, roishifts=hdr.roishifts)
+                             pocs=pocs, roishifts=hdr.roishifts,
+                             custom_mct=hdr.custom_mct)
         for c, arr in enumerate(tcomps):
             cs = siz.comps[c]
             # Reduced tile-component rect origin.

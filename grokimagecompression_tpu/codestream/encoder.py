@@ -41,6 +41,23 @@ def build_siz(image: Image, params: EncoderParams) -> SizInfo:
 
 
 def build_cod(image: Image, params: EncoderParams) -> CodInfo:
+    if params.custom_mct is not None:
+        mct = 2
+        precincts = (params.precinct_exps_for(params.numresolutions)
+                     if params.precincts is not None else None)
+        return CodInfo(
+            progression=params.progression,
+            numlayers=params.numlayers,
+            mct=2,
+            numresolutions=params.numresolutions,
+            cblk_w_exp=params.cblk_w_exp,
+            cblk_h_exp=params.cblk_h_exp,
+            cblk_style=params.cblk_style,
+            transform=params.transform,
+            precincts=precincts,
+            sop=params.sop_markers,
+            eph=params.eph_markers,
+        )
     mct = params.mct
     if mct is None:
         same = (
@@ -120,9 +137,39 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
             cod_comp[compno] = dataclasses.replace(
                 cod, cblk_w_exp=we, cblk_h_exp=he)
 
+    custom_coding_matrix = None
+    if params.custom_mct is not None:
+        import numpy as _np
+        from ..ops.linalg import lup_inverse
+        if cod.transform != Transform.DWT_97:
+            raise ValueError("custom MCT requires the 9/7 transform")
+        decode_matrix = _np.asarray(params.custom_mct, _np.float32)
+        n = len(siz.comps)
+        if decode_matrix.shape != (n, n):
+            raise ValueError("custom MCT matrix must be ncomps x ncomps")
+        custom_coding_matrix = lup_inverse(decode_matrix)
+        siz = dataclasses.replace(siz, rsiz=siz.rsiz | 0x8000 | 0x0100)
+        # Part-2 signalling: CBD + MCT records (decode matrix + DC
+        # offsets) + MCC + MCO (reference: j2k_setup_mct_encoding:2580).
+        out_extra = markers.write_cbd(siz.comps)
+        out_extra += markers.write_mct_record(
+            1, markers.MCT_ARRAY_DECORRELATION, decode_matrix)
+        offsets = [0 if c.signed else (1 << (c.prec - 1))
+                   for c in siz.comps]
+        out_extra += markers.write_mct_record(
+            2, markers.MCT_ARRAY_OFFSET, _np.asarray(offsets, _np.float32))
+        out_extra += markers.write_mcc(n, 1, 2)
+        out_extra += markers.write_mco([0])
+    else:
+        out_extra = b""
+
     out = bytearray()
     out += markers.write_soc()
     out += markers.write_siz(siz)
+    # Custom MCT wire format matches the reference ENCODER: SGcod mct=2 +
+    # CBD/MCT/MCC/MCO records. (Note: the reference's own DECODER rejects
+    # mct=2 — its custom-MCT decode path is unreachable; ours accepts it.)
+    wire_cod = cod
     if is_ht:
         reversible = cod.transform == Transform.DWT_53
         if qcd.style == QuantStyle.NONE:
@@ -130,7 +177,7 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
         else:
             max_mb = max(e + qcd.num_guard_bits - 1 for (e, m) in qcd.steps)
         out += markers.write_cap(reversible, max_mb)
-    out += markers.write_cod(cod)
+    out += markers.write_cod(wire_cod)
     if cod_comp:
         for compno, cc in enumerate(cod_comp):
             if cc is not None:
@@ -138,6 +185,7 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
     out += markers.write_qcd(qcd)
     if params.pocs:
         out += markers.write_poc(params.pocs, len(siz.comps))
+
     roishifts = None
     if params.roi_comp is not None and params.roi_shift > 0:
         if is_ht:
@@ -147,6 +195,7 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
         roishifts[params.roi_comp] = params.roi_shift
         out += markers.write_rgn(params.roi_comp, params.roi_shift,
                                  len(siz.comps))
+    out += out_extra
     if params.comment:
         out += markers.write_com(params.comment)
 
@@ -173,7 +222,9 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
                                          coeff_bands=coeff_bands,
                                          cod_comp=cod_comp,
                                          pocs=params.pocs or None,
-                                         roishifts=roishifts)
+                                         roishifts=roishifts,
+                                         custom_mct_matrix=
+                                         custom_coding_matrix)
         psot = 12 + 2 + len(res.body)  # SOT(12) + SOD(2) + body
         tile_parts += markers.write_sot(SotInfo(tile_index=t, psot=psot))
         tile_parts += markers.write_sod()

@@ -419,3 +419,97 @@ def parse_rgn(payload: bytes, ncomps: int):
     srgn = payload[off]
     shift = payload[off + 1]
     return compno, srgn, shift
+
+
+# ---------------------------------------------------------------------------
+# Custom MCT (Part 2): MCT / MCC / MCO / CBD markers
+# ---------------------------------------------------------------------------
+
+MCT = 0xFF74
+MCC = 0xFF75
+MCO = 0xFF77
+
+MCT_ARRAY_DEPENDENCY = 0
+MCT_ARRAY_DECORRELATION = 1
+MCT_ARRAY_OFFSET = 2
+MCT_ELEM_FLOAT = 2
+
+
+def write_mct_record(index: int, array_type: int, data) -> bytes:
+    """One MCT marker holding a float32 array (reference:
+    j2k.cpp j2k_write_mct_record)."""
+    import numpy as np
+    arr = np.asarray(data, dtype=">f4").ravel()
+    tmp = (index & 0xFF) | (array_type << 8) | (MCT_ELEM_FLOAT << 10)
+    payload = struct.pack(">HHH", 0, tmp, 0) + arr.tobytes()
+    return _seg(MCT, payload)
+
+
+def parse_mct_record(payload: bytes):
+    """Returns (index, array_type, element_type, float32 array)."""
+    import numpy as np
+    zmct, tmp, ymct = struct.unpack(">HHH", payload[:6])
+    index = tmp & 0xFF
+    array_type = (tmp >> 8) & 0x3
+    elem_type = (tmp >> 10) & 0x3
+    data = np.frombuffer(payload[6:], dtype=">f4").astype(np.float32)
+    return index, array_type, elem_type, data
+
+
+def write_mcc(ncomps: int, deco_index: int, offset_index: int,
+              irreversible: bool = True, index: int = 0) -> bytes:
+    wide = ncomps > 255
+    mask = 0x8000 if wide else 0
+    fmt = ">H" if wide else ">B"
+    payload = struct.pack(">HBH", 0, index, 0)       # Zmcc, Imcc, Ymcc
+    payload += struct.pack(">H", 1)                   # Qmcc: 1 collection
+    payload += struct.pack(">B", 0x1)                 # Xmcci: array-based
+    payload += struct.pack(">H", ncomps | mask)
+    for i in range(ncomps):
+        payload += struct.pack(fmt, i)
+    payload += struct.pack(">H", ncomps | mask)
+    for i in range(ncomps):
+        payload += struct.pack(fmt, i)
+    tmcc = ((0 if irreversible else 1) << 16) | deco_index         | (offset_index << 8)
+    payload += struct.pack(">I", tmcc)[1:]            # 24-bit
+    return _seg(MCC, payload)
+
+
+def parse_mcc(payload: bytes):
+    """Returns (index, deco_index, offset_index, irreversible)."""
+    zmcc, imcc, ymcc, qmcc = struct.unpack(">HBHH", payload[:7])
+    pos = 7
+    xmcci = payload[pos]
+    pos += 1
+    n_in = struct.unpack(">H", payload[pos:pos + 2])[0]
+    wide = bool(n_in & 0x8000)
+    n_in &= 0x7FFF
+    pos += 2 + n_in * (2 if wide else 1)
+    n_out = struct.unpack(">H", payload[pos:pos + 2])[0] & 0x7FFF
+    pos += 2 + n_out * (2 if wide else 1)
+    tmcc = struct.unpack(">I", b"\x00" + payload[pos:pos + 3])[0]
+    deco = tmcc & 0xFF
+    off = (tmcc >> 8) & 0xFF
+    irreversible = ((tmcc >> 16) & 1) == 0
+    return imcc, deco, off, irreversible
+
+
+def write_mco(mcc_indices) -> bytes:
+    payload = struct.pack(">B", len(mcc_indices))
+    for i in mcc_indices:
+        payload += struct.pack(">B", i)
+    return _seg(MCO, payload)
+
+
+def parse_mco(payload: bytes):
+    n = payload[0]
+    return [payload[1 + i] for i in range(n)]
+
+
+def write_cbd(comps) -> bytes:
+    """CBD: component bit-depth definitions (needed with Part-2 MCT)."""
+    payload = struct.pack(">H", len(comps))
+    for c in comps:
+        payload += struct.pack(">B", ((1 if c.signed else 0) << 7)
+                               | (c.prec - 1))
+    return _seg(CBD, payload)

@@ -29,6 +29,7 @@ from ..core.geometry import (
 from ..core.params import Progression, QuantStyle, Transform
 from ..ops import dwt_host, dwt_np, mct_np, quant
 from ..t1 import backend as t1_backend
+from ..utils import trace
 from .markers import CodInfo, QcdInfo, SizInfo
 from .packetiter import CompIterInfo, packet_order
 from .t2 import CblkDec, CblkEnc, PrecDec, PrecEnc, decode_packet, encode_packet
@@ -143,7 +144,8 @@ class TileEncResult:
 
 
 def _apply_fwd_transforms(comps_data: List[np.ndarray], plans,
-                          cod: CodInfo) -> List[np.ndarray]:
+                          cod: CodInfo,
+                          custom_matrix=None) -> List[np.ndarray]:
     """DC shift + MCT; returns per-comp arrays ready for DWT."""
     reversible = cod.transform == Transform.DWT_53
     out = []
@@ -151,7 +153,9 @@ def _apply_fwd_transforms(comps_data: List[np.ndarray], plans,
         p = plans[c]
         a = mct_np.dc_shift_fwd(a.astype(np.int32), p.prec, p.signed)
         out.append(a)
-    if cod.mct and len(out) >= 3:
+    if cod.mct == 2 and custom_matrix is not None:
+        out = mct_np.custom_fwd(out, custom_matrix)
+    elif cod.mct and len(out) >= 3:
         if reversible:
             y, u, v = mct_np.rct_fwd(out[0], out[1], out[2])
         else:
@@ -175,6 +179,7 @@ def encode_tile(
     qcd_comp: Optional[List[QcdInfo]] = None,
     pocs=None,
     roishifts: Optional[List[int]] = None,
+    custom_mct_matrix=None,
 ) -> TileEncResult:
     """Encode one tile to its packet body bytes.
 
@@ -197,14 +202,19 @@ def encode_tile(
     reversible = cod.transform == Transform.DWT_53
 
     if coeff_bands is None:
-        data = _apply_fwd_transforms(comps_data, plans, cod)
+        with trace.stage("enc.dc_mct"):
+            data = _apply_fwd_transforms(comps_data, plans, cod,
+                                         custom_mct_matrix)
         coeff_bands = []
-        for c in range(ncomps):
-            tc = plans[c].layout.tc_rect
-            coeff_bands.append(
-                dwt_host.fwd_dwt_2d(data[c], tc, cods[c].numresolutions,
-                                    reversible=cods[c].transform
-                                    == Transform.DWT_53))
+        with trace.stage("enc.dwt",
+                         sum(a.nbytes for a in comps_data)):
+            for c in range(ncomps):
+                tc = plans[c].layout.tc_rect
+                coeff_bands.append(
+                    dwt_host.fwd_dwt_2d(data[c], tc,
+                                        cods[c].numresolutions,
+                                        reversible=cods[c].transform
+                                        == Transform.DWT_53))
 
     # T1-encode every code-block: collect the whole tile's blocks first,
     # then run one batched native call (worker threads inside), the analog
@@ -232,7 +242,8 @@ def encode_tile(
                         t1_inputs.append((m, s, band.orient, bp.kmax))
                         t1_slots.append((c, (res.r, band.orient), pi, cb, bp))
 
-    t1_results = t1_backend.encode_cblk_batch(t1_inputs, cod.cblk_style)
+    with trace.stage("enc.t1", sum(b[0].nbytes for b in t1_inputs)):
+        t1_results = t1_backend.encode_cblk_batch(t1_inputs, cod.cblk_style)
 
     all_cblks: List[CblkEnc] = []
     prec_enc: List[Dict[Tuple[int, int], List[PrecEnc]]] = [
@@ -391,7 +402,9 @@ def encode_tile(
 
     # Final packet emission in progression order.
     body = bytearray()
-    nbytes, npackets = _emit(numlayers - 1, body)
+    with trace.stage("enc.t2"):
+        nbytes, npackets = _emit(numlayers - 1, body)
+    trace.add_bytes("enc.t2", nbytes)
     return TileEncResult(body=bytes(body), num_packets=npackets)
 
 
@@ -449,6 +462,7 @@ def decode_tile(
     qcd_comp: Optional[List[QcdInfo]] = None,
     pocs=None,
     roishifts: Optional[List[int]] = None,
+    custom_mct=None,
 ) -> List[np.ndarray]:
     """Decode one tile's packet body back to component sample arrays.
 
@@ -588,10 +602,11 @@ def decode_tile(
                                     cb.geom.rect.h, band.orient, cb.numbps,
                                     cb.numpasses, bp_d.kmax))
                     t1_job_slots.append((c, (res.r, band.orient), cb))
-    t1_out = t1_backend.decode_cblk_batch(t1_jobs, cods[0].cblk_style,
-                                          signed_out=True) \
-        if not cod_comp else _decode_mixed_styles(t1_jobs, t1_job_slots,
-                                                  cods)
+    with trace.stage("dec.t1", sum(len(j[0]) for j in t1_jobs)):
+        t1_out = t1_backend.decode_cblk_batch(t1_jobs, cods[0].cblk_style,
+                                              signed_out=True) \
+            if not cod_comp else _decode_mixed_styles(t1_jobs, t1_job_slots,
+                                                      cods)
     decoded: Dict[int, Tuple[np.ndarray, np.ndarray]] = {
         id(slot[2]): mn for slot, mn in zip(t1_job_slots, t1_out)}
 
@@ -626,6 +641,20 @@ def decode_tile(
         out.append(a)
 
     # Inverse MCT + DC unshift.
+    if cod.mct == 2 and custom_mct is not None:
+        matrix, offsets = custom_mct
+        out = mct_np.custom_inv(out, matrix)
+        final = []
+        for c in range(ncomps):
+            a = np.round(out[c]).astype(np.int64)
+            a = a + int(round(float(offsets[c])))
+            if plans[c].signed:
+                lo, hi = -(1 << (plans[c].prec - 1)), \
+                    (1 << (plans[c].prec - 1)) - 1
+            else:
+                lo, hi = 0, (1 << plans[c].prec) - 1
+            final.append(np.clip(a, lo, hi).astype(np.int32))
+        return final
     if cod.mct and ncomps >= 3:
         if reversible:
             r0, g0, b0 = mct_np.rct_inv(out[0], out[1], out[2])

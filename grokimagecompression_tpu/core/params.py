@@ -98,6 +98,11 @@ class EncoderParams:
     # maxshift-style 'component of interest' like the reference -R flag).
     roi_comp: Optional[int] = None
     roi_shift: int = 0
+    # Part-2 custom MCT: the DECODING matrix (ncomps x ncomps) — what the
+    # codestream MCT record carries; the encoder applies its inverse.
+    # (The reference -m file instead holds the CODING matrix and derives
+    # the decode matrix by LUP inversion, j2k.cpp:1931.) 9/7 only.
+    custom_mct: Optional[object] = None
 
     def precinct_exps_for(self, numresolutions: int) -> Tuple[Tuple[int, int], ...]:
         """Resolve per-resolution (PPx, PPy), indexed by r = 0..NL.

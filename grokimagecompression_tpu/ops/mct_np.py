@@ -65,3 +65,19 @@ def dc_shift_inv(a: np.ndarray, prec: int, signed: bool) -> np.ndarray:
         return np.clip(a, lo, hi)
     a = a + (1 << (prec - 1))
     return np.clip(a, 0, (1 << prec) - 1)
+
+
+def custom_fwd(arrays, matrix):
+    """Arbitrary-matrix MCT forward (Part 2): out_j = sum_k M[j,k] in_k
+    (reference: src/lib/jp2/mct/mct.cpp encode_custom:429)."""
+    import numpy as _np
+    stack = _np.stack([a.astype(_np.float32) for a in arrays], axis=0)
+    out = _np.einsum("jk,k...->j...", _np.asarray(matrix, _np.float32),
+                     stack)
+    return [out[j].astype(_np.float32) for j in range(out.shape[0])]
+
+
+def custom_inv(arrays, decode_matrix):
+    """Arbitrary-matrix MCT inverse: the codestream carries the DECODING
+    matrix, applied directly (reference: mct.cpp decode_custom:477)."""
+    return custom_fwd(arrays, decode_matrix)

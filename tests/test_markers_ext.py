@@ -204,3 +204,78 @@ def test_roi_interop(tmp_path):
         e_ref = np.sqrt(((ref_rec.components[c].data.astype(np.float64)
                           - img.components[c].data) ** 2).mean())
         assert e_ours <= e_ref + 1.0, (c, e_ours, e_ref)
+
+
+def test_custom_mct_roundtrip():
+    from grokimagecompression_tpu.core.params import Transform
+    img = _image(96, 80, ncomps=3, seed=11)
+    # A decorrelation-ish decoding matrix (well-conditioned, not RCT/ICT).
+    dec_m = np.array([[1.0, 0.2, 1.5], [1.0, -0.3, -0.6], [1.0, 1.9, 0.1]],
+                     dtype=np.float32)
+    cs = encoder.encode(img, EncoderParams(
+        numresolutions=4, transform=Transform.DWT_97, custom_mct=dec_m))
+    hdr = decoder.read_header(cs)
+    assert hdr.cod.mct == 2
+    assert hdr.custom_mct is not None
+    np.testing.assert_allclose(hdr.custom_mct[0], dec_m, atol=1e-6)
+    assert hdr.siz.rsiz & 0x8100 == 0x8100
+    out = decoder.decode(cs)
+    for c in range(3):
+        err = (out.components[c].data.astype(np.float64)
+               - img.components[c].data)
+        assert np.sqrt((err ** 2).mean()) < 3.0, c
+
+
+REF_SRC = "/root/reference/src/lib/jp2"
+REF_BUILD = os.path.abspath(os.path.join(BIN, "..", "src", "lib", "jp2"))
+
+
+@pytest.fixture(scope="module")
+def ref_mct_encoder(tmp_path_factory):
+    """Build the C harness that encodes via the reference LIBRARY with
+    grk_set_MCT. The reference CLI -m path is unusable (grk_compress.cpp
+    `cleanup: if (!lFile) fclose(lFile)` segfaults on success) and the
+    reference DECODER rejects SGcod mct=2 (j2k.cpp:3869), so decode-our-
+    stream interop is impossible; encode-side library interop is the
+    real oracle."""
+    if not HAVE_GROK or not os.path.isdir(REF_SRC):
+        pytest.skip("Grok reference build not available")
+    exe = str(tmp_path_factory.mktemp("tools") / "ref_mct_encode")
+    src = os.path.join(os.path.dirname(__file__), "tools",
+                       "ref_mct_encode.c")
+    r = subprocess.run(
+        ["g++", "-O2", "-x", "c++", "-o", exe, src,
+         f"-I{REF_SRC}", f"-I{REF_BUILD}", f"-L{BIN}", "-lgrok",
+         f"-Wl,-rpath,{os.path.abspath(BIN)}"],
+        capture_output=True)
+    if r.returncode != 0:
+        pytest.skip("cannot build interop helper: "
+                    + r.stderr.decode()[:300])
+    return exe
+
+
+def test_our_decoder_reads_grok_custom_mct(ref_mct_encoder, tmp_path):
+    w, h = 96, 80
+    rng = np.random.default_rng(12)
+    src = rng.integers(0, 256, (3, h, w)).astype(np.uint8)
+    raw = tmp_path / "src.raw"
+    src.tofile(raw)
+    coding_m = [1.0, 0.25, 0.5, -0.2, 1.0, 0.1, 0.3, -0.4, 1.0]
+    mct_txt = tmp_path / "mct.txt"
+    mct_txt.write_text(" ".join(map(str, coding_m)) + " 128 128 128")
+    j2k = tmp_path / "ref.j2k"
+    r = subprocess.run([ref_mct_encoder, str(raw), str(w), str(h), "3",
+                        str(mct_txt), str(j2k)], capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()[:500]
+    data = j2k.read_bytes()
+    hdr = decoder.read_header(data)
+    assert hdr.cod.mct == 2
+    assert hdr.custom_mct is not None
+    # The MCT record carries the inverse of the coding matrix.
+    prod = np.asarray(coding_m, np.float64).reshape(3, 3) @ \
+        hdr.custom_mct[0].astype(np.float64)
+    np.testing.assert_allclose(prod, np.eye(3), atol=1e-5)
+    out = decoder.decode(data)
+    for c in range(3):
+        err = (out.components[c].data.astype(np.float64) - src[c])
+        assert np.sqrt((err ** 2).mean()) < 1.0, c
