@@ -220,8 +220,13 @@ def encode_tile(
     # then run one batched native call (worker threads inside), the analog
     # of the reference's flat block list + atomic-counter pool
     # (reference: src/lib/jp2/t1/Tier1.cpp:24, T1Encoder.cpp:57).
-    t1_inputs = []          # (mag, neg, orient)
-    t1_slots = []           # (comp, (r, orient), precinct_idx, bp)
+    # Blocks are described by (band, x0, y0, w, h) and gathered out of the
+    # signed-int32 band planes inside the native call.
+    t1_bands = []           # signed int32 planes
+    t1_descs = []           # (band_idx, x0, y0, w, h)
+    t1_orients = []
+    t1_kmaxs = []
+    t1_slots = []           # (comp, (r, orient), precinct_idx, cb, bp)
     for c in range(ncomps):
         plan = plans[c]
         rev_c = cods[c].transform == Transform.DWT_53
@@ -230,20 +235,23 @@ def encode_tile(
                 bp = plan.bands[(res.r, band.orient)]
                 arr = coeff_bands[c][(res.r, band.orient)]
                 if rev_c:
-                    mag, neg = quant.to_sign_magnitude(arr)
+                    signed = np.ascontiguousarray(arr, dtype=np.int32)
                 else:
-                    mag, neg = quant.quantize(arr, bp.stepsize)
+                    signed = quant.quantize_signed(arr, bp.stepsize)
+                bi = len(t1_bands)
+                t1_bands.append(signed)
                 for pi, prc in enumerate(band.precincts):
                     for cb in prc.cblks:
                         x0 = cb.rect.x0 - band.rect.x0
                         y0 = cb.rect.y0 - band.rect.y0
-                        m = mag[y0:y0 + cb.rect.h, x0:x0 + cb.rect.w]
-                        s = neg[y0:y0 + cb.rect.h, x0:x0 + cb.rect.w]
-                        t1_inputs.append((m, s, band.orient, bp.kmax))
+                        t1_descs.append((bi, x0, y0, cb.rect.w, cb.rect.h))
+                        t1_orients.append(band.orient)
+                        t1_kmaxs.append(bp.kmax)
                         t1_slots.append((c, (res.r, band.orient), pi, cb, bp))
 
-    with trace.stage("enc.t1", sum(b[0].nbytes for b in t1_inputs)):
-        t1_results = t1_backend.encode_cblk_batch(t1_inputs, cod.cblk_style)
+    with trace.stage("enc.t1", sum(d[3] * d[4] * 4 for d in t1_descs)):
+        t1_results = t1_backend.encode_cblk_batch_bands(
+            t1_bands, t1_descs, t1_orients, t1_kmaxs, cod.cblk_style)
 
     all_cblks: List[CblkEnc] = []
     prec_enc: List[Dict[Tuple[int, int], List[PrecEnc]]] = [

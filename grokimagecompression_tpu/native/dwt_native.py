@@ -58,7 +58,8 @@ def fwd_dwt_2d(a: np.ndarray, rect: Rect, numresolutions: int,
             total += bh * bw
     ll_off = total
     total += llw * llh
-    flat = np.zeros(max(1, total), dtype=dtype)
+    # fully overwritten by the native call (bands + LL tile the buffer)
+    flat = np.empty(max(1, total), dtype=dtype)
     fn = _lib.grok_dwt53_fwd if reversible else _lib.grok_dwt97_fwd
     fn(a.ctypes.data, rect.w, rect.h, rect.x0, rect.y0, levels,
        flat.ctypes.data, offs.ctypes.data, ll_off)
@@ -93,7 +94,7 @@ def inv_dwt_2d(bands: Dict[Tuple[int, int], np.ndarray], rect: Rect,
             total += bh * bw
     ll_off = total
     total += llw * llh
-    flat = np.zeros(max(1, total), dtype=dtype)
+    flat = np.empty(max(1, total), dtype=dtype)
     for lev in range(levels):
         r = levels - lev
         for bi, orient in enumerate((1, 2, 3)):
@@ -102,7 +103,7 @@ def inv_dwt_2d(bands: Dict[Tuple[int, int], np.ndarray], rect: Rect,
             flat[o:o + arr.size] = arr.ravel()
     ll = np.ascontiguousarray(bands[(0, 0)], dtype=dtype)
     flat[ll_off:ll_off + ll.size] = ll.ravel()
-    out = np.zeros((rect.h, rect.w), dtype=dtype)
+    out = np.empty((rect.h, rect.w), dtype=dtype)
     fn = _lib.grok_dwt53_inv if reversible else _lib.grok_dwt97_inv
     fn(out.ctypes.data, rect.w, rect.h, rect.x0, rect.y0, levels,
        flat.ctypes.data, offs.ctypes.data, ll_off)

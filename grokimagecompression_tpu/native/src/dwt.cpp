@@ -2,13 +2,28 @@
 // the device kernels (ops/dwt_jax.py, ops/dwt_pallas.py) for the
 // single-tile host path.  Canvas-coordinate lifting with periodic
 // symmetric extension, matching the numpy oracle ops/dwt_np.py bit-for-bit
-// (reference semantics: src/lib/jp2/transform/dwt53.cpp:150, dwt97.cpp:90;
-// layout restructured: whole-row vertical lifting + per-row horizontal
-// lifting instead of the reference's threaded line strips).
+// (reference semantics: src/lib/jp2/transform/dwt53.cpp:150, dwt97.cpp:90).
+//
+// Performance structure (vs the reference's threaded line strips,
+// WaveletForward.h:96-151 / dwt.cpp:774-852):
+//  - boundary-peeled line kernels: the symmetric-extension `reflect` is
+//    evaluated only for the first/last tap of each pass; the interior is
+//    a branch-free stride-2 loop the compiler vectorizes (AVX2/AVX-512)
+//  - 9/7 rows are deinterleaved once so all four lifting passes run on
+//    contiguous arrays
+//  - OpenMP parallel-for over rows in both the vertical and horizontal
+//    passes (persistent libgomp pool, no per-level thread spawn)
+//  - scratch buffers hoisted out of the level loop; no zero-fill of
+//    buffers that are fully overwritten
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 namespace {
 
@@ -24,6 +39,13 @@ const float K_F = (float)K;
 
 static inline int ceil_div(int a, int b) { return (a + b - 1) / b; }
 
+// Minimum elements in a pass before it is worth fanning rows out over
+// OpenMP: below this the wakeup cost plus contention with the T1 worker
+// pool (which runs right after the DWT in the tile pipeline) exceeds the
+// win. 512^2 tiles run the DWT single-threaded; >=2K tiles parallelize.
+constexpr size_t PAR_MIN = (size_t)1 << 21;
+static inline int imax(int a, int b) { return a > b ? a : b; }
+
 // Reflect canvas index i into [u0, u1).
 static inline int reflect(int i, int u0, int u1) {
   int n = u1 - u0;
@@ -35,156 +57,206 @@ static inline int reflect(int i, int u0, int u1) {
   return u0 + j;
 }
 
-// ---------------------------------------------------------------------------
-// Horizontal (within-row) lifting on a scratch line.
-// ---------------------------------------------------------------------------
-
-template <typename T>
-struct LineBufs {
-  std::vector<T> even, odd;
+// Parity geometry of a 1-D segment [u0, u0+n).
+struct Par {
+  int u0, u1, fe, fo, ne, no;
+  // packed-index offsets valid in the interior (no reflection):
+  //   even sample k, neighbors in odd array:  {k+d_eo, k+d_eo+1}
+  //   odd  sample k, neighbors in even array: {k+d_oe, k+d_oe+1}
+  int d_eo, d_oe;
+  Par(int u0_, int n) : u0(u0_), u1(u0_ + n) {
+    fe = (u0 & 1) ? u0 + 1 : u0;
+    fo = (u0 & 1) ? u0 : u0 + 1;
+    ne = n > 0 ? (u1 - fe + 1) / 2 : 0;
+    no = n > 0 ? (u1 - fo + 1) / 2 : 0;
+    d_eo = (fe - 1 - fo) >> 1;  // -1 (u0 even) or 0 (u0 odd)
+    d_oe = (fo - 1 - fe) >> 1;  // -1 (u0 odd) or 0 (u0 even)
+  }
+  // interior ranges [k0, k1) for the even- and odd-indexed passes
+  // (outside them, pos±1 leaves [u0,u1) and needs reflect)
+  int e_k0() const { return (fe - 1 >= u0) ? 0 : 1; }
+  int e_k1() const {
+    return (ne > 0 && fe + 2 * (ne - 1) + 1 <= u1 - 1) ? ne : ne - 1;
+  }
+  int o_k0() const { return (fo - 1 >= u0) ? 0 : 1; }
+  int o_k1() const {
+    return (no > 0 && fo + 2 * (no - 1) + 1 <= u1 - 1) ? no : no - 1;
+  }
 };
 
-// 5/3 forward along a row: in[0..n) at canvas origin u0 -> lo|hi packed
-// into out (lo first: ne entries, then no entries).
-static void fwd53_line(const int32_t* in, int n, int u0, int32_t* lo,
-                       int32_t* hi) {
-  int u1 = u0 + n;
+// ---------------------------------------------------------------------------
+// 5/3 line kernels (packed lo/hi), boundary-peeled.
+// ---------------------------------------------------------------------------
+
+static inline void fwd53_hi_one(const int32_t* in, const Par& p, int k,
+                                int32_t* hi) {
+  int pos = p.fo + 2 * k;
+  int l = reflect(pos - 1, p.u0, p.u1) - p.u0;
+  int r = reflect(pos + 1, p.u0, p.u1) - p.u0;
+  hi[k] = in[pos - p.u0] - ((in[l] + in[r]) >> 1);
+}
+
+static inline void fwd53_lo_one(const int32_t* in, const int32_t* hi,
+                                const Par& p, int k, int32_t* lo) {
+  int pos = p.fe + 2 * k;
+  int l = (reflect(pos - 1, p.u0, p.u1) - p.fo) >> 1;
+  int r = (reflect(pos + 1, p.u0, p.u1) - p.fo) >> 1;
+  lo[k] = in[pos - p.u0] + ((hi[l] + hi[r] + 2) >> 2);
+}
+
+static void fwd53_line(const int32_t* __restrict in, int n, int u0,
+                       int32_t* __restrict lo, int32_t* __restrict hi) {
   if (n == 1) {
     if (u0 & 1) hi[0] = in[0] * 2; else lo[0] = in[0];
     return;
   }
-  int first_even = (u0 % 2 == 0) ? u0 : u0 + 1;
-  int first_odd = (u0 % 2 == 1) ? u0 : u0 + 1;
-  int ne = (u1 - first_even + 1) / 2;
-  int no = (u1 - first_odd + 1) / 2;
-  for (int k = 0; k < no; k++) {
-    int pos = first_odd + 2 * k;
-    int l = reflect(pos - 1, u0, u1) - u0;
-    int r = reflect(pos + 1, u0, u1) - u0;
-    hi[k] = in[pos - u0] - ((in[l] + in[r]) >> 1);
+  Par p(u0, n);
+  {
+    int k0 = p.o_k0(), k1 = imax(p.o_k1(), k0);
+    for (int k = 0; k < k0; k++) fwd53_hi_one(in, p, k, hi);
+    const int32_t* base = in + (p.fo - u0);
+    for (int k = k0; k < k1; k++)
+      hi[k] = base[2 * k] - ((base[2 * k - 1] + base[2 * k + 1]) >> 1);
+    for (int k = k1; k < p.no; k++) fwd53_hi_one(in, p, k, hi);
   }
-  for (int k = 0; k < ne; k++) {
-    int pos = first_even + 2 * k;
-    int l = (reflect(pos - 1, u0, u1) - first_odd) >> 1;
-    int r = (reflect(pos + 1, u0, u1) - first_odd) >> 1;
-    lo[k] = in[pos - u0] + ((hi[l] + hi[r] + 2) >> 2);
+  {
+    int k0 = p.e_k0(), k1 = imax(p.e_k1(), k0);
+    for (int k = 0; k < k0; k++) fwd53_lo_one(in, hi, p, k, lo);
+    const int32_t* base = in + (p.fe - u0);
+    const int32_t* hb = hi + p.d_eo;
+    for (int k = k0; k < k1; k++)
+      lo[k] = base[2 * k] + ((hb[k] + hb[k + 1] + 2) >> 2);
+    for (int k = k1; k < p.ne; k++) fwd53_lo_one(in, hi, p, k, lo);
   }
 }
 
-static void inv53_line(const int32_t* lo, const int32_t* hi, int n, int u0,
-                       int32_t* out, int32_t* xe) {
-  int u1 = u0 + n;
+static inline void inv53_xe_one(const int32_t* lo, const int32_t* hi,
+                                const Par& p, int k, int32_t* xe) {
+  int pos = p.fe + 2 * k;
+  int l = (reflect(pos - 1, p.u0, p.u1) - p.fo) >> 1;
+  int r = (reflect(pos + 1, p.u0, p.u1) - p.fo) >> 1;
+  xe[k] = lo[k] - ((hi[l] + hi[r] + 2) >> 2);
+}
+
+static inline void inv53_od_one(const int32_t* hi, const int32_t* xe,
+                                const Par& p, int k, int32_t* out) {
+  int pos = p.fo + 2 * k;
+  int l = (reflect(pos - 1, p.u0, p.u1) - p.fe) >> 1;
+  int r = (reflect(pos + 1, p.u0, p.u1) - p.fe) >> 1;
+  out[pos - p.u0] = hi[k] + ((xe[l] + xe[r]) >> 1);
+}
+
+static void inv53_line(const int32_t* __restrict lo,
+                       const int32_t* __restrict hi, int n, int u0,
+                       int32_t* __restrict out, int32_t* __restrict xe) {
   if (n == 1) {
     out[0] = (u0 & 1) ? (hi[0] >> 1) : lo[0];
     return;
   }
-  int first_even = (u0 % 2 == 0) ? u0 : u0 + 1;
-  int first_odd = (u0 % 2 == 1) ? u0 : u0 + 1;
-  int ne = (u1 - first_even + 1) / 2;
-  int no = (u1 - first_odd + 1) / 2;
-  for (int k = 0; k < ne; k++) {
-    int pos = first_even + 2 * k;
-    int l = (reflect(pos - 1, u0, u1) - first_odd) >> 1;
-    int r = (reflect(pos + 1, u0, u1) - first_odd) >> 1;
-    xe[k] = lo[k] - ((hi[l] + hi[r] + 2) >> 2);
+  Par p(u0, n);
+  {
+    int k0 = p.e_k0(), k1 = imax(p.e_k1(), k0);
+    for (int k = 0; k < k0; k++) inv53_xe_one(lo, hi, p, k, xe);
+    const int32_t* hb = hi + p.d_eo;
+    for (int k = k0; k < k1; k++)
+      xe[k] = lo[k] - ((hb[k] + hb[k + 1] + 2) >> 2);
+    for (int k = k1; k < p.ne; k++) inv53_xe_one(lo, hi, p, k, xe);
   }
-  for (int k = 0; k < no; k++) {
-    int pos = first_odd + 2 * k;
-    int l = (reflect(pos - 1, u0, u1) - first_even) >> 1;
-    int r = (reflect(pos + 1, u0, u1) - first_even) >> 1;
-    out[pos - u0] = hi[k] + ((xe[l] + xe[r]) >> 1);
+  {
+    int k0 = p.o_k0(), k1 = imax(p.o_k1(), k0);
+    for (int k = 0; k < k0; k++) inv53_od_one(hi, xe, p, k, out);
+    int32_t* base = out + (p.fo - u0);
+    const int32_t* xb = xe + p.d_oe;
+    for (int k = k0; k < k1; k++)
+      base[2 * k] = hi[k] + ((xb[k] + xb[k + 1]) >> 1);
+    for (int k = k1; k < p.no; k++) inv53_od_one(hi, xe, p, k, out);
   }
-  for (int k = 0; k < ne; k++) out[first_even + 2 * k - u0] = xe[k];
+  for (int k = 0; k < p.ne; k++) out[p.fe + 2 * k - u0] = xe[k];
 }
 
-static void fwd97_line(const float* in, int n, int u0, float* lo,
-                       float* hi, float* l, float* h) {
-  int u1 = u0 + n;
+// ---------------------------------------------------------------------------
+// 9/7 line kernels: deinterleave once, then 4 contiguous lifting passes.
+// `ev`/`od` are caller scratch of >= ne / no floats.
+// ---------------------------------------------------------------------------
+
+// one lifting pass step with reflection (odd target, even source)
+static inline void lift_oe_one(float* od, const float* ev, const Par& p,
+                               int k, float c) {
+  int pos = p.fo + 2 * k;
+  int a = (reflect(pos - 1, p.u0, p.u1) - p.fe) >> 1;
+  int b = (reflect(pos + 1, p.u0, p.u1) - p.fe) >> 1;
+  od[k] += c * (ev[a] + ev[b]);
+}
+
+static inline void lift_eo_one(float* ev, const float* od, const Par& p,
+                               int k, float c) {
+  int pos = p.fe + 2 * k;
+  int a = (reflect(pos - 1, p.u0, p.u1) - p.fo) >> 1;
+  int b = (reflect(pos + 1, p.u0, p.u1) - p.fo) >> 1;
+  ev[k] += c * (od[a] + od[b]);
+}
+
+static inline void lift_oe(float* __restrict od, const float* __restrict ev,
+                           const Par& p, float c) {
+  int k0 = p.o_k0(), k1 = imax(p.o_k1(), k0);
+  for (int k = 0; k < k0; k++) lift_oe_one(od, ev, p, k, c);
+  const float* eb = ev + p.d_oe;
+  for (int k = k0; k < k1; k++) od[k] += c * (eb[k] + eb[k + 1]);
+  for (int k = k1; k < p.no; k++) lift_oe_one(od, ev, p, k, c);
+}
+
+static inline void lift_eo(float* __restrict ev, const float* __restrict od,
+                           const Par& p, float c) {
+  int k0 = p.e_k0(), k1 = imax(p.e_k1(), k0);
+  for (int k = 0; k < k0; k++) lift_eo_one(ev, od, p, k, c);
+  const float* ob = od + p.d_eo;
+  for (int k = k0; k < k1; k++) ev[k] += c * (ob[k] + ob[k + 1]);
+  for (int k = k1; k < p.ne; k++) lift_eo_one(ev, od, p, k, c);
+}
+
+static void fwd97_line(const float* __restrict in, int n, int u0,
+                       float* __restrict lo, float* __restrict hi,
+                       float* __restrict ev, float* __restrict od) {
   if (n == 1) {
     if (u0 & 1) hi[0] = in[0] * K_HALF; else lo[0] = in[0] * INV_K;
     return;
   }
-  int first_even = (u0 % 2 == 0) ? u0 : u0 + 1;
-  int first_odd = (u0 % 2 == 1) ? u0 : u0 + 1;
-  int ne = (u1 - first_even + 1) / 2;
-  int no = (u1 - first_odd + 1) / 2;
-  for (int k = 0; k < no; k++) {
-    int pos = first_odd + 2 * k;
-    int a = reflect(pos - 1, u0, u1) - u0;
-    int b = reflect(pos + 1, u0, u1) - u0;
-    h[k] = in[pos - u0] + ALPHA * (in[a] + in[b]);
-  }
-  for (int k = 0; k < ne; k++) {
-    int pos = first_even + 2 * k;
-    int a = (reflect(pos - 1, u0, u1) - first_odd) >> 1;
-    int b = (reflect(pos + 1, u0, u1) - first_odd) >> 1;
-    l[k] = in[pos - u0] + BETA * (h[a] + h[b]);
-  }
-  for (int k = 0; k < no; k++) {
-    int pos = first_odd + 2 * k;
-    int a = (reflect(pos - 1, u0, u1) - first_even) >> 1;
-    int b = (reflect(pos + 1, u0, u1) - first_even) >> 1;
-    h[k] = h[k] + GAMMA * (l[a] + l[b]);
-  }
-  for (int k = 0; k < ne; k++) {
-    int pos = first_even + 2 * k;
-    int a = (reflect(pos - 1, u0, u1) - first_odd) >> 1;
-    int b = (reflect(pos + 1, u0, u1) - first_odd) >> 1;
-    l[k] = l[k] + DELTA * (h[a] + h[b]);
-  }
-  for (int k = 0; k < ne; k++) lo[k] = l[k] * INV_K;
-  for (int k = 0; k < no; k++) hi[k] = h[k] * K_HALF;
+  Par p(u0, n);
+  for (int k = 0; k < p.ne; k++) ev[k] = in[p.fe - u0 + 2 * k];
+  for (int k = 0; k < p.no; k++) od[k] = in[p.fo - u0 + 2 * k];
+  lift_oe(od, ev, p, ALPHA);
+  lift_eo(ev, od, p, BETA);
+  lift_oe(od, ev, p, GAMMA);
+  lift_eo(ev, od, p, DELTA);
+  for (int k = 0; k < p.ne; k++) lo[k] = ev[k] * INV_K;
+  for (int k = 0; k < p.no; k++) hi[k] = od[k] * K_HALF;
 }
 
-static void inv97_line(const float* lo, const float* hi, int n, int u0,
-                       float* out, float* l, float* h) {
-  int u1 = u0 + n;
+static void inv97_line(const float* __restrict lo, const float* __restrict hi,
+                       int n, int u0, float* __restrict out,
+                       float* __restrict ev, float* __restrict od) {
   if (n == 1) {
     out[0] = (u0 & 1) ? hi[0] * TWO_OVER_K : lo[0] * K_F;
     return;
   }
-  int first_even = (u0 % 2 == 0) ? u0 : u0 + 1;
-  int first_odd = (u0 % 2 == 1) ? u0 : u0 + 1;
-  int ne = (u1 - first_even + 1) / 2;
-  int no = (u1 - first_odd + 1) / 2;
-  for (int k = 0; k < ne; k++) l[k] = lo[k] * K_F;
-  for (int k = 0; k < no; k++) h[k] = hi[k] * TWO_OVER_K;
-  for (int k = 0; k < ne; k++) {
-    int pos = first_even + 2 * k;
-    int a = (reflect(pos - 1, u0, u1) - first_odd) >> 1;
-    int b = (reflect(pos + 1, u0, u1) - first_odd) >> 1;
-    l[k] = l[k] - DELTA * (h[a] + h[b]);
-  }
-  for (int k = 0; k < no; k++) {
-    int pos = first_odd + 2 * k;
-    int a = (reflect(pos - 1, u0, u1) - first_even) >> 1;
-    int b = (reflect(pos + 1, u0, u1) - first_even) >> 1;
-    h[k] = h[k] - GAMMA * (l[a] + l[b]);
-  }
-  for (int k = 0; k < ne; k++) {
-    int pos = first_even + 2 * k;
-    int a = (reflect(pos - 1, u0, u1) - first_odd) >> 1;
-    int b = (reflect(pos + 1, u0, u1) - first_odd) >> 1;
-    l[k] = l[k] - BETA * (h[a] + h[b]);
-  }
-  for (int k = 0; k < no; k++) {
-    int pos = first_odd + 2 * k;
-    int a = (reflect(pos - 1, u0, u1) - first_even) >> 1;
-    int b = (reflect(pos + 1, u0, u1) - first_even) >> 1;
-    out[pos - u0] = h[k] - ALPHA * (l[a] + l[b]);
-  }
-  for (int k = 0; k < ne; k++) out[first_even + 2 * k - u0] = l[k];
+  Par p(u0, n);
+  for (int k = 0; k < p.ne; k++) ev[k] = lo[k] * K_F;
+  for (int k = 0; k < p.no; k++) od[k] = hi[k] * TWO_OVER_K;
+  lift_eo(ev, od, p, -DELTA);
+  lift_oe(od, ev, p, -GAMMA);
+  lift_eo(ev, od, p, -BETA);
+  lift_oe(od, ev, p, -ALPHA);
+  for (int k = 0; k < p.ne; k++) out[p.fe - u0 + 2 * k] = ev[k];
+  for (int k = 0; k < p.no; k++) out[p.fo - u0 + 2 * k] = od[k];
 }
 
 // ---------------------------------------------------------------------------
-// Vertical lifting done row-at-a-time (contiguous, vectorizable).
+// Vertical lifting done row-at-a-time (contiguous, vectorized), rows fanned
+// out over OpenMP.
 // ---------------------------------------------------------------------------
 
-// 5/3 forward vertical: cur (ch x cw) origin y0 -> vlo (ne x cw),
-// vhi (no x cw).
 static void fwd53_vert(const int32_t* cur, int cw, int ch, int y0,
                        int32_t* vlo, int32_t* vhi) {
-  int u1 = y0 + ch;
   if (ch == 1) {
     if (y0 & 1)
       for (int j = 0; j < cw; j++) vhi[j] = cur[j] * 2;
@@ -192,25 +264,26 @@ static void fwd53_vert(const int32_t* cur, int cw, int ch, int y0,
       std::memcpy(vlo, cur, sizeof(int32_t) * cw);
     return;
   }
-  int first_even = (y0 % 2 == 0) ? y0 : y0 + 1;
-  int first_odd = (y0 % 2 == 1) ? y0 : y0 + 1;
-  int ne = (u1 - first_even + 1) / 2;
-  int no = (u1 - first_odd + 1) / 2;
-  for (int k = 0; k < no; k++) {
-    int pos = first_odd + 2 * k;
+  Par p(y0, ch);
+#pragma omp parallel for schedule(static) if ((size_t)p.no * cw >= PAR_MIN)
+  for (int k = 0; k < p.no; k++) {
+    int pos = p.fo + 2 * k;
     const int32_t* src = cur + (size_t)(pos - y0) * cw;
-    const int32_t* a = cur + (size_t)(reflect(pos - 1, y0, u1) - y0) * cw;
-    const int32_t* b = cur + (size_t)(reflect(pos + 1, y0, u1) - y0) * cw;
+    const int32_t* a =
+        cur + (size_t)(reflect(pos - 1, p.u0, p.u1) - y0) * cw;
+    const int32_t* b =
+        cur + (size_t)(reflect(pos + 1, p.u0, p.u1) - y0) * cw;
     int32_t* dst = vhi + (size_t)k * cw;
     for (int j = 0; j < cw; j++) dst[j] = src[j] - ((a[j] + b[j]) >> 1);
   }
-  for (int k = 0; k < ne; k++) {
-    int pos = first_even + 2 * k;
+#pragma omp parallel for schedule(static) if ((size_t)p.ne * cw >= PAR_MIN)
+  for (int k = 0; k < p.ne; k++) {
+    int pos = p.fe + 2 * k;
     const int32_t* src = cur + (size_t)(pos - y0) * cw;
     const int32_t* a =
-        vhi + (size_t)((reflect(pos - 1, y0, u1) - first_odd) >> 1) * cw;
+        vhi + (size_t)((reflect(pos - 1, p.u0, p.u1) - p.fo) >> 1) * cw;
     const int32_t* b =
-        vhi + (size_t)((reflect(pos + 1, y0, u1) - first_odd) >> 1) * cw;
+        vhi + (size_t)((reflect(pos + 1, p.u0, p.u1) - p.fo) >> 1) * cw;
     int32_t* dst = vlo + (size_t)k * cw;
     for (int j = 0; j < cw; j++) dst[j] = src[j] + ((a[j] + b[j] + 2) >> 2);
   }
@@ -218,7 +291,6 @@ static void fwd53_vert(const int32_t* cur, int cw, int ch, int y0,
 
 static void inv53_vert(const int32_t* vlo, const int32_t* vhi, int cw,
                        int ch, int y0, int32_t* out) {
-  int u1 = y0 + ch;
   if (ch == 1) {
     if (y0 & 1)
       for (int j = 0; j < cw; j++) out[j] = vhi[j] >> 1;
@@ -226,27 +298,24 @@ static void inv53_vert(const int32_t* vlo, const int32_t* vhi, int cw,
       std::memcpy(out, vlo, sizeof(int32_t) * cw);
     return;
   }
-  int first_even = (y0 % 2 == 0) ? y0 : y0 + 1;
-  int first_odd = (y0 % 2 == 1) ? y0 : y0 + 1;
-  int ne = (u1 - first_even + 1) / 2;
-  int no = (u1 - first_odd + 1) / 2;
+  Par p(y0, ch);
   // xe rows written straight into out (even canvas rows)
-  for (int k = 0; k < ne; k++) {
-    int pos = first_even + 2 * k;
+#pragma omp parallel for schedule(static) if ((size_t)p.ne * cw >= PAR_MIN)
+  for (int k = 0; k < p.ne; k++) {
+    int pos = p.fe + 2 * k;
     const int32_t* a =
-        vhi + (size_t)((reflect(pos - 1, y0, u1) - first_odd) >> 1) * cw;
+        vhi + (size_t)((reflect(pos - 1, p.u0, p.u1) - p.fo) >> 1) * cw;
     const int32_t* b =
-        vhi + (size_t)((reflect(pos + 1, y0, u1) - first_odd) >> 1) * cw;
+        vhi + (size_t)((reflect(pos + 1, p.u0, p.u1) - p.fo) >> 1) * cw;
     const int32_t* src = vlo + (size_t)k * cw;
     int32_t* dst = out + (size_t)(pos - y0) * cw;
     for (int j = 0; j < cw; j++) dst[j] = src[j] - ((a[j] + b[j] + 2) >> 2);
   }
-  for (int k = 0; k < no; k++) {
-    int pos = first_odd + 2 * k;
-    const int32_t* a =
-        out + (size_t)(reflect(pos - 1, y0, u1) - y0) * cw;
-    const int32_t* b =
-        out + (size_t)(reflect(pos + 1, y0, u1) - y0) * cw;
+#pragma omp parallel for schedule(static) if ((size_t)p.no * cw >= PAR_MIN)
+  for (int k = 0; k < p.no; k++) {
+    int pos = p.fo + 2 * k;
+    const int32_t* a = out + (size_t)(reflect(pos - 1, p.u0, p.u1) - y0) * cw;
+    const int32_t* b = out + (size_t)(reflect(pos + 1, p.u0, p.u1) - y0) * cw;
     const int32_t* src = vhi + (size_t)k * cw;
     int32_t* dst = out + (size_t)(pos - y0) * cw;
     for (int j = 0; j < cw; j++) dst[j] = src[j] + ((a[j] + b[j]) >> 1);
@@ -255,7 +324,6 @@ static void inv53_vert(const int32_t* vlo, const int32_t* vhi, int cw,
 
 static void fwd97_vert(const float* cur, int cw, int ch, int y0, float* vlo,
                        float* vhi) {
-  int u1 = y0 + ch;
   if (ch == 1) {
     if (y0 & 1)
       for (int j = 0; j < cw; j++) vhi[j] = cur[j] * K_HALF;
@@ -263,59 +331,57 @@ static void fwd97_vert(const float* cur, int cw, int ch, int y0, float* vlo,
       for (int j = 0; j < cw; j++) vlo[j] = cur[j] * INV_K;
     return;
   }
-  int first_even = (y0 % 2 == 0) ? y0 : y0 + 1;
-  int first_odd = (y0 % 2 == 1) ? y0 : y0 + 1;
-  int ne = (u1 - first_even + 1) / 2;
-  int no = (u1 - first_odd + 1) / 2;
-  for (int k = 0; k < no; k++) {
-    int pos = first_odd + 2 * k;
+  Par p(y0, ch);
+#pragma omp parallel for schedule(static) if ((size_t)p.no * cw >= PAR_MIN)
+  for (int k = 0; k < p.no; k++) {
+    int pos = p.fo + 2 * k;
     const float* src = cur + (size_t)(pos - y0) * cw;
-    const float* a = cur + (size_t)(reflect(pos - 1, y0, u1) - y0) * cw;
-    const float* b = cur + (size_t)(reflect(pos + 1, y0, u1) - y0) * cw;
+    const float* a = cur + (size_t)(reflect(pos - 1, p.u0, p.u1) - y0) * cw;
+    const float* b = cur + (size_t)(reflect(pos + 1, p.u0, p.u1) - y0) * cw;
     float* dst = vhi + (size_t)k * cw;
     for (int j = 0; j < cw; j++) dst[j] = src[j] + ALPHA * (a[j] + b[j]);
   }
-  for (int k = 0; k < ne; k++) {
-    int pos = first_even + 2 * k;
+#pragma omp parallel for schedule(static) if ((size_t)p.ne * cw >= PAR_MIN)
+  for (int k = 0; k < p.ne; k++) {
+    int pos = p.fe + 2 * k;
     const float* src = cur + (size_t)(pos - y0) * cw;
     const float* a =
-        vhi + (size_t)((reflect(pos - 1, y0, u1) - first_odd) >> 1) * cw;
+        vhi + (size_t)((reflect(pos - 1, p.u0, p.u1) - p.fo) >> 1) * cw;
     const float* b =
-        vhi + (size_t)((reflect(pos + 1, y0, u1) - first_odd) >> 1) * cw;
+        vhi + (size_t)((reflect(pos + 1, p.u0, p.u1) - p.fo) >> 1) * cw;
     float* dst = vlo + (size_t)k * cw;
     for (int j = 0; j < cw; j++) dst[j] = src[j] + BETA * (a[j] + b[j]);
   }
-  for (int k = 0; k < no; k++) {
-    int pos = first_odd + 2 * k;
+#pragma omp parallel for schedule(static) if ((size_t)p.no * cw >= PAR_MIN)
+  for (int k = 0; k < p.no; k++) {
+    int pos = p.fo + 2 * k;
     const float* a =
-        vlo + (size_t)((reflect(pos - 1, y0, u1) - first_even) >> 1) * cw;
+        vlo + (size_t)((reflect(pos - 1, p.u0, p.u1) - p.fe) >> 1) * cw;
     const float* b =
-        vlo + (size_t)((reflect(pos + 1, y0, u1) - first_even) >> 1) * cw;
+        vlo + (size_t)((reflect(pos + 1, p.u0, p.u1) - p.fe) >> 1) * cw;
     float* dst = vhi + (size_t)k * cw;
     for (int j = 0; j < cw; j++) dst[j] = dst[j] + GAMMA * (a[j] + b[j]);
   }
-  for (int k = 0; k < ne; k++) {
-    int pos = first_even + 2 * k;
+#pragma omp parallel for schedule(static) if ((size_t)p.ne * cw >= PAR_MIN)
+  for (int k = 0; k < p.ne; k++) {
+    int pos = p.fe + 2 * k;
     const float* a =
-        vhi + (size_t)((reflect(pos - 1, y0, u1) - first_odd) >> 1) * cw;
+        vhi + (size_t)((reflect(pos - 1, p.u0, p.u1) - p.fo) >> 1) * cw;
     const float* b =
-        vhi + (size_t)((reflect(pos + 1, y0, u1) - first_odd) >> 1) * cw;
+        vhi + (size_t)((reflect(pos + 1, p.u0, p.u1) - p.fo) >> 1) * cw;
     float* dst = vlo + (size_t)k * cw;
-    for (int j = 0; j < cw; j++) dst[j] = dst[j] + DELTA * (a[j] + b[j]);
+    for (int j = 0; j < cw; j++)
+      dst[j] = (dst[j] + DELTA * (a[j] + b[j])) * INV_K;
   }
-  for (int k = 0; k < ne; k++) {
-    float* dst = vlo + (size_t)k * cw;
-    for (int j = 0; j < cw; j++) dst[j] *= INV_K;
-  }
-  for (int k = 0; k < no; k++) {
+#pragma omp parallel for schedule(static) if ((size_t)p.no * cw >= PAR_MIN)
+  for (int k = 0; k < p.no; k++) {
     float* dst = vhi + (size_t)k * cw;
     for (int j = 0; j < cw; j++) dst[j] *= K_HALF;
   }
 }
 
 static void inv97_vert(const float* vlo, const float* vhi, int cw, int ch,
-                       int y0, float* out) {
-  int u1 = y0 + ch;
+                       int y0, float* out, float* lbuf, float* hbuf) {
   if (ch == 1) {
     if (y0 & 1)
       for (int j = 0; j < cw; j++) out[j] = vhi[j] * TWO_OVER_K;
@@ -323,55 +389,74 @@ static void inv97_vert(const float* vlo, const float* vhi, int cw, int ch,
       for (int j = 0; j < cw; j++) out[j] = vlo[j] * K_F;
     return;
   }
-  int first_even = (y0 % 2 == 0) ? y0 : y0 + 1;
-  int first_odd = (y0 % 2 == 1) ? y0 : y0 + 1;
-  int ne = (u1 - first_even + 1) / 2;
-  int no = (u1 - first_odd + 1) / 2;
-  std::vector<float> l((size_t)ne * cw), h((size_t)no * cw);
-  for (size_t i = 0; i < l.size(); i++) l[i] = vlo[i] * K_F;
-  for (size_t i = 0; i < h.size(); i++) h[i] = vhi[i] * TWO_OVER_K;
-  for (int k = 0; k < ne; k++) {
-    int pos = first_even + 2 * k;
+  Par p(y0, ch);
+  float* l = lbuf;
+  float* h = hbuf;
+#pragma omp parallel for schedule(static) if ((size_t)p.ne * cw >= PAR_MIN)
+  for (int k = 0; k < p.ne; k++)
+    for (int j = 0; j < cw; j++)
+      l[(size_t)k * cw + j] = vlo[(size_t)k * cw + j] * K_F;
+#pragma omp parallel for schedule(static) if ((size_t)p.no * cw >= PAR_MIN)
+  for (int k = 0; k < p.no; k++)
+    for (int j = 0; j < cw; j++)
+      h[(size_t)k * cw + j] = vhi[(size_t)k * cw + j] * TWO_OVER_K;
+#pragma omp parallel for schedule(static) if ((size_t)p.ne * cw >= PAR_MIN)
+  for (int k = 0; k < p.ne; k++) {
+    int pos = p.fe + 2 * k;
     const float* a =
-        h.data() + (size_t)((reflect(pos - 1, y0, u1) - first_odd) >> 1) * cw;
+        h + (size_t)((reflect(pos - 1, p.u0, p.u1) - p.fo) >> 1) * cw;
     const float* b =
-        h.data() + (size_t)((reflect(pos + 1, y0, u1) - first_odd) >> 1) * cw;
-    float* dst = l.data() + (size_t)k * cw;
+        h + (size_t)((reflect(pos + 1, p.u0, p.u1) - p.fo) >> 1) * cw;
+    float* dst = l + (size_t)k * cw;
     for (int j = 0; j < cw; j++) dst[j] = dst[j] - DELTA * (a[j] + b[j]);
   }
-  for (int k = 0; k < no; k++) {
-    int pos = first_odd + 2 * k;
+#pragma omp parallel for schedule(static) if ((size_t)p.no * cw >= PAR_MIN)
+  for (int k = 0; k < p.no; k++) {
+    int pos = p.fo + 2 * k;
     const float* a =
-        l.data() + (size_t)((reflect(pos - 1, y0, u1) - first_even) >> 1) * cw;
+        l + (size_t)((reflect(pos - 1, p.u0, p.u1) - p.fe) >> 1) * cw;
     const float* b =
-        l.data() + (size_t)((reflect(pos + 1, y0, u1) - first_even) >> 1) * cw;
-    float* dst = h.data() + (size_t)k * cw;
+        l + (size_t)((reflect(pos + 1, p.u0, p.u1) - p.fe) >> 1) * cw;
+    float* dst = h + (size_t)k * cw;
     for (int j = 0; j < cw; j++) dst[j] = dst[j] - GAMMA * (a[j] + b[j]);
   }
-  for (int k = 0; k < ne; k++) {
-    int pos = first_even + 2 * k;
+#pragma omp parallel for schedule(static) if ((size_t)p.ne * cw >= PAR_MIN)
+  for (int k = 0; k < p.ne; k++) {
+    int pos = p.fe + 2 * k;
     const float* a =
-        h.data() + (size_t)((reflect(pos - 1, y0, u1) - first_odd) >> 1) * cw;
+        h + (size_t)((reflect(pos - 1, p.u0, p.u1) - p.fo) >> 1) * cw;
     const float* b =
-        h.data() + (size_t)((reflect(pos + 1, y0, u1) - first_odd) >> 1) * cw;
-    float* dst = l.data() + (size_t)k * cw;
+        h + (size_t)((reflect(pos + 1, p.u0, p.u1) - p.fo) >> 1) * cw;
+    float* dst = l + (size_t)k * cw;
     for (int j = 0; j < cw; j++) dst[j] = dst[j] - BETA * (a[j] + b[j]);
   }
-  for (int k = 0; k < no; k++) {
-    int pos = first_odd + 2 * k;
+#pragma omp parallel for schedule(static) if ((size_t)p.no * cw >= PAR_MIN)
+  for (int k = 0; k < p.no; k++) {
+    int pos = p.fo + 2 * k;
     const float* a =
-        l.data() + (size_t)(reflect(pos - 1, y0, u1) - first_even) / 2 * cw;
+        l + (size_t)((reflect(pos - 1, p.u0, p.u1) - p.fe) >> 1) * cw;
     const float* b =
-        l.data() + (size_t)(reflect(pos + 1, y0, u1) - first_even) / 2 * cw;
+        l + (size_t)((reflect(pos + 1, p.u0, p.u1) - p.fe) >> 1) * cw;
     float* dst = out + (size_t)(pos - y0) * cw;
-    const float* src = h.data() + (size_t)k * cw;
+    const float* src = h + (size_t)k * cw;
     for (int j = 0; j < cw; j++) dst[j] = src[j] - ALPHA * (a[j] + b[j]);
   }
-  for (int k = 0; k < ne; k++) {
-    int pos = first_even + 2 * k;
-    std::memcpy(out + (size_t)(pos - y0) * cw, l.data() + (size_t)k * cw,
+#pragma omp parallel for schedule(static) if ((size_t)p.ne * cw >= PAR_MIN)
+  for (int k = 0; k < p.ne; k++) {
+    int pos = p.fe + 2 * k;
+    std::memcpy(out + (size_t)(pos - y0) * cw, l + (size_t)k * cw,
                 sizeof(float) * cw);
   }
+}
+
+// Persistent per-thread scratch arenas: repeated 1-4 MB vector churn per
+// call costs ~1 ms in mmap/page faults; grow-only reuse pays it once.
+template <typename T>
+static T* arena(int slot, size_t n) {
+  static thread_local std::vector<T> bufs[6];
+  auto& v = bufs[slot];
+  if (v.size() < n) v.resize(n);
+  return v.data();
 }
 
 }  // namespace
@@ -391,54 +476,53 @@ int grok_dwt53_fwd(int32_t* data, int w, int h, int x0, int y0, int levels,
                    int32_t* band_flat, const int64_t* band_off,
                    int64_t ll_off) {
   int cw = w, ch = h, cx0 = x0, cy0 = y0;
-  std::vector<int32_t> cur(data, data + (size_t)w * h);
-  std::vector<int32_t> vlo, vhi, next;
-  std::vector<int32_t> lo_line, hi_line;
+  int32_t* cur = arena<int32_t>(0, (size_t)w * h);
+  std::memcpy(cur, data, sizeof(int32_t) * (size_t)w * h);
+  int32_t* vbuf = arena<int32_t>(1, (size_t)w * h);  // vlo | vhi
+  int32_t* next =
+      arena<int32_t>(2, (size_t)((w + 1) / 2 + 1) * ((h + 1) / 2 + 1));
   for (int lev = 0; lev < levels; lev++) {
-    int u1x = cx0 + cw;
-    int first_even_x = (cx0 % 2 == 0) ? cx0 : cx0 + 1;
-    int first_odd_x = (cx0 % 2 == 1) ? cx0 : cx0 + 1;
-    int ne_x = cw > 0 ? (u1x - first_even_x + 1) / 2 : 0;
-    int no_x = cw > 0 ? (u1x - first_odd_x + 1) / 2 : 0;
-    int u1y = cy0 + ch;
-    int first_even_y = (cy0 % 2 == 0) ? cy0 : cy0 + 1;
-    int first_odd_y = (cy0 % 2 == 1) ? cy0 : cy0 + 1;
-    int ne_y = ch > 0 ? (u1y - first_even_y + 1) / 2 : 0;
-    int no_y = ch > 0 ? (u1y - first_odd_y + 1) / 2 : 0;
+    Par px(cx0, cw), py(cy0, ch);
+    int ne_x = px.ne, no_x = px.no, ne_y = py.ne, no_y = py.no;
 
-    vlo.assign((size_t)ne_y * cw, 0);
-    vhi.assign((size_t)no_y * cw, 0);
-    fwd53_vert(cur.data(), cw, ch, cy0, vlo.data(), vhi.data());
+    int32_t* vlo = vbuf;
+    int32_t* vhi = vbuf + (size_t)ne_y * cw;
+    fwd53_vert(cur, cw, ch, cy0, vlo, vhi);
 
-    next.assign((size_t)ne_y * ne_x, 0);
     int32_t* hl = band_flat + band_off[lev * 3];
     int32_t* lh = band_flat + band_off[lev * 3 + 1];
     int32_t* hh = band_flat + band_off[lev * 3 + 2];
-    lo_line.resize(ne_x > 0 ? ne_x : 1);
-    hi_line.resize(no_x > 0 ? no_x : 1);
-    for (int r = 0; r < ne_y; r++) {
-      fwd53_line(vlo.data() + (size_t)r * cw, cw, cx0, lo_line.data(),
-                 hi_line.data());
-      std::memcpy(next.data() + (size_t)r * ne_x, lo_line.data(),
-                  sizeof(int32_t) * ne_x);
-      std::memcpy(hl + (size_t)r * no_x, hi_line.data(),
-                  sizeof(int32_t) * no_x);
+    int32_t* nx = next;
+#pragma omp parallel if ((size_t)(ne_y + no_y) * cw >= PAR_MIN)
+    {
+      std::vector<int32_t> lo_line(ne_x > 0 ? ne_x : 1);
+      std::vector<int32_t> hi_line(no_x > 0 ? no_x : 1);
+#pragma omp for schedule(static) nowait
+      for (int r = 0; r < ne_y; r++) {
+        fwd53_line(vlo + (size_t)r * cw, cw, cx0, lo_line.data(),
+                   hi_line.data());
+        std::memcpy(nx + (size_t)r * ne_x, lo_line.data(),
+                    sizeof(int32_t) * ne_x);
+        std::memcpy(hl + (size_t)r * no_x, hi_line.data(),
+                    sizeof(int32_t) * no_x);
+      }
+#pragma omp for schedule(static)
+      for (int r = 0; r < no_y; r++) {
+        fwd53_line(vhi + (size_t)r * cw, cw, cx0, lo_line.data(),
+                   hi_line.data());
+        std::memcpy(lh + (size_t)r * ne_x, lo_line.data(),
+                    sizeof(int32_t) * ne_x);
+        std::memcpy(hh + (size_t)r * no_x, hi_line.data(),
+                    sizeof(int32_t) * no_x);
+      }
     }
-    for (int r = 0; r < no_y; r++) {
-      fwd53_line(vhi.data() + (size_t)r * cw, cw, cx0, lo_line.data(),
-                 hi_line.data());
-      std::memcpy(lh + (size_t)r * ne_x, lo_line.data(),
-                  sizeof(int32_t) * ne_x);
-      std::memcpy(hh + (size_t)r * no_x, hi_line.data(),
-                  sizeof(int32_t) * no_x);
-    }
-    cur.swap(next);
+    std::memcpy(cur, nx, sizeof(int32_t) * (size_t)ne_y * ne_x);
     cw = ne_x;
     ch = ne_y;
     cx0 = ceil_div(cx0, 2);
     cy0 = ceil_div(cy0, 2);
   }
-  std::memcpy(band_flat + ll_off, cur.data(), sizeof(int32_t) * cw * ch);
+  std::memcpy(band_flat + ll_off, cur, sizeof(int32_t) * cw * ch);
   return 0;
 }
 
@@ -451,17 +535,17 @@ int grok_dwt53_inv(int32_t* data, int w, int h, int x0, int y0, int levels,
       ys(levels + 1);
   ws[0] = w; hs[0] = h; xs[0] = x0; ys[0] = y0;
   for (int i = 1; i <= levels; i++) {
-    int fe_x = (xs[i - 1] % 2 == 0) ? xs[i - 1] : xs[i - 1] + 1;
-    int fe_y = (ys[i - 1] % 2 == 0) ? ys[i - 1] : ys[i - 1] + 1;
-    ws[i] = ws[i - 1] > 0 ? (xs[i - 1] + ws[i - 1] - fe_x + 1) / 2 : 0;
-    hs[i] = hs[i - 1] > 0 ? (ys[i - 1] + hs[i - 1] - fe_y + 1) / 2 : 0;
+    Par px(xs[i - 1], ws[i - 1]), py(ys[i - 1], hs[i - 1]);
+    ws[i] = ws[i - 1] > 0 ? px.ne : 0;
+    hs[i] = hs[i - 1] > 0 ? py.ne : 0;
     xs[i] = ceil_div(xs[i - 1], 2);
     ys[i] = ceil_div(ys[i - 1], 2);
   }
-  std::vector<int32_t> cur(band_flat + ll_off,
-                           band_flat + ll_off + (size_t)ws[levels] * hs[levels]);
-  std::vector<int32_t> top, bot, out;
-  std::vector<int32_t> line;
+  int32_t* cur = arena<int32_t>(0, (size_t)w * h);
+  std::memcpy(cur, band_flat + ll_off,
+              sizeof(int32_t) * (size_t)ws[levels] * hs[levels]);
+  int32_t* vbuf = arena<int32_t>(1, (size_t)w * h);  // top | bot
+  int32_t* out = arena<int32_t>(2, (size_t)w * h);
   for (int lev = levels - 1; lev >= 0; lev--) {
     int cw = ws[lev], ch = hs[lev], cx0 = xs[lev], cy0 = ys[lev];
     int ne_x = ws[lev + 1];
@@ -471,27 +555,27 @@ int grok_dwt53_inv(int32_t* data, int w, int h, int x0, int y0, int levels,
     const int32_t* hl = band_flat + band_off[lev * 3];
     const int32_t* lh = band_flat + band_off[lev * 3 + 1];
     const int32_t* hh = band_flat + band_off[lev * 3 + 2];
-    top.assign((size_t)ne_y * cw, 0);
-    bot.assign((size_t)no_y * cw, 0);
-    line.resize(cw > 0 ? cw : 1);
-    std::vector<int32_t> xe_scratch(cw > 0 ? cw : 1);
-    for (int r = 0; r < ne_y; r++) {
-      inv53_line(cur.data() + (size_t)r * ne_x, hl + (size_t)r * no_x, cw,
-                 cx0, line.data(), xe_scratch.data());
-      std::memcpy(top.data() + (size_t)r * cw, line.data(),
-                  sizeof(int32_t) * cw);
+    int32_t* top = vbuf;
+    int32_t* bot = vbuf + (size_t)ne_y * cw;
+#pragma omp parallel if ((size_t)(ne_y + no_y) * cw >= PAR_MIN)
+    {
+      std::vector<int32_t> line(cw > 0 ? cw : 1);
+      std::vector<int32_t> xe_scratch(cw > 0 ? cw : 1);
+#pragma omp for schedule(static) nowait
+      for (int r = 0; r < ne_y; r++) {
+        inv53_line(cur + (size_t)r * ne_x, hl + (size_t)r * no_x, cw,
+                   cx0, top + (size_t)r * cw, xe_scratch.data());
+      }
+#pragma omp for schedule(static)
+      for (int r = 0; r < no_y; r++) {
+        inv53_line(lh + (size_t)r * ne_x, hh + (size_t)r * no_x, cw, cx0,
+                   bot + (size_t)r * cw, xe_scratch.data());
+      }
     }
-    for (int r = 0; r < no_y; r++) {
-      inv53_line(lh + (size_t)r * ne_x, hh + (size_t)r * no_x, cw, cx0,
-                 line.data(), xe_scratch.data());
-      std::memcpy(bot.data() + (size_t)r * cw, line.data(),
-                  sizeof(int32_t) * cw);
-    }
-    out.assign((size_t)ch * cw, 0);
-    inv53_vert(top.data(), bot.data(), cw, ch, cy0, out.data());
-    cur.swap(out);
+    inv53_vert(top, bot, cw, ch, cy0, out);
+    std::memcpy(cur, out, sizeof(int32_t) * (size_t)ch * cw);
   }
-  std::memcpy(data, cur.data(), sizeof(int32_t) * (size_t)w * h);
+  std::memcpy(data, cur, sizeof(int32_t) * (size_t)w * h);
   return 0;
 }
 
@@ -500,53 +584,53 @@ int grok_dwt97_fwd(float* data, int w, int h, int x0, int y0, int levels,
                    float* band_flat, const int64_t* band_off,
                    int64_t ll_off) {
   int cw = w, ch = h, cx0 = x0, cy0 = y0;
-  std::vector<float> cur(data, data + (size_t)w * h);
-  std::vector<float> vlo, vhi, next, lo_line, hi_line;
+  float* cur = arena<float>(0, (size_t)w * h);
+  std::memcpy(cur, data, sizeof(float) * (size_t)w * h);
+  float* vbuf = arena<float>(1, (size_t)w * h);
+  float* next = arena<float>(2, (size_t)((w + 1) / 2 + 1) * ((h + 1) / 2 + 1));
   for (int lev = 0; lev < levels; lev++) {
-    int u1x = cx0 + cw;
-    int fe_x = (cx0 % 2 == 0) ? cx0 : cx0 + 1;
-    int fo_x = (cx0 % 2 == 1) ? cx0 : cx0 + 1;
-    int ne_x = (u1x - fe_x + 1) / 2;
-    int no_x = (u1x - fo_x + 1) / 2;
-    int u1y = cy0 + ch;
-    int fe_y = (cy0 % 2 == 0) ? cy0 : cy0 + 1;
-    int ne_y = (u1y - fe_y + 1) / 2;
-    int no_y = ch - ne_y;
+    Par px(cx0, cw), py(cy0, ch);
+    int ne_x = px.ne, no_x = px.no, ne_y = py.ne, no_y = py.no;
 
-    vlo.assign((size_t)ne_y * cw, 0.f);
-    vhi.assign((size_t)no_y * cw, 0.f);
-    fwd97_vert(cur.data(), cw, ch, cy0, vlo.data(), vhi.data());
+    float* vlo = vbuf;
+    float* vhi = vbuf + (size_t)ne_y * cw;
+    fwd97_vert(cur, cw, ch, cy0, vlo, vhi);
 
-    next.assign((size_t)ne_y * ne_x, 0.f);
     float* hl = band_flat + band_off[lev * 3];
     float* lh = band_flat + band_off[lev * 3 + 1];
     float* hh = band_flat + band_off[lev * 3 + 2];
-    lo_line.resize(ne_x > 0 ? ne_x : 1);
-    hi_line.resize(no_x > 0 ? no_x : 1);
-    std::vector<float> l_s(cw > 0 ? cw : 1), h_s(cw > 0 ? cw : 1);
-    for (int r = 0; r < ne_y; r++) {
-      fwd97_line(vlo.data() + (size_t)r * cw, cw, cx0, lo_line.data(),
-                 hi_line.data(), l_s.data(), h_s.data());
-      std::memcpy(next.data() + (size_t)r * ne_x, lo_line.data(),
-                  sizeof(float) * ne_x);
-      std::memcpy(hl + (size_t)r * no_x, hi_line.data(),
-                  sizeof(float) * no_x);
+    float* nx = next;
+#pragma omp parallel if ((size_t)(ne_y + no_y) * cw >= PAR_MIN)
+    {
+      std::vector<float> lo_line(ne_x > 0 ? ne_x : 1);
+      std::vector<float> hi_line(no_x > 0 ? no_x : 1);
+      std::vector<float> ev(ne_x > 0 ? ne_x : 1), od(no_x > 0 ? no_x : 1);
+#pragma omp for schedule(static) nowait
+      for (int r = 0; r < ne_y; r++) {
+        fwd97_line(vlo + (size_t)r * cw, cw, cx0, lo_line.data(),
+                   hi_line.data(), ev.data(), od.data());
+        std::memcpy(nx + (size_t)r * ne_x, lo_line.data(),
+                    sizeof(float) * ne_x);
+        std::memcpy(hl + (size_t)r * no_x, hi_line.data(),
+                    sizeof(float) * no_x);
+      }
+#pragma omp for schedule(static)
+      for (int r = 0; r < no_y; r++) {
+        fwd97_line(vhi + (size_t)r * cw, cw, cx0, lo_line.data(),
+                   hi_line.data(), ev.data(), od.data());
+        std::memcpy(lh + (size_t)r * ne_x, lo_line.data(),
+                    sizeof(float) * ne_x);
+        std::memcpy(hh + (size_t)r * no_x, hi_line.data(),
+                    sizeof(float) * no_x);
+      }
     }
-    for (int r = 0; r < no_y; r++) {
-      fwd97_line(vhi.data() + (size_t)r * cw, cw, cx0, lo_line.data(),
-                 hi_line.data(), l_s.data(), h_s.data());
-      std::memcpy(lh + (size_t)r * ne_x, lo_line.data(),
-                  sizeof(float) * ne_x);
-      std::memcpy(hh + (size_t)r * no_x, hi_line.data(),
-                  sizeof(float) * no_x);
-    }
-    cur.swap(next);
+    std::memcpy(cur, nx, sizeof(float) * (size_t)ne_y * ne_x);
     cw = ne_x;
     ch = ne_y;
     cx0 = ceil_div(cx0, 2);
     cy0 = ceil_div(cy0, 2);
   }
-  std::memcpy(band_flat + ll_off, cur.data(), sizeof(float) * cw * ch);
+  std::memcpy(band_flat + ll_off, cur, sizeof(float) * cw * ch);
   return 0;
 }
 
@@ -557,16 +641,19 @@ int grok_dwt97_inv(float* data, int w, int h, int x0, int y0, int levels,
       ys(levels + 1);
   ws[0] = w; hs[0] = h; xs[0] = x0; ys[0] = y0;
   for (int i = 1; i <= levels; i++) {
-    int fe_x = (xs[i - 1] % 2 == 0) ? xs[i - 1] : xs[i - 1] + 1;
-    int fe_y = (ys[i - 1] % 2 == 0) ? ys[i - 1] : ys[i - 1] + 1;
-    ws[i] = ws[i - 1] > 0 ? (xs[i - 1] + ws[i - 1] - fe_x + 1) / 2 : 0;
-    hs[i] = hs[i - 1] > 0 ? (ys[i - 1] + hs[i - 1] - fe_y + 1) / 2 : 0;
+    Par px(xs[i - 1], ws[i - 1]), py(ys[i - 1], hs[i - 1]);
+    ws[i] = ws[i - 1] > 0 ? px.ne : 0;
+    hs[i] = hs[i - 1] > 0 ? py.ne : 0;
     xs[i] = ceil_div(xs[i - 1], 2);
     ys[i] = ceil_div(ys[i - 1], 2);
   }
-  std::vector<float> cur(band_flat + ll_off,
-                         band_flat + ll_off + (size_t)ws[levels] * hs[levels]);
-  std::vector<float> top, bot, out, line;
+  float* cur = arena<float>(0, (size_t)w * h);
+  std::memcpy(cur, band_flat + ll_off,
+              sizeof(float) * (size_t)ws[levels] * hs[levels]);
+  float* vbuf = arena<float>(1, (size_t)w * h);  // top | bot
+  float* out = arena<float>(2, (size_t)w * h);
+  float* lscratch = arena<float>(3, (size_t)w * ((h + 1) / 2 + 1));
+  float* hscratch = arena<float>(4, (size_t)w * ((h + 1) / 2 + 1));
   for (int lev = levels - 1; lev >= 0; lev--) {
     int cw = ws[lev], ch = hs[lev], cx0 = xs[lev], cy0 = ys[lev];
     int ne_x = ws[lev + 1];
@@ -576,27 +663,26 @@ int grok_dwt97_inv(float* data, int w, int h, int x0, int y0, int levels,
     const float* hl = band_flat + band_off[lev * 3];
     const float* lh = band_flat + band_off[lev * 3 + 1];
     const float* hh = band_flat + band_off[lev * 3 + 2];
-    top.assign((size_t)ne_y * cw, 0.f);
-    bot.assign((size_t)no_y * cw, 0.f);
-    line.resize(cw > 0 ? cw : 1);
-    std::vector<float> l_s(cw > 0 ? cw : 1), h_s(cw > 0 ? cw : 1);
-    for (int r = 0; r < ne_y; r++) {
-      inv97_line(cur.data() + (size_t)r * ne_x, hl + (size_t)r * no_x, cw,
-                 cx0, line.data(), l_s.data(), h_s.data());
-      std::memcpy(top.data() + (size_t)r * cw, line.data(),
-                  sizeof(float) * cw);
+    float* top = vbuf;
+    float* bot = vbuf + (size_t)ne_y * cw;
+#pragma omp parallel if ((size_t)(ne_y + no_y) * cw >= PAR_MIN)
+    {
+      std::vector<float> ev(cw > 0 ? cw : 1), od(cw > 0 ? cw : 1);
+#pragma omp for schedule(static) nowait
+      for (int r = 0; r < ne_y; r++) {
+        inv97_line(cur + (size_t)r * ne_x, hl + (size_t)r * no_x, cw,
+                   cx0, top + (size_t)r * cw, ev.data(), od.data());
+      }
+#pragma omp for schedule(static)
+      for (int r = 0; r < no_y; r++) {
+        inv97_line(lh + (size_t)r * ne_x, hh + (size_t)r * no_x, cw, cx0,
+                   bot + (size_t)r * cw, ev.data(), od.data());
+      }
     }
-    for (int r = 0; r < no_y; r++) {
-      inv97_line(lh + (size_t)r * ne_x, hh + (size_t)r * no_x, cw, cx0,
-                 line.data(), l_s.data(), h_s.data());
-      std::memcpy(bot.data() + (size_t)r * cw, line.data(),
-                  sizeof(float) * cw);
-    }
-    out.assign((size_t)ch * cw, 0.f);
-    inv97_vert(top.data(), bot.data(), cw, ch, cy0, out.data());
-    cur.swap(out);
+    inv97_vert(top, bot, cw, ch, cy0, out, lscratch, hscratch);
+    std::memcpy(cur, out, sizeof(float) * (size_t)ch * cw);
   }
-  std::memcpy(data, cur.data(), sizeof(float) * (size_t)w * h);
+  std::memcpy(data, cur, sizeof(float) * (size_t)w * h);
   return 0;
 }
 

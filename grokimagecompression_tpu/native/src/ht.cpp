@@ -121,9 +121,22 @@ static const int MEL_EXP[13] = {0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 4, 5};
 // Stream writers
 // ---------------------------------------------------------------------------
 
+// Per-thread reusable stream buffers: the three coders plus scanline
+// state; capacity persists across blocks so a batch does no allocation
+// after warmup.
+struct Scratch {
+  std::vector<uint8_t> mel, vlcr, ms, e_val, cx_val;
+};
+static Scratch& scratch() {
+  static thread_local Scratch s;
+  return s;
+}
+
 struct MelEnc {
-  std::vector<uint8_t> buf;
+  std::vector<uint8_t>& buf;
   int remaining = 8, tmp = 0, run = 0, k = 0, threshold = 1;
+
+  explicit MelEnc(std::vector<uint8_t>& b) : buf(b) { buf.clear(); }
 
   void emit_bit(int v) {
     tmp = (tmp << 1) | v;
@@ -155,11 +168,14 @@ struct MelEnc {
 
 // Backward-growing VLC writer (bytes are emitted back-to-front).
 struct VlcEnc {
-  std::vector<uint8_t> rbuf;  // reversed order: rbuf[0] is the LAST byte
+  std::vector<uint8_t>& rbuf;  // reversed order: rbuf[0] is the LAST byte
   int used = 4, tmp = 0xF;
   bool last_gt_8f = true;
 
-  VlcEnc() { rbuf.push_back(0xFF); }
+  explicit VlcEnc(std::vector<uint8_t>& b) : rbuf(b) {
+    rbuf.clear();
+    rbuf.push_back(0xFF);
+  }
 
   void encode(int cwd, int len) {
     while (len > 0) {
@@ -200,32 +216,40 @@ static void terminate_mel_vlc(MelEnc& mel, VlcEnc& vlc) {
   }
 }
 
+// MagSgn writer: 64-bit bit queue drained a byte at a time (the byte
+// sequence, including 0xFF 7-bit stuffing, is identical to emitting
+// bit-chunks into per-byte buffers — a byte is complete once max_bits
+// bits are queued).
 struct MsEnc {
-  std::vector<uint8_t> buf;
-  int max_bits = 8, used = 0, tmp = 0;
+  std::vector<uint8_t>& buf;
+  uint64_t q = 0;
+  int qbits = 0, max_bits = 8;
 
-  void encode(uint32_t cwd, int len) {
-    while (len > 0) {
-      int t = (max_bits - used) < len ? (max_bits - used) : len;
-      tmp |= (cwd & ((1u << t) - 1)) << used;
-      used += t;
-      cwd >>= t;
-      len -= t;
-      if (used >= max_bits) {
-        buf.push_back((uint8_t)tmp);
-        max_bits = (tmp == 0xFF) ? 7 : 8;
-        tmp = 0;
-        used = 0;
-      }
+  explicit MsEnc(std::vector<uint8_t>& b) : buf(b) { buf.clear(); }
+
+  inline void drain() {
+    while (qbits >= max_bits) {
+      uint8_t byte = (uint8_t)(q & ((1u << max_bits) - 1));
+      q >>= max_bits;
+      qbits -= max_bits;
+      buf.push_back(byte);
+      max_bits = (byte == 0xFF) ? 7 : 8;
     }
   }
 
+  inline void encode(uint32_t cwd, int len) {
+    if (qbits + len > 64) drain();
+    q |= (uint64_t)cwd << qbits;
+    qbits += len;
+    if (qbits >= 32) drain();
+  }
+
   void terminate() {
-    if (used) {
-      int t = max_bits - used;
-      tmp |= (0xFF & ((1 << t) - 1)) << used;
-      used += t;
-      if (tmp != 0xFF) buf.push_back((uint8_t)tmp);
+    drain();
+    if (qbits) {
+      uint8_t byte = (uint8_t)(q | (0xFFu << qbits)) &
+                     (uint8_t)((1u << max_bits) - 1);
+      if (byte != 0xFF) buf.push_back(byte);
     } else if (max_bits == 7) {
       buf.pop_back();
     }
@@ -244,26 +268,41 @@ struct QuadInfo {
 };
 
 // Gather one 2x2 quad at (x, y) from (mag, neg) arrays.
+static inline void quad_sample(QuadInfo& q, int n, uint32_t m, uint32_t sign,
+                               int shift, int p) {
+  uint32_t val = (m << shift) << 1;  // sign-magnitude alignment, drop-sign
+  val >>= p;
+  val &= ~1u;
+  if (val) {
+    q.rho |= 1 << n;
+    q.e_q[n] = bit_length(val - 1);
+    if (q.e_q[n] > q.e_qmax) q.e_qmax = q.e_q[n];
+    q.s[n] = (val - 2) + sign;  // v_n = 2(mu_p - 1) + s_n
+  }
+}
+
 static inline QuadInfo gather_quad(const uint32_t* mag, const uint8_t* neg,
                                    int w, int h, int x, int y, int shift,
                                    int p) {
   QuadInfo q;
+  if (x + 1 < w && y + 1 < h) {  // interior fast path (no bounds checks)
+    const uint32_t* m0 = mag + (size_t)y * w + x;
+    const uint32_t* m1 = m0 + w;
+    const uint8_t* n0 = neg + (size_t)y * w + x;
+    const uint8_t* n1 = n0 + w;
+    quad_sample(q, 0, m0[0], n0[0], shift, p);
+    quad_sample(q, 1, m1[0], n1[0], shift, p);
+    quad_sample(q, 2, m0[1], n0[1], shift, p);
+    quad_sample(q, 3, m1[1], n1[1], shift, p);
+    return q;
+  }
   const int dx[4] = {0, 0, 1, 1};
   const int dy[4] = {0, 1, 0, 1};
   for (int n = 0; n < 4; n++) {
     int xx = x + dx[n], yy = y + dy[n];
     if (xx >= w || yy >= h) continue;
-    uint32_t m = mag[yy * w + xx] << shift;  // sign-magnitude alignment
-    uint32_t sign = neg[yy * w + xx] ? 1u : 0u;
-    uint32_t val = m << 1;                   // drop-sign double
-    val >>= p;
-    val &= ~1u;
-    if (val) {
-      q.rho |= 1 << n;
-      q.e_q[n] = bit_length(val - 1);
-      if (q.e_q[n] > q.e_qmax) q.e_qmax = q.e_q[n];
-      q.s[n] = (val - 2) + sign;             // v_n = 2(mu_p - 1) + s_n
-    }
+    quad_sample(q, n, mag[yy * w + xx], neg[yy * w + xx] ? 1u : 0u, shift,
+                p);
   }
   return q;
 }
@@ -272,15 +311,19 @@ static inline QuadInfo gather_quad(const uint32_t* mag, const uint8_t* neg,
 static std::vector<uint8_t> ht_encode(const uint32_t* mag,
                                       const uint8_t* neg, int w, int h,
                                       int Mb) {
-  MelEnc mel;
-  VlcEnc vlc;
-  MsEnc ms;
+  Scratch& s = scratch();
+  MelEnc mel(s.mel);
+  VlcEnc vlc(s.vlcr);
+  MsEnc ms(s.ms);
 
   int shift = 31 - (Mb + 1);  // align magnitudes like the reference wrapper
   int p = 30 - Mb;            // missing_msbs at encode time = Mb
 
   int qw = (w + 1) / 2;  // quad columns
-  std::vector<uint8_t> e_val(qw + 2, 0), cx_val(qw + 2, 0);
+  s.e_val.assign(qw + 2, 0);
+  s.cx_val.assign(qw + 2, 0);
+  std::vector<uint8_t>& e_val = s.e_val;
+  std::vector<uint8_t>& cx_val = s.cx_val;
 
   // ---- initial row pair ----
   {
@@ -879,27 +922,20 @@ int grok_ht_encode_batch(int nblocks, const uint32_t* mag_flat,
                          const uint8_t* neg_flat, const int64_t* desc,
                          uint8_t* out_flat, int out_stride,
                          int32_t* out_lens, int nthreads) {
-  std::atomic<int> next(0);
   std::atomic<int> err(0);
-  auto worker = [&]() {
-    for (;;) {
-      int i = next.fetch_add(1);
-      if (i >= nblocks) break;
-      const int64_t* d = desc + (size_t)i * 4;
-      std::vector<uint8_t> out = ht_encode(mag_flat + d[0], neg_flat + d[0],
-                                           (int)d[1], (int)d[2], (int)d[3]);
-      if ((int)out.size() > out_stride) { err.store(1); continue; }
+  int nt = nthreads < nblocks ? nthreads : nblocks;
+  if (nt < 1) nt = 1;
+#pragma omp parallel for schedule(dynamic) num_threads(nt) if (nt > 1)
+  for (int i = 0; i < nblocks; i++) {
+    const int64_t* d = desc + (size_t)i * 4;
+    std::vector<uint8_t> out = ht_encode(mag_flat + d[0], neg_flat + d[0],
+                                         (int)d[1], (int)d[2], (int)d[3]);
+    if ((int)out.size() > out_stride) {
+      err.store(1);
+    } else {
       std::memcpy(out_flat + (size_t)i * out_stride, out.data(), out.size());
       out_lens[i] = (int32_t)out.size();
     }
-  };
-  if (nthreads <= 1 || nblocks <= 1) {
-    worker();
-  } else {
-    int nt = nthreads < nblocks ? nthreads : nblocks;
-    std::vector<std::thread> threads;
-    for (int t = 0; t < nt; t++) threads.emplace_back(worker);
-    for (auto& th : threads) th.join();
   }
   return err.load() ? -1 : 0;
 }
@@ -912,32 +948,22 @@ int grok_ht_decode_batch(int nblocks, const uint8_t* data_flat,
                          const int64_t* desc, uint32_t* mag_flat,
                          uint8_t* neg_flat, int nthreads,
                          int signed_out) {
-  std::atomic<int> next(0);
-  auto worker = [&]() {
-    for (;;) {
-      int i = next.fetch_add(1);
-      if (i >= nblocks) break;
-      const int64_t* d = desc + (size_t)i * 6;
-      ht_decode(data_flat + d[0], (int)d[1], (int)d[2], (int)d[3],
-                (int)d[4], mag_flat + d[5], neg_flat + d[5]);
-      if (signed_out) {
-        int n = (int)(d[2] * d[3]);
-        int32_t* out = (int32_t*)(mag_flat + d[5]);
-        const uint8_t* neg = neg_flat + d[5];
-        for (int j = 0; j < n; j++) {
-          int32_t v = (int32_t)out[j];
-          out[j] = neg[j] ? -v : v;
-        }
+  int nt = nthreads < nblocks ? nthreads : nblocks;
+  if (nt < 1) nt = 1;
+#pragma omp parallel for schedule(dynamic) num_threads(nt) if (nt > 1)
+  for (int i = 0; i < nblocks; i++) {
+    const int64_t* d = desc + (size_t)i * 6;
+    ht_decode(data_flat + d[0], (int)d[1], (int)d[2], (int)d[3],
+              (int)d[4], mag_flat + d[5], neg_flat + d[5]);
+    if (signed_out) {
+      int n = (int)(d[2] * d[3]);
+      int32_t* out = (int32_t*)(mag_flat + d[5]);
+      const uint8_t* neg = neg_flat + d[5];
+      for (int j = 0; j < n; j++) {
+        int32_t v = (int32_t)out[j];
+        out[j] = neg[j] ? -v : v;
       }
     }
-  };
-  if (nthreads <= 1 || nblocks <= 1) {
-    worker();
-  } else {
-    int nt = nthreads < nblocks ? nthreads : nblocks;
-    std::vector<std::thread> threads;
-    for (int t = 0; t < nt; t++) threads.emplace_back(worker);
-    for (auto& th : threads) th.join();
   }
   return 0;
 }

@@ -870,39 +870,31 @@ int grok_t1_encode_batch(int nblocks, const uint32_t* mag_flat,
                          int32_t* out_meta, int32_t* pass_rates,
                          double* pass_dist, uint8_t* pass_term,
                          int pass_stride, int nthreads) {
-  std::atomic<int> next(0);
   std::atomic<int> err(0);
-  auto worker = [&]() {
-    for (;;) {
-      int i = next.fetch_add(1);
-      if (i >= nblocks) break;
-      const int64_t* d = desc + (size_t)i * 4;
-      std::vector<uint8_t> out;
-      std::vector<PassRec> passes;
-      int numbps = 0, numpasses = 0;
-      int n = encode_cblk(mag_flat + d[0], neg_flat + d[0], (int)d[1],
-                          (int)d[2], (int)d[3], style, out, &numbps,
-                          &numpasses, passes);
-      if (n > out_stride) { err.store(1); continue; }
-      std::memcpy(out_flat + (size_t)i * out_stride, out.data(), n);
-      out_meta[i * 3] = n;
-      out_meta[i * 3 + 1] = numbps;
-      out_meta[i * 3 + 2] = numpasses;
-      for (size_t j = 0; j < passes.size() && (int)j < pass_stride; j++) {
-        pass_rates[(size_t)i * pass_stride + j] = passes[j].rate;
-        pass_dist[(size_t)i * pass_stride + j] = passes[j].dist;
-        pass_term[(size_t)i * pass_stride + j] = passes[j].terminated;
-      }
+  int nt = nthreads < nblocks ? nthreads : nblocks;
+  if (nt < 1) nt = 1;
+#pragma omp parallel for schedule(dynamic) num_threads(nt) if (nt > 1)
+  for (int i = 0; i < nblocks; i++) {
+    const int64_t* d = desc + (size_t)i * 4;
+    std::vector<uint8_t> out;
+    std::vector<PassRec> passes;
+    int numbps = 0, numpasses = 0;
+    int n = encode_cblk(mag_flat + d[0], neg_flat + d[0], (int)d[1],
+                        (int)d[2], (int)d[3], style, out, &numbps,
+                        &numpasses, passes);
+    if (n > out_stride) {
+      err.store(1);
+      continue;
     }
-  };
-  if (nthreads <= 1 || nblocks <= 1) {
-    worker();
-  } else {
-    int nt = nthreads < nblocks ? nthreads : nblocks;
-    std::vector<std::thread> threads;
-    threads.reserve(nt);
-    for (int t = 0; t < nt; t++) threads.emplace_back(worker);
-    for (auto& th : threads) th.join();
+    std::memcpy(out_flat + (size_t)i * out_stride, out.data(), n);
+    out_meta[i * 3] = n;
+    out_meta[i * 3 + 1] = numbps;
+    out_meta[i * 3 + 2] = numpasses;
+    for (size_t j = 0; j < passes.size() && (int)j < pass_stride; j++) {
+      pass_rates[(size_t)i * pass_stride + j] = passes[j].rate;
+      pass_dist[(size_t)i * pass_stride + j] = passes[j].dist;
+      pass_term[(size_t)i * pass_stride + j] = passes[j].terminated;
+    }
   }
   return err.load() ? -1 : 0;
 }
@@ -915,35 +907,56 @@ int grok_t1_decode_batch(int nblocks, const uint8_t* data_flat,
                          const int32_t* seg_lens_flat, const int64_t* desc,
                          uint32_t* mag_flat, uint8_t* neg_flat,
                          int nthreads, int signed_out) {
-  std::atomic<int> next(0);
-  auto worker = [&]() {
-    for (;;) {
-      int i = next.fetch_add(1);
-      if (i >= nblocks) break;
-      const int64_t* d = desc + (size_t)i * 11;
-      decode_cblk(data_flat + d[0], (int)d[1],
-                  seg_lens_flat + d[2], (int)d[3], (int)d[4], (int)d[5],
-                  (int)d[6], (int)d[7], (int)d[8], (int)d[9],
-                  mag_flat + d[10], neg_flat + d[10]);
-      if (signed_out) {
-        int n = (int)(d[4] * d[5]);
-        int32_t* out = (int32_t*)(mag_flat + d[10]);
-        const uint8_t* neg = neg_flat + d[10];
-        for (int j = 0; j < n; j++) {
-          int32_t v = (int32_t)out[j];
-          out[j] = neg[j] ? -v : v;
-        }
+  int nt = nthreads < nblocks ? nthreads : nblocks;
+  if (nt < 1) nt = 1;
+#pragma omp parallel for schedule(dynamic) num_threads(nt) if (nt > 1)
+  for (int i = 0; i < nblocks; i++) {
+    const int64_t* d = desc + (size_t)i * 11;
+    decode_cblk(data_flat + d[0], (int)d[1],
+                seg_lens_flat + d[2], (int)d[3], (int)d[4], (int)d[5],
+                (int)d[6], (int)d[7], (int)d[8], (int)d[9],
+                mag_flat + d[10], neg_flat + d[10]);
+    if (signed_out) {
+      int n = (int)(d[4] * d[5]);
+      int32_t* out = (int32_t*)(mag_flat + d[10]);
+      const uint8_t* neg = neg_flat + d[10];
+      for (int j = 0; j < n; j++) {
+        int32_t v = (int32_t)out[j];
+        out[j] = neg[j] ? -v : v;
       }
     }
-  };
-  if (nthreads <= 1 || nblocks <= 1) {
-    worker();
-  } else {
-    int nt = nthreads < nblocks ? nthreads : nblocks;
-    std::vector<std::thread> threads;
-    threads.reserve(nt);
-    for (int t = 0; t < nt; t++) threads.emplace_back(worker);
-    for (auto& th : threads) th.join();
+  }
+  return 0;
+}
+
+// Gather code-blocks out of per-band signed-int32 coefficient planes into
+// the (mag, neg) flats the batch coders consume. Doing the abs/sign split
+// and the strided block copy here (not in numpy, block by block) removes
+// ~1.5 ms/tile of Python marshaling from the encode path.
+// desc per block (int64 x 6):
+//   [0]=band index, [1]=x0, [2]=y0 (within band), [3]=w, [4]=h,
+//   [5]=output offset into mag/neg flats
+int grok_extract_blocks(int nblocks, const int64_t* band_ptrs,
+                        const int64_t* band_strides, const int64_t* desc,
+                        uint32_t* mag_flat, uint8_t* neg_flat) {
+#pragma omp parallel for schedule(dynamic, 8) if (nblocks >= 32)
+  for (int i = 0; i < nblocks; i++) {
+    const int64_t* d = desc + (size_t)i * 6;
+    const int32_t* band = (const int32_t*)(uintptr_t)band_ptrs[d[0]];
+    int64_t stride = band_strides[d[0]];
+    int w = (int)d[3], h = (int)d[4];
+    uint32_t* mo = mag_flat + d[5];
+    uint8_t* no = neg_flat + d[5];
+    for (int y = 0; y < h; y++) {
+      const int32_t* src = band + (size_t)(d[2] + y) * stride + d[1];
+      for (int x = 0; x < w; x++) {
+        int32_t v = src[x];
+        mo[x] = (uint32_t)(v < 0 ? -v : v);
+        no[x] = v < 0;
+      }
+      mo += w;
+      no += w;
+    }
   }
   return 0;
 }

@@ -29,6 +29,11 @@ def _build() -> None:
 
 
 def _load() -> ctypes.CDLL:
+    # Must be set before libgomp is dlopen'd (it reads env at load):
+    # spinning OMP threads would otherwise fight the T1 worker pool for
+    # cores after every DWT parallel region.
+    os.environ.setdefault("OMP_WAIT_POLICY", "passive")
+    os.environ.setdefault("GOMP_SPINCOUNT", "0")
     srcs = [os.path.join(_DIR, "src", f) for f in
             ("t1.cpp", "ht.cpp", "dwt.cpp", "t2.cpp", "ht_tables.inc")]
     if not os.path.exists(_SO) or any(
@@ -79,6 +84,11 @@ def _load() -> ctypes.CDLL:
     lib.grok_ht_decode_batch.argtypes = [
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.grok_extract_blocks.restype = ctypes.c_int
+    lib.grok_extract_blocks.argtypes = [
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
     ]
     return lib
 
@@ -138,6 +148,30 @@ def decode_cblk(data: bytes, seg_lengths: Optional[List[int]], w: int, h: int,
     return mag, neg
 
 
+def extract_blocks(bands: List[np.ndarray], descs: np.ndarray
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Gather code-blocks out of signed-int32 band planes natively.
+
+    `bands`: contiguous int32 2-D arrays. `descs`: (n, 5) int64 rows of
+    (band_idx, x0, y0, w, h). Returns (mag_flat, neg_flat, offsets).
+    """
+    n = len(descs)
+    band_ptrs = np.array([b.ctypes.data for b in bands], dtype=np.int64)
+    strides = np.array([b.strides[0] // 4 for b in bands], dtype=np.int64)
+    sizes = descs[:, 3] * descs[:, 4]
+    offs = np.zeros(n, dtype=np.int64)
+    np.cumsum(sizes[:-1], out=offs[1:])
+    total = int(offs[-1] + sizes[-1]) if n else 0
+    desc6 = np.concatenate([descs, offs[:, None]], axis=1)
+    desc6 = np.ascontiguousarray(desc6, dtype=np.int64)
+    mag_flat = np.empty(max(1, total), dtype=np.uint32)
+    neg_flat = np.empty(max(1, total), dtype=np.uint8)
+    _lib.grok_extract_blocks(n, band_ptrs.ctypes.data, strides.ctypes.data,
+                             desc6.ctypes.data, mag_flat.ctypes.data,
+                             neg_flat.ctypes.data)
+    return mag_flat, neg_flat, offs
+
+
 def encode_cblk_batch(blocks: List[Tuple[np.ndarray, np.ndarray, int]],
                       cblk_style: int = 0, nthreads: Optional[int] = None
                       ) -> List[Tuple[bytes, int, int, List[PassInfo]]]:
@@ -167,6 +201,12 @@ def encode_cblk_batch(blocks: List[Tuple[np.ndarray, np.ndarray, int]],
         desc[i * 4 + 2] = h
         desc[i * 4 + 3] = orient
         max_wh = max(max_wh, w * h)
+    return _mq_encode_flat(n, mag_flat, neg_flat, desc, cblk_style,
+                           max_wh, nthreads)
+
+
+def _mq_encode_flat(n, mag_flat, neg_flat, desc, cblk_style, max_wh,
+                    nthreads):
     out_stride = max(4096, max_wh * 6)
     out_flat = np.empty(n * out_stride, dtype=np.uint8)
     out_meta = np.zeros(n * 3, dtype=np.int32)
@@ -194,6 +234,29 @@ def encode_cblk_batch(blocks: List[Tuple[np.ndarray, np.ndarray, int]],
         ]
         results.append((data, numbps, numpasses, passes))
     return results
+
+
+def encode_cblk_batch_bands(bands: List[np.ndarray], descs: np.ndarray,
+                            orients: np.ndarray, cblk_style: int = 0,
+                            nthreads: Optional[int] = None):
+    """Like encode_cblk_batch but gathers blocks from signed-int32 band
+    planes natively (no per-block numpy marshaling).
+
+    `descs`: (n, 5) int64 (band_idx, x0, y0, w, h); `orients`: (n,).
+    """
+    n = len(descs)
+    if n == 0:
+        return []
+    mag_flat, neg_flat, offs = extract_blocks(bands, descs)
+    desc = np.empty((n, 4), dtype=np.int64)
+    desc[:, 0] = offs
+    desc[:, 1] = descs[:, 3]
+    desc[:, 2] = descs[:, 4]
+    desc[:, 3] = orients
+    max_wh = int((descs[:, 3] * descs[:, 4]).max())
+    return _mq_encode_flat(n, mag_flat, neg_flat,
+                           np.ascontiguousarray(desc.ravel()), cblk_style,
+                           max_wh, nthreads)
 
 
 def decode_cblk_batch(blocks: List[Tuple[bytes, Optional[List[int]], int,
@@ -307,6 +370,10 @@ def ht_encode_cblk_batch(blocks, nthreads: Optional[int] = None):
         desc[i * 4 + 3] = Mb
         off += w * h
         max_wh = max(max_wh, w * h)
+    return _ht_encode_flat(n, mag_flat, neg_flat, desc, max_wh, nthreads)
+
+
+def _ht_encode_flat(n, mag_flat, neg_flat, desc, max_wh, nthreads):
     out_stride = max(4096, max_wh * 6)
     out_flat = np.empty(n * out_stride, dtype=np.uint8)
     out_lens = np.zeros(n, dtype=np.int32)
@@ -318,6 +385,27 @@ def ht_encode_cblk_batch(blocks, nthreads: Optional[int] = None):
         raise RuntimeError("HT batch encode failed")
     return [bytes(out_flat[i * out_stride:i * out_stride + int(out_lens[i])])
             for i in range(n)]
+
+
+def ht_encode_cblk_batch_bands(bands: List[np.ndarray], descs: np.ndarray,
+                               mbs: np.ndarray,
+                               nthreads: Optional[int] = None):
+    """HT batch encode gathering blocks from signed-int32 band planes
+    natively. `descs`: (n, 5) int64 (band_idx, x0, y0, w, h); `mbs`: (n,)
+    per-block band Mb."""
+    n = len(descs)
+    if n == 0:
+        return []
+    mag_flat, neg_flat, offs = extract_blocks(bands, descs)
+    desc = np.empty((n, 4), dtype=np.int64)
+    desc[:, 0] = offs
+    desc[:, 1] = descs[:, 3]
+    desc[:, 2] = descs[:, 4]
+    desc[:, 3] = mbs
+    max_wh = int((descs[:, 3] * descs[:, 4]).max())
+    return _ht_encode_flat(n, mag_flat, neg_flat,
+                           np.ascontiguousarray(desc.ravel()), max_wh,
+                           nthreads)
 
 
 def ht_decode_cblk_batch(blocks, nthreads: Optional[int] = None,

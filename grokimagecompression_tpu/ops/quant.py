@@ -68,6 +68,13 @@ def quantize(a: np.ndarray, stepsize: float) -> Tuple[np.ndarray, np.ndarray]:
     return mag, neg
 
 
+def quantize_signed(a: np.ndarray, stepsize: float) -> np.ndarray:
+    """Deadzone quantizer as signed int32: sign(a) * floor(|a| / delta).
+    abs/sign of the result reproduces quantize() exactly."""
+    q = np.floor(np.abs(a) / np.float64(stepsize)).astype(np.int32)
+    return np.where(a < 0, -q, q)
+
+
 def dequantize(mag: np.ndarray, neg: np.ndarray, stepsize: float,
                half_bit: bool = True) -> np.ndarray:
     """Mid-point reconstruction: (q + 0.5) * delta for q > 0."""

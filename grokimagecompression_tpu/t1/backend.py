@@ -77,6 +77,42 @@ def encode_cblk_batch(blocks, cblk_style: int = 0):
     return [t1_np.encode_cblk(m, n, o, cblk_style) for (m, n, o) in blocks3]
 
 
+def encode_cblk_batch_bands(bands, descs, orients, kmaxs,
+                            cblk_style: int = 0):
+    """Batch encode straight from signed-int32 band planes.
+
+    `bands`: list of contiguous int32 2-D arrays (reversible: raw DWT
+    coefficients; irreversible: signed quantizer outputs). `descs`:
+    (n, 5) int64 rows (band_idx, x0, y0, w, h). Equivalent to slicing
+    each block, converting to (mag, neg) and calling encode_cblk_batch,
+    but the gather and abs/sign split run natively.
+    """
+    import numpy as _np
+    nat = _get_native()
+    descs = _np.asarray(descs, _np.int64).reshape(-1, 5)
+    n = len(descs)
+    if n == 0:
+        return []
+    if nat is not None:
+        if cblk_style & CBLKSTY_HT:
+            datas = nat.ht_encode_cblk_batch_bands(
+                bands, descs, _np.asarray(kmaxs, _np.int64))
+            return [(d, 1, 1, [t1_np.PassInfo(rate=len(d), distortion=0.0,
+                                              terminated=True)])
+                    for d in datas]
+        return nat.encode_cblk_batch_bands(
+            bands, descs, _np.asarray(orients, _np.int64), cblk_style)
+    # Oracle fallback: slice in Python.
+    blocks = []
+    for i in range(n):
+        bi, x0, y0, w, h = (int(v) for v in descs[i])
+        a = bands[bi][y0:y0 + h, x0:x0 + w]
+        m = _np.abs(a).astype(_np.uint32)
+        s = (a < 0).astype(_np.uint8)
+        blocks.append((m, s, int(orients[i]), int(kmaxs[i])))
+    return encode_cblk_batch(blocks, cblk_style)
+
+
 def decode_cblk_batch(blocks, cblk_style: int = 0, signed_out: bool = False):
     """Batch decode: blocks = [(data, seg_lengths, w, h, orient, numbps,
     numpasses[, kmax]), ...] -> [(mag, neg), ...] or signed int32 arrays
