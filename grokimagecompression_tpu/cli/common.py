@@ -13,7 +13,7 @@ from ..core.image import Image
 from ..io import pgx, pnm
 
 
-def read_image(path: str) -> Image:
+def read_image(path: str, raw_desc: str = None) -> Image:
     ext = os.path.splitext(path)[1].lower()
     if ext in (".pgm", ".ppm", ".pnm"):
         return pnm.read_pnm(path)
@@ -22,9 +22,22 @@ def read_image(path: str) -> Image:
     if ext in (".bmp",):
         from ..io import bmp
         return bmp.read_bmp(path)
+    if ext == ".png":
+        from ..io import png
+        return png.read_png(path)
+    if ext in (".tif", ".tiff"):
+        from ..io import tiff
+        return tiff.read_tiff(path)
+    if ext == ".tga":
+        from ..io import tga
+        return tga.read_tga(path)
     if ext in (".raw", ".rawl"):
-        raise SystemExit(
-            f"raw input needs -F <w>,<h>,<ncomp>,<prec>,[us]@<dx>x<dy>: {path}")
+        from ..io import raw as rawio
+        if not raw_desc:
+            raise SystemExit(
+                f"raw input needs -F w,h,ncomps,prec,[s|u][@dxxdy]: {path}")
+        return rawio.read_raw(path, rawio.RawDesc.parse(raw_desc),
+                              big_endian=ext == ".raw")
     raise SystemExit(f"unsupported input format: {path}")
 
 
@@ -39,6 +52,22 @@ def write_image(path: str, image: Image) -> None:
     if ext == ".bmp":
         from ..io import bmp
         bmp.write_bmp(path, image)
+        return
+    if ext == ".png":
+        from ..io import png
+        png.write_png(path, image)
+        return
+    if ext in (".tif", ".tiff"):
+        from ..io import tiff
+        tiff.write_tiff(path, image)
+        return
+    if ext == ".tga":
+        from ..io import tga
+        tga.write_tga(path, image)
+        return
+    if ext in (".raw", ".rawl"):
+        from ..io import raw as rawio
+        rawio.write_raw(path, image, big_endian=ext == ".raw")
         return
     raise SystemExit(f"unsupported output format: {path}")
 

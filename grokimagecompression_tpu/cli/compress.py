@@ -74,6 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="IMF profile variant")
     p.add_argument("--broadcast", type=int, default=None, metavar="LEVEL",
                    help="Broadcast profile (single tile) at the given level")
+    p.add_argument("-F", "--raw", default=None, metavar="DESC",
+                   help="raw image description w,h,ncomps,prec,[s|u]"
+                        "[@dxxdy:...] (reference -F)")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -83,7 +86,7 @@ def main(argv=None) -> int:
     if args.num_workers > 0:
         os.environ["GROK_TPU_THREADS"] = str(args.num_workers)
 
-    image = common.read_image(args.in_file)
+    image = common.read_image(args.in_file, raw_desc=args.raw)
 
     rates = tuple(float(r) for r in args.compression_ratios.split(",")) \
         if args.compression_ratios else ()

@@ -35,7 +35,8 @@ def _load() -> ctypes.CDLL:
     os.environ.setdefault("OMP_WAIT_POLICY", "passive")
     os.environ.setdefault("GOMP_SPINCOUNT", "0")
     srcs = [os.path.join(_DIR, "src", f) for f in
-            ("t1.cpp", "ht.cpp", "dwt.cpp", "t2.cpp", "ht_tables.inc")]
+            ("t1.cpp", "ht.cpp", "dwt.cpp", "t2.cpp", "imgio.cpp",
+             "ht_tables.inc")]
     if not os.path.exists(_SO) or any(
         os.path.getmtime(_SO) < os.path.getmtime(f) for f in srcs
     ):
@@ -89,6 +90,15 @@ def _load() -> ctypes.CDLL:
     lib.grok_extract_blocks.argtypes = [
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    for nm in ("grok_png_unfilter", "grok_png_filter"):
+        fn = getattr(lib, nm)
+        fn.restype = ctypes.c_int
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                       ctypes.c_int, ctypes.c_void_p]
+    lib.grok_png_filter.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p,
     ]
     return lib
 

@@ -1,0 +1,278 @@
+"""Image format codecs: PNG, TIFF, TGA, RAW (reference: src/bin/jp2/
+{PNG,TIFF,TGA,RAW}Format.cpp)."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from grokimagecompression_tpu.core.image import Component, Image
+from grokimagecompression_tpu.io import png, raw, tga, tiff
+
+
+def _img(w, h, ncomps=3, prec=8, signed=False, seed=0):
+    rng = np.random.default_rng(seed)
+    lo, hi = (-(1 << (prec - 1)), (1 << (prec - 1))) if signed else \
+        (0, 1 << prec)
+    comps = [Component(data=rng.integers(lo, hi, (h, w)).astype(np.int32),
+                       prec=prec, signed=signed, dx=1, dy=1)
+             for _ in range(ncomps)]
+    return Image(xsiz=w, ysiz=h, components=comps)
+
+
+def _assert_images_equal(a, b):
+    assert a.xsiz == b.xsiz and a.ysiz == b.ysiz
+    assert len(a.components) == len(b.components)
+    for ca, cb in zip(a.components, b.components):
+        np.testing.assert_array_equal(ca.data, cb.data)
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("ncomps", [1, 2, 3, 4])
+@pytest.mark.parametrize("prec", [8, 16])
+def test_png_roundtrip(tmp_path, ncomps, prec):
+    img = _img(37, 23, ncomps, prec, seed=ncomps * prec)
+    p = str(tmp_path / "t.png")
+    png.write_png(p, img)
+    out = png.read_png(p)
+    _assert_images_equal(img, out)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_filters(tmp_path, filter_type):
+    img = _img(64, 48, 3, 8, seed=filter_type)
+    p = str(tmp_path / "f.png")
+    png.write_png(p, img, filter_type=filter_type)
+    out = png.read_png(p)
+    _assert_images_equal(img, out)
+
+
+def test_png_palette(tmp_path):
+    # hand-build a 4x2 palette image
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    idx = bytes([0, 0, 1, 2, 3, 2, 1, 0])
+    rows = b"".join(b"\x00" + idx[i * 4:(i + 1) * 4] for i in range(2))
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += png._chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 2, 8, 3, 0, 0, 0))
+    out += png._chunk(b"PLTE", pal)
+    out += png._chunk(b"IDAT", zlib.compress(rows))
+    out += png._chunk(b"IEND", b"")
+    p = "/tmp/pal_test.png"
+    open(p, "wb").write(bytes(out))
+    img = png.read_png(p)
+    assert len(img.components) == 3
+    assert img.components[0].data[0, 0] == 255   # entry 0 = red
+    assert img.components[1].data[0, 2] == 255   # entry 1 = green
+    assert img.components[2].data[0, 3] == 255   # entry 2 = blue
+    assert img.components[0].data[1, 0] == 10    # entry 3
+
+
+def test_png_sub_byte_gray(tmp_path):
+    # 4-bit grayscale, 5 pixels wide (tests bit unpacking + padding)
+    vals = [[1, 15, 7, 2, 9], [0, 3, 8, 12, 5]]
+    packed = bytes([0x1F, 0x72, 0x90, 0x03, 0x8C, 0x50])
+    rows = b"\x00" + packed[:3] + b"\x00" + packed[3:]
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += png._chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 2, 4, 0, 0, 0, 0))
+    out += png._chunk(b"IDAT", zlib.compress(rows))
+    out += png._chunk(b"IEND", b"")
+    p = str(tmp_path / "g4.png")
+    open(p, "wb").write(bytes(out))
+    img = png.read_png(p)
+    assert img.components[0].prec == 4
+    np.testing.assert_array_equal(img.components[0].data, vals)
+
+
+def test_png_adam7(tmp_path):
+    # build an interlaced PNG by hand from a known 8x8 gray image
+    rng = np.random.default_rng(5)
+    ref = rng.integers(0, 256, (8, 8)).astype(np.int32)
+    passes = []
+    for (x0, y0, dx, dy) in png._ADAM7:
+        sub = ref[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for r in sub:
+            passes.append(b"\x00" + bytes(r.astype(np.uint8)))
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += png._chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 1))
+    out += png._chunk(b"IDAT", zlib.compress(b"".join(passes)))
+    out += png._chunk(b"IEND", b"")
+    p = str(tmp_path / "i.png")
+    open(p, "wb").write(bytes(out))
+    img = png.read_png(p)
+    np.testing.assert_array_equal(img.components[0].data, ref)
+
+
+# ---------------------------------------------------------------------------
+# TIFF
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("ncomps,prec,signed", [
+    (1, 8, False), (3, 8, False), (1, 16, False), (3, 16, False),
+    (1, 16, True), (4, 8, False),
+])
+def test_tiff_roundtrip(tmp_path, ncomps, prec, signed):
+    img = _img(29, 17, ncomps, prec, signed, seed=ncomps + prec)
+    p = str(tmp_path / "t.tif")
+    tiff.write_tiff(p, img)
+    out = tiff.read_tiff(p)
+    _assert_images_equal(img, out)
+
+
+def test_tiff_big_endian_strips(tmp_path):
+    # hand-build: big-endian, 2 strips, 16-bit gray 3x4
+    vals = (np.arange(12).reshape(4, 3) * 1000).astype(">u2")
+    strip1, strip2 = vals[:2].tobytes(), vals[2:].tobytes()
+    # header: II/MM + 42 + ifd at 8
+    ntags = 8
+    ifd = struct.pack(">H", ntags)
+    def tag(t, typ, n, v):
+        return struct.pack(">HHII", t, typ, n, v)
+    # offsets/counts arrays need a heap; strip offsets at heap
+    heap_base = 8 + 2 + ntags * 12 + 4
+    off1 = heap_base + 16
+    off2 = off1 + len(strip1)
+    heap = struct.pack(">II", off1, off2) + struct.pack(">II", len(strip1),
+                                                        len(strip2))
+    ifd += tag(256, 4, 1, 3) + tag(257, 4, 1, 4)
+    ifd += struct.pack(">HHI", 258, 3, 1) + struct.pack(">HH", 16, 0)
+    ifd += tag(259, 3, 1, 1 << 16)  # compression=1 (short in upper bytes)
+    ifd += tag(262, 3, 1, 1 << 16)
+    ifd += tag(273, 4, 2, heap_base)
+    ifd += tag(278, 4, 1, 2)
+    ifd += tag(279, 4, 2, heap_base + 8)
+    data = struct.pack(">2sHI", b"MM", 42, 8) + ifd + \
+        struct.pack(">I", 0) + heap + strip1 + strip2
+    p = str(tmp_path / "be.tif")
+    open(p, "wb").write(data)
+    img = tiff.read_tiff(p)
+    np.testing.assert_array_equal(img.components[0].data,
+                                  vals.astype(np.int32))
+
+
+def test_tiff_packbits(tmp_path):
+    # PackBits: literal run [3 bytes], repeat run (5x 7)
+    row = bytes([2, 10, 20, 30]) + bytes([256 - 4, 7])
+    decoded = tiff._packbits(row, 8)
+    assert decoded == bytes([10, 20, 30, 7, 7, 7, 7, 7])
+
+
+# ---------------------------------------------------------------------------
+# TGA
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("ncomps", [1, 3, 4])
+def test_tga_roundtrip(tmp_path, ncomps):
+    img = _img(31, 19, ncomps, 8, seed=ncomps)
+    p = str(tmp_path / "t.tga")
+    tga.write_tga(p, img)
+    out = tga.read_tga(p)
+    _assert_images_equal(img, out)
+
+
+def test_tga_rle(tmp_path):
+    # hand-build RLE gray: 4x1, run of 3 x 200 then literal 50
+    hdr = struct.pack("<BBBHHBHHHHBB", 0, 0, 11, 0, 0, 0, 0, 0, 4, 1, 8,
+                      0x20)
+    body = bytes([0x82, 200, 0x00, 50])
+    p = str(tmp_path / "r.tga")
+    open(p, "wb").write(hdr + body)
+    img = tga.read_tga(p)
+    np.testing.assert_array_equal(img.components[0].data, [[200, 200, 200,
+                                                            50]])
+
+
+# ---------------------------------------------------------------------------
+# RAW
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("prec,signed,be", [
+    (8, False, True), (8, True, False), (12, False, True),
+    (16, True, False),
+])
+def test_raw_roundtrip(tmp_path, prec, signed, be):
+    img = _img(21, 13, 3, prec, signed, seed=prec)
+    ext = "raw" if be else "rawl"
+    p = str(tmp_path / f"t.{ext}")
+    raw.write_raw(p, img, big_endian=be)
+    desc = raw.RawDesc(width=21, height=13, ncomps=3, prec=prec,
+                       signed=signed, subsampling=[(1, 1)] * 3)
+    out = raw.read_raw(p, desc, big_endian=be)
+    _assert_images_equal(img, out)
+
+
+def test_raw_desc_parse():
+    d = raw.RawDesc.parse("640,480,3,12,s@1x1:2x2:2x2")
+    assert (d.width, d.height, d.ncomps, d.prec, d.signed) == \
+        (640, 480, 3, 12, True)
+    assert d.subsampling == [(1, 1), (2, 2), (2, 2)]
+
+
+def test_raw_subsampled(tmp_path):
+    rng = np.random.default_rng(3)
+    comps = [
+        Component(data=rng.integers(0, 256, (10, 16)).astype(np.int32),
+                  prec=8, signed=False, dx=1, dy=1),
+        Component(data=rng.integers(0, 256, (5, 8)).astype(np.int32),
+                  prec=8, signed=False, dx=2, dy=2),
+        Component(data=rng.integers(0, 256, (5, 8)).astype(np.int32),
+                  prec=8, signed=False, dx=2, dy=2),
+    ]
+    img = Image(xsiz=16, ysiz=10, components=comps)
+    p = "/tmp/sub_test.raw"
+    raw.write_raw(p, img)
+    d = raw.RawDesc.parse("16,10,3,8,u@1x1:2x2:2x2")
+    out = raw.read_raw(p, d)
+    _assert_images_equal(img, out)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: format -> codec -> format via the CLI layer
+# ---------------------------------------------------------------------------
+
+PIL = pytest.importorskip("PIL.Image", reason="PIL not installed")
+
+
+def test_formats_cross_validated_with_pil(tmp_path):
+    """Independent oracle: our writers read by PIL, PIL's files read by
+    us (PIL's PNGs use optimized per-row filters, exercising all five
+    unfilters)."""
+    img = _img(30, 20, 3, 8, seed=1)
+    ours = np.stack([c.data for c in img.components], -1)
+    p = str(tmp_path / "x.png")
+    png.write_png(p, img)
+    np.testing.assert_array_equal(np.array(PIL.open(p)), ours)
+    q = str(tmp_path / "y.png")
+    PIL.fromarray(ours.astype(np.uint8)).save(q, optimize=True)
+    back = png.read_png(q)
+    np.testing.assert_array_equal(
+        np.stack([c.data for c in back.components], -1), ours)
+    t = str(tmp_path / "x.tif")
+    tiff.write_tiff(t, img)
+    np.testing.assert_array_equal(np.array(PIL.open(t)), ours)
+    t2 = str(tmp_path / "y.tif")
+    PIL.fromarray(ours.astype(np.uint8)).save(t2)
+    back = tiff.read_tiff(t2)
+    np.testing.assert_array_equal(
+        np.stack([c.data for c in back.components], -1), ours)
+    g = str(tmp_path / "y.tga")
+    PIL.fromarray(ours.astype(np.uint8)).save(g)
+    back = tga.read_tga(g)
+    np.testing.assert_array_equal(
+        np.stack([c.data for c in back.components], -1), ours)
+
+
+def test_png_through_codec(tmp_path):
+    from grokimagecompression_tpu.codestream import decoder, encoder
+    img = _img(40, 30, 3, 8, seed=9)
+    p_in = str(tmp_path / "in.png")
+    png.write_png(p_in, img)
+    loaded = png.read_png(p_in)
+    cs = encoder.encode(loaded)
+    out = decoder.decode(cs)
+    _assert_images_equal(loaded, out)
