@@ -31,6 +31,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="window x0,y0,x1,y1 in canvas coordinates")
     p.add_argument("-t", "--tile", type=int, default=None,
                    help="decode a single tile by index")
+    p.add_argument("--force-rgb", action="store_true",
+                   help="convert grayscale output to RGB")
+    p.add_argument("--upsample", action="store_true",
+                   help="replicate subsampled components to the full grid")
+    p.add_argument("--no-color", action="store_true",
+                   help="skip automatic sYCC/eYCC/CMYK -> RGB conversion")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -50,6 +56,20 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     image = decoder.decode(data, params)
     dt = time.perf_counter() - t0
+    # Post-decode color policy (reference: grk_decompress.cpp:1585-1622).
+    from ..codestream import jp2 as _jp2
+    from ..io import color as _color
+    cs = None
+    if _jp2.is_jp2(data):
+        hdr, _ = _jp2.read_jp2(data)
+        cs = hdr.colourspace
+    if args.upsample:
+        image = _color.upsample(image)
+    if not args.no_color:
+        image = _color.apply_color(image, colourspace=cs,
+                                   force_rgb=args.force_rgb)
+    elif args.force_rgb and len(image.components) < 3:
+        image = _color.gray_to_rgb(image)
     common.write_image(args.out_file, image)
     if args.verbose:
         c0 = image.components[0].data
