@@ -121,11 +121,19 @@ static const int MEL_EXP[13] = {0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 4, 5};
 // Stream writers
 // ---------------------------------------------------------------------------
 
-// Per-thread reusable stream buffers: the three coders plus scanline
-// state; capacity persists across blocks so a batch does no allocation
-// after warmup.
+// Per-thread reusable stream slabs: the three coders write through raw
+// pointers into preallocated buffers (no per-byte capacity checks);
+// capacity persists across blocks so a batch does no allocation after
+// warmup.
 struct Scratch {
   std::vector<uint8_t> mel, vlcr, ms, e_val, cx_val;
+  void ensure(size_t wh) {
+    if (ms.size() < wh * 4 + 64) {
+      ms.resize(wh * 4 + 64);
+      vlcr.resize(wh * 2 + 64);
+      mel.resize(wh / 2 + 64);
+    }
+  }
 };
 static Scratch& scratch() {
   static thread_local Scratch s;
@@ -133,15 +141,16 @@ static Scratch& scratch() {
 }
 
 struct MelEnc {
-  std::vector<uint8_t>& buf;
+  uint8_t* buf;
+  size_t n = 0;
   int remaining = 8, tmp = 0, run = 0, k = 0, threshold = 1;
 
-  explicit MelEnc(std::vector<uint8_t>& b) : buf(b) { buf.clear(); }
+  explicit MelEnc(uint8_t* b) : buf(b) {}
 
-  void emit_bit(int v) {
+  inline void emit_bit(int v) {
     tmp = (tmp << 1) | v;
     if (--remaining == 0) {
-      buf.push_back((uint8_t)tmp);
+      buf[n++] = (uint8_t)tmp;
       remaining = (tmp == 0xFF) ? 7 : 8;
       tmp = 0;
     }
@@ -168,16 +177,14 @@ struct MelEnc {
 
 // Backward-growing VLC writer (bytes are emitted back-to-front).
 struct VlcEnc {
-  std::vector<uint8_t>& rbuf;  // reversed order: rbuf[0] is the LAST byte
+  uint8_t* rbuf;  // reversed order: rbuf[0] is the LAST byte
+  size_t n = 0;
   int used = 4, tmp = 0xF;
   bool last_gt_8f = true;
 
-  explicit VlcEnc(std::vector<uint8_t>& b) : rbuf(b) {
-    rbuf.clear();
-    rbuf.push_back(0xFF);
-  }
+  explicit VlcEnc(uint8_t* b) : rbuf(b) { rbuf[n++] = 0xFF; }
 
-  void encode(int cwd, int len) {
+  inline void encode(int cwd, int len) {
     while (len > 0) {
       int avail = 8 - (last_gt_8f ? 1 : 0) - used;
       int t = avail < len ? avail : len;
@@ -191,7 +198,7 @@ struct VlcEnc {
           last_gt_8f = false;
           continue;  // the eighth bit is usable after all
         }
-        rbuf.push_back((uint8_t)tmp);
+        rbuf[n++] = (uint8_t)tmp;
         last_gt_8f = tmp > 0x8F;
         tmp = 0;
         used = 0;
@@ -208,11 +215,11 @@ static void terminate_mel_vlc(MelEnc& mel, VlcEnc& vlc) {
   if ((mel_mask | vlc_mask) == 0) return;
   int fuse = mel.tmp | vlc.tmp;
   if ((((fuse ^ mel.tmp) & mel_mask) | ((fuse ^ vlc.tmp) & vlc_mask)) == 0
-      && fuse != 0xFF && vlc.rbuf.size() > 1) {
-    mel.buf.push_back((uint8_t)fuse);
+      && fuse != 0xFF && vlc.n > 1) {
+    mel.buf[mel.n++] = (uint8_t)fuse;
   } else {
-    mel.buf.push_back((uint8_t)mel.tmp);  // cannot be 0xFF here
-    vlc.rbuf.push_back((uint8_t)vlc.tmp);
+    mel.buf[mel.n++] = (uint8_t)mel.tmp;  // cannot be 0xFF here
+    vlc.rbuf[vlc.n++] = (uint8_t)vlc.tmp;
   }
 }
 
@@ -221,18 +228,19 @@ static void terminate_mel_vlc(MelEnc& mel, VlcEnc& vlc) {
 // bit-chunks into per-byte buffers — a byte is complete once max_bits
 // bits are queued).
 struct MsEnc {
-  std::vector<uint8_t>& buf;
+  uint8_t* buf;
+  size_t n = 0;
   uint64_t q = 0;
   int qbits = 0, max_bits = 8;
 
-  explicit MsEnc(std::vector<uint8_t>& b) : buf(b) { buf.clear(); }
+  explicit MsEnc(uint8_t* b) : buf(b) {}
 
   inline void drain() {
     while (qbits >= max_bits) {
       uint8_t byte = (uint8_t)(q & ((1u << max_bits) - 1));
       q >>= max_bits;
       qbits -= max_bits;
-      buf.push_back(byte);
+      buf[n++] = byte;
       max_bits = (byte == 0xFF) ? 7 : 8;
     }
   }
@@ -249,9 +257,9 @@ struct MsEnc {
     if (qbits) {
       uint8_t byte = (uint8_t)(q | (0xFFu << qbits)) &
                      (uint8_t)((1u << max_bits) - 1);
-      if (byte != 0xFF) buf.push_back(byte);
+      if (byte != 0xFF) buf[n++] = byte;
     } else if (max_bits == 7) {
-      buf.pop_back();
+      n--;
     }
   }
 };
@@ -307,14 +315,15 @@ static inline QuadInfo gather_quad(const uint32_t* mag, const uint8_t* neg,
   return q;
 }
 
-// Encode one HT cleanup segment. Returns bytes.
-static std::vector<uint8_t> ht_encode(const uint32_t* mag,
-                                      const uint8_t* neg, int w, int h,
-                                      int Mb) {
+// Encode one HT cleanup segment into dst (capacity >= 6*w*h + 64).
+// Returns the segment length in bytes.
+static int ht_encode(const uint32_t* mag, const uint8_t* neg, int w, int h,
+                     int Mb, uint8_t* dst) {
   Scratch& s = scratch();
-  MelEnc mel(s.mel);
-  VlcEnc vlc(s.vlcr);
-  MsEnc ms(s.ms);
+  s.ensure((size_t)w * h);
+  MelEnc mel(s.mel.data());
+  VlcEnc vlc(s.vlcr.data());
+  MsEnc ms(s.ms.data());
 
   int shift = 31 - (Mb + 1);  // align magnitudes like the reference wrapper
   int p = 30 - Mb;            // missing_msbs at encode time = Mb
@@ -486,17 +495,17 @@ static std::vector<uint8_t> ht_encode(const uint32_t* mag,
   ms.terminate();
 
   // Assemble: MagSgn || MEL || reverse(VLC); last two bytes carry Scup.
-  std::vector<uint8_t> out;
-  out.reserve(ms.buf.size() + mel.buf.size() + vlc.rbuf.size());
-  out.insert(out.end(), ms.buf.begin(), ms.buf.end());
-  out.insert(out.end(), mel.buf.begin(), mel.buf.end());
-  for (auto it = vlc.rbuf.rbegin(); it != vlc.rbuf.rend(); ++it)
-    out.push_back(*it);
-  int scup = (int)(mel.buf.size() + vlc.rbuf.size());
-  size_t L = out.size();
-  out[L - 1] = (uint8_t)(scup >> 4);
-  out[L - 2] = (uint8_t)((out[L - 2] & 0xF0) | (scup & 0xF));
-  return out;
+  uint8_t* wp = dst;
+  std::memcpy(wp, ms.buf, ms.n);
+  wp += ms.n;
+  std::memcpy(wp, mel.buf, mel.n);
+  wp += mel.n;
+  for (size_t i = vlc.n; i > 0; i--) *wp++ = vlc.rbuf[i - 1];
+  int scup = (int)(mel.n + vlc.n);
+  size_t L = (size_t)(wp - dst);
+  dst[L - 1] = (uint8_t)(scup >> 4);
+  dst[L - 2] = (uint8_t)((dst[L - 2] & 0xF0) | (scup & 0xF));
+  return (int)L;
 }
 
 // ---------------------------------------------------------------------------
@@ -894,7 +903,8 @@ extern "C" {
 // Encode one HT cleanup segment. Returns length or -1 on overflow.
 int grok_ht_encode(const uint32_t* mag, const uint8_t* neg, int w, int h,
                    int Mb, uint8_t* out_buf, int out_cap) {
-  std::vector<uint8_t> out = ht_encode(mag, neg, w, h, Mb);
+  std::vector<uint8_t> out((size_t)w * h * 6 + 64);
+  out.resize((size_t)ht_encode(mag, neg, w, h, Mb, out.data()));
   if ((int)out.size() > out_cap) return -1;
   std::memcpy(out_buf, out.data(), out.size());
   return (int)out.size();
@@ -928,14 +938,13 @@ int grok_ht_encode_batch(int nblocks, const uint32_t* mag_flat,
 #pragma omp parallel for schedule(dynamic) num_threads(nt) if (nt > 1)
   for (int i = 0; i < nblocks; i++) {
     const int64_t* d = desc + (size_t)i * 4;
-    std::vector<uint8_t> out = ht_encode(mag_flat + d[0], neg_flat + d[0],
-                                         (int)d[1], (int)d[2], (int)d[3]);
-    if ((int)out.size() > out_stride) {
-      err.store(1);
-    } else {
-      std::memcpy(out_flat + (size_t)i * out_stride, out.data(), out.size());
-      out_lens[i] = (int32_t)out.size();
-    }
+    // out_stride >= 6*w*h is guaranteed by the Python caller, so
+    // ht_encode can emit straight into the output slot.
+    int ln = ht_encode(mag_flat + d[0], neg_flat + d[0], (int)d[1],
+                       (int)d[2], (int)d[3],
+                       out_flat + (size_t)i * out_stride);
+    if (ln > out_stride) err.store(1);
+    else out_lens[i] = (int32_t)ln;
   }
   return err.load() ? -1 : 0;
 }
