@@ -271,11 +271,8 @@ def decode(data: bytes, params: Optional[DecoderParams] = None) -> Image:
                              cod_comp=cod_comp, qcd_comp=qcd_comp,
                              pocs=pocs, roishifts=hdr.roishifts,
                              custom_mct=hdr.custom_mct)
-        for c, arr in enumerate(tcomps):
+        for c, (arr, (tx0, ty0)) in enumerate(tcomps):
             cs = siz.comps[c]
-            # Reduced tile-component rect origin.
-            tx0 = ceil_div(ceil_div(tr.x0, cs.dx), 1 << reduce)
-            ty0 = ceil_div(ceil_div(tr.y0, cs.dy), 1 << reduce)
             ox = ceil_div(ax0, cs.dx << reduce)
             oy = ceil_div(ay0, cs.dy << reduce)
             # Intersect the tile output with the output area.

@@ -619,14 +619,51 @@ def decode_tile(
         id(slot[2]): mn for slot, mn in zip(t1_job_slots, t1_out)}
 
     out = []
+    origins = []
     for c in range(ncomps):
         plan = plans[c]
+        rev_c = cods[c].transform == Transform.DWT_53
+        max_res = cods[c].numresolutions - 1 - reduce
+        dtype = np.int32 if rev_c else np.float32
+        tc = plan.layout.tc_rect
+        ox = ceil_div(tc.x0, 1 << reduce)
+        oy = ceil_div(tc.y0, 1 << reduce)
+        if window is not None:
+            # Sparse band storage + windowed partial inverse: O(window)
+            # memory (reference: sparse_array.h + dwt.cpp
+            # decode_partial_tile).
+            from ..core.sparse import SparseArray
+            from ..ops import dwt_window as dww
+            sparse: Dict[Tuple[int, int], SparseArray] = {}
+            for res in plan.layout.resolutions:
+                for band in res.bands:
+                    bp = plan.bands[(res.r, band.orient)]
+                    sa = SparseArray(band.rect.w, band.rect.h, dtype=dtype)
+                    for cb in cblk_index[c][(res.r, band.orient)]:
+                        if cb.numpasses == 0 or id(cb) not in decoded:
+                            continue
+                        coef = decoded[id(cb)]
+                        if not rev_c:
+                            coef = quant.dequantize_signed(coef, bp.stepsize)
+                        sa.write(cb.geom.rect.x0 - band.rect.x0,
+                                 cb.geom.rect.y0 - band.rect.y0, coef)
+                    sparse[(res.r, band.orient)] = sa
+
+            def fetch(r, o, bx0, by0, bx1, by1, _s=sparse):
+                return _s[(r, o)].read(bx0, by0, bx1, by1)
+
+            comp_win = component_rect(window, siz.comps[c].dx,
+                                      siz.comps[c].dy)
+            a, wx0, wy0 = dww.inv_dwt_2d_window(
+                fetch, tc, cods[c].numresolutions, comp_win,
+                reversible=rev_c, max_res=max_res)
+            out.append(a)
+            origins.append((wx0, wy0))
+            continue
         bands_arrays: Dict[Tuple[int, int], np.ndarray] = {}
-        rev_c2 = cods[c].transform == Transform.DWT_53
         for res in plan.layout.resolutions:
             for band in res.bands:
                 bp = plan.bands[(res.r, band.orient)]
-                dtype = np.int32 if rev_c2 else np.float32
                 arr = np.zeros((band.rect.h, band.rect.w), dtype=dtype)
                 for cb in cblk_index[c][(res.r, band.orient)]:
                     if cb.numpasses == 0 or id(cb) not in decoded:
@@ -634,19 +671,18 @@ def decode_tile(
                     coef = decoded[id(cb)]
                     x0 = cb.geom.rect.x0 - band.rect.x0
                     y0 = cb.geom.rect.y0 - band.rect.y0
-                    if rev_c2:
+                    if rev_c:
                         arr[y0:y0 + cb.geom.rect.h,
                             x0:x0 + cb.geom.rect.w] = coef
                     else:
                         arr[y0:y0 + cb.geom.rect.h, x0:x0 + cb.geom.rect.w] = \
                             quant.dequantize_signed(coef, bp.stepsize)
                 bands_arrays[(res.r, band.orient)] = arr
-        max_res = cods[c].numresolutions - 1 - reduce
-        rev_c = cods[c].transform == Transform.DWT_53
         a = dwt_host.inv_dwt_2d(bands_arrays, plan.layout.tc_rect,
                                 cods[c].numresolutions, reversible=rev_c,
                                 max_res=max_res)
         out.append(a)
+        origins.append((ox, oy))
 
     # Inverse MCT + DC unshift.
     if cod.mct == 2 and custom_mct is not None:
@@ -662,7 +698,7 @@ def decode_tile(
             else:
                 lo, hi = 0, (1 << plans[c].prec) - 1
             final.append(np.clip(a, lo, hi).astype(np.int32))
-        return final
+        return list(zip(final, origins))
     if cod.mct and ncomps >= 3:
         if reversible:
             r0, g0, b0 = mct_np.rct_inv(out[0], out[1], out[2])
@@ -676,4 +712,4 @@ def decode_tile(
             a = np.round(a).astype(np.int64)
         a = mct_np.dc_shift_inv(a, plans[c].prec, plans[c].signed)
         final.append(a.astype(np.int32))
-    return final
+    return list(zip(final, origins))
