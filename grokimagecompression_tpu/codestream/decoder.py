@@ -36,6 +36,7 @@ class CodestreamHeader:
     tlm: Optional[list] = None                           # (tile, length)
     roishifts: Optional[List[int]] = None                # RGN per comp
     custom_mct: Optional[tuple] = None                   # (matrix, offsets)
+    ppm_sections: Optional[list] = None                  # packed hdrs/tile-part
 
 
 @dataclasses.dataclass
@@ -49,6 +50,8 @@ class TilePart:
     qcd: Optional[QcdInfo] = None
     qcc_raw: List[bytes] = dataclasses.field(default_factory=list)
     poc_raw: Optional[bytes] = None
+    ppt_raw: List[bytes] = dataclasses.field(default_factory=list)
+    plt_lengths: List[int] = dataclasses.field(default_factory=list)
 
 
 def read_header(data: bytes) -> CodestreamHeader:
@@ -61,6 +64,7 @@ def read_header(data: bytes) -> CodestreamHeader:
     qcc_raw = []
     rgn_raw = []
     mct_raw = []
+    ppm_raw = []
     pocs = None
     tlm = None
     while pos + 4 <= len(data):
@@ -87,6 +91,8 @@ def read_header(data: bytes) -> CodestreamHeader:
             rgn_raw.append(payload)
         elif marker == markers.MCT:
             mct_raw.append(payload)
+        elif marker == markers.PPM:
+            ppm_raw.append((payload[0], payload[1:]))
         elif marker == markers.COM:
             if len(payload) >= 2:
                 comments.append(payload[2:].decode("latin-1", "replace"))
@@ -115,6 +121,9 @@ def read_header(data: bytes) -> CodestreamHeader:
             compno, srgn, shift = markers.parse_rgn(payload, ncomps)
             if srgn == 0:
                 roishifts[compno] = shift
+    ppm_sections = None
+    if ppm_raw:
+        ppm_sections = markers.split_ppm_sections(markers.merge_ppx(ppm_raw))
     custom_mct = None
     if mct_raw:
         matrix = offsets = None
@@ -132,7 +141,8 @@ def read_header(data: bytes) -> CodestreamHeader:
     return CodestreamHeader(siz=siz, cod=cod, qcd=qcd, comments=comments,
                             main_header_end=pos, cod_comp=cod_comp,
                             qcd_comp=qcd_comp, pocs=poc_entries, tlm=tlm,
-                            roishifts=roishifts, custom_mct=custom_mct)
+                            roishifts=roishifts, custom_mct=custom_mct,
+                            ppm_sections=ppm_sections)
 
 
 def iter_tile_parts(data: bytes, start: int):
@@ -173,6 +183,11 @@ def iter_tile_parts(data: bytes, start: int):
                 tp.qcc_raw.append(payload)
             elif m == markers.POC:
                 tp.poc_raw = payload
+            elif m == markers.PPT:
+                tp.ppt_raw.append(payload)
+            elif m == markers.PLT:
+                _, lens, _ = markers.parse_plt(payload)
+                tp.plt_lengths.extend(lens)
             hp += 2 + ln
         tp.body = data[hp:tp_end]
         yield tp
@@ -196,8 +211,18 @@ def decode(data: bytes, params: Optional[DecoderParams] = None) -> Image:
     ncomps = len(siz.comps)
     tile_bodies: Dict[int, List[bytes]] = {}
     tile_over: Dict[int, TilePart] = {}
+    tile_hdrs: Dict[int, List[bytes]] = {}
+    ppm_iter = iter(hdr.ppm_sections or [])
     for tp in iter_tile_parts(data, hdr.main_header_end):
         tile_bodies.setdefault(tp.tile_index, []).append(tp.body)
+        if hdr.ppm_sections is not None:
+            # one Nppm-framed section per tile-part, in stream order
+            tile_hdrs.setdefault(tp.tile_index, []).append(
+                next(ppm_iter, b""))
+        elif tp.ppt_raw:
+            merged = markers.merge_ppx(
+                [(pl[0], pl[1:]) for pl in tp.ppt_raw])
+            tile_hdrs.setdefault(tp.tile_index, []).append(merged)
         if tp.cod or tp.qcd or tp.coc_raw or tp.qcc_raw or tp.poc_raw:
             tile_over[tp.tile_index] = tp
 
@@ -266,11 +291,13 @@ def decode(data: bytes, params: Optional[DecoderParams] = None) -> Image:
             continue
         body = b"".join(tile_bodies[t])
         tcod, tqcd, cod_comp, qcd_comp, pocs = _tile_params(t)
+        packed = (b"".join(tile_hdrs[t]) if t in tile_hdrs else None)
         tcomps = decode_tile(body, siz, tcod, tqcd, tr, reduce=reduce,
                              max_layers=params.layers, window=win,
                              cod_comp=cod_comp, qcd_comp=qcd_comp,
                              pocs=pocs, roishifts=hdr.roishifts,
-                             custom_mct=hdr.custom_mct)
+                             custom_mct=hdr.custom_mct,
+                             packed_headers=packed)
         for c, (arr, (tx0, ty0)) in enumerate(tcomps):
             cs = siz.comps[c]
             ox = ceil_div(ax0, cs.dx << reduce)

@@ -208,6 +208,7 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
         layer_alloc = make_layer_alloc(image, params)
     tile_parts = bytearray()
     tp_lengths = []
+    ppm_sections: list = []
     for t in range(ntx * nty):
         tr = tile_rect(t, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
                        siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
@@ -217,6 +218,7 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
             from ..models import pipeline as device_pipeline
             cfg = device_pipeline.config_for_tile(siz, cod, tr)
             coeff_bands = device_pipeline.device_fwd_bands(comps, cfg)
+        split = params.ppt_markers or params.ppm_markers
         res: TileEncResult = encode_tile(comps, siz, cod, qcd, tr,
                                          layer_alloc=layer_alloc,
                                          coeff_bands=coeff_bands,
@@ -224,12 +226,25 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
                                          pocs=params.pocs or None,
                                          roishifts=roishifts,
                                          custom_mct_matrix=
-                                         custom_coding_matrix)
-        psot = 12 + 2 + len(res.body)  # SOT(12) + SOD(2) + body
+                                         custom_coding_matrix,
+                                         split_headers=split,
+                                         want_packet_lengths=
+                                         params.plt_markers)
+        tp_hdr = b""
+        if params.ppt_markers:
+            tp_hdr += markers.write_ppt(res.packet_headers or b"")
+        elif params.ppm_markers:
+            ppm_sections.append(res.packet_headers or b"")
+        if params.plt_markers and res.packet_lengths is not None:
+            tp_hdr += markers.write_plt(res.packet_lengths)
+        psot = 12 + len(tp_hdr) + 2 + len(res.body)
         tile_parts += markers.write_sot(SotInfo(tile_index=t, psot=psot))
+        tile_parts += tp_hdr
         tile_parts += markers.write_sod()
         tile_parts += res.body
         tp_lengths.append((t, psot))
+    if params.ppm_markers:
+        out += markers.write_ppm(ppm_sections)
     if params.tlm_markers:
         out += markers.write_tlm(tp_lengths)
     out += tile_parts

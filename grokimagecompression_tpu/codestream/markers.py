@@ -422,6 +422,116 @@ def parse_rgn(payload: bytes, ncomps: int):
 
 
 # ---------------------------------------------------------------------------
+# Packed packet headers (PPM/PPT), packet lengths (PLM/PLT), CRG
+# ---------------------------------------------------------------------------
+
+PLM = 0xFF57
+PLT = 0xFF58
+PPM = 0xFF60
+PPT = 0xFF61
+CRG = 0xFF63
+
+_MAX_SEG = 65535 - 3  # payload capacity after the Z index byte
+
+
+def write_ppt(headers: bytes) -> bytes:
+    """Tile-part packed packet headers, chunked into PPT markers with
+    sequential Zppt (reference: j2k.cpp j2k_read_ppt)."""
+    out = bytearray()
+    z = 0
+    for off in range(0, max(1, len(headers)), _MAX_SEG):
+        chunk = headers[off:off + _MAX_SEG]
+        out += _seg(PPT, bytes([z]) + chunk)
+        z += 1
+    return bytes(out)
+
+
+def write_ppm(tile_sections) -> bytes:
+    """Main-header packed packet headers: one Nppm(4)-framed section per
+    tile-part, concatenated then chunked into PPM markers
+    (reference: j2k.cpp j2k_read_ppm / j2k_merge_ppm)."""
+    blob = bytearray()
+    for sec in tile_sections:
+        blob += struct.pack(">I", len(sec)) + sec
+    out = bytearray()
+    z = 0
+    for off in range(0, max(1, len(blob)), _MAX_SEG):
+        out += _seg(PPM, bytes([z]) + bytes(blob[off:off + _MAX_SEG]))
+        z += 1
+    return bytes(out)
+
+
+def merge_ppx(chunks) -> bytes:
+    """Concatenate PPM/PPT payloads in Z order ((z, data) pairs)."""
+    return b"".join(d for (_, d) in sorted(chunks, key=lambda c: c[0]))
+
+
+def split_ppm_sections(blob: bytes):
+    """Split merged PPM data into per-tile-part header sections."""
+    out = []
+    pos = 0
+    while pos + 4 <= len(blob):
+        n = struct.unpack(">I", blob[pos:pos + 4])[0]
+        pos += 4
+        out.append(blob[pos:pos + n])
+        pos += n
+    return out
+
+
+def _plt_varlen(length: int) -> bytes:
+    """7-bit big-endian varint with continuation in bit 7 (Iplt)."""
+    if length == 0:
+        return b"\x00"
+    parts = []
+    while length:
+        parts.append(length & 0x7F)
+        length >>= 7
+    parts.reverse()
+    return bytes([(p | 0x80) for p in parts[:-1]] + [parts[-1]])
+
+
+def write_plt(packet_lengths) -> bytes:
+    """Tile-part packet lengths (PLT), chunked with sequential Zplt
+    (reference: j2k.cpp j2k_read_plt)."""
+    blob = b"".join(_plt_varlen(ln) for ln in packet_lengths)
+    out = bytearray()
+    z = 0
+    for off in range(0, max(1, len(blob)), _MAX_SEG):
+        out += _seg(PLT, bytes([z]) + blob[off:off + _MAX_SEG])
+        z += 1
+    return bytes(out)
+
+
+def parse_plt(payload: bytes):
+    """Returns (zplt, lengths, leftover_partial_value)."""
+    z = payload[0]
+    lengths = []
+    acc = 0
+    for b in payload[1:]:
+        acc = (acc << 7) | (b & 0x7F)
+        if not (b & 0x80):
+            lengths.append(acc)
+            acc = 0
+    return z, lengths, acc
+
+
+def write_crg(offsets, ncomps: int) -> bytes:
+    """Component registration: per-component (Xcrg, Ycrg) 16-bit offsets
+    in units of 1/65536 of the sample grid (reference: j2k_read_crg)."""
+    payload = b"".join(struct.pack(">HH", x & 0xFFFF, y & 0xFFFF)
+                       for (x, y) in offsets)
+    return _seg(CRG, payload)
+
+
+def parse_crg(payload: bytes, ncomps: int):
+    out = []
+    for c in range(ncomps):
+        x, y = struct.unpack(">HH", payload[c * 4:c * 4 + 4])
+        out.append((x, y))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Custom MCT (Part 2): MCT / MCC / MCO / CBD markers
 # ---------------------------------------------------------------------------
 

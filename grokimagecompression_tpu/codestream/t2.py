@@ -124,9 +124,16 @@ def encode_packet(
     sop: bool = False,
     eph: bool = False,
     packet_index: int = 0,
-) -> bytes:
+    split: bool = False,
+):
     """Encode one packet over the given band-precincts (one per band of the
-    resolution, in band order)."""
+    resolution, in band order).
+
+    With `split=True` returns (header_bytes, body_bytes) for packed
+    packet headers (PPM/PPT): the header (incl. EPH) goes to the PPM/PPT
+    stream while SOP + packet bodies stay in the tile body
+    (reference: j2k_read_ppm/ppt + T2 packed-header consumption).
+    """
     out = bytearray()
     if sop:
         out += struct.pack(">HHH", SOP_MARKER, 4, packet_index & 0xFFFF)
@@ -137,10 +144,12 @@ def encode_packet(
     body = bytearray()
     if not nonempty:
         bw.write_bit(0)
-        out += bw.flush()
+        hdr = bw.flush()
         if eph:
-            out += struct.pack(">H", EPH_MARKER)
-        return bytes(out)
+            hdr += struct.pack(">H", EPH_MARKER)
+        if split:
+            return bytes(hdr), bytes(out)
+        return bytes(out) + hdr
     bw.write_bit(1)
     for pr in precincts:
         for cb in pr.cblks:
@@ -178,11 +187,12 @@ def encode_packet(
             total = sum(sb for (_, sb) in segs)
             body += cb.data[start:start + total]
             cb.passes_used += n
-    out += bw.flush()
+    hdr = bw.flush()
     if eph:
-        out += struct.pack(">H", EPH_MARKER)
-    out += body
-    return bytes(out)
+        hdr += struct.pack(">H", EPH_MARKER)
+    if split:
+        return bytes(hdr), bytes(out) + bytes(body)
+    return bytes(out) + hdr + bytes(body)
 
 
 # --------------------------------------------------------------------------
@@ -243,18 +253,52 @@ def decode_packet(
     tag-tree/lblock/segment state in sync) but drops its pass data — used
     for layer-truncated decode, where dropped layers are always a suffix
     of each code-block's packet sequence."""
+    pos, _ = _decode_packet_impl(data, pos, data, pos, False, layer,
+                                 precincts, kmax_per_band, cblk_style,
+                                 eph, discard)
+    return pos
+
+
+def decode_packet_split(
+    hdr: bytes,
+    hpos: int,
+    body: bytes,
+    bpos: int,
+    layer: int,
+    precincts: List[PrecDec],
+    kmax_per_band: List[int],
+    cblk_style: int,
+    eph: bool = False,
+    discard: bool = False,
+) -> Tuple[int, int]:
+    """Packed-header variant (PPM/PPT): the packet header is read from
+    `hdr` and the packet body (with any SOP marker) from `body`.
+    Returns (new body pos, new hdr pos)."""
+    return _decode_packet_impl(hdr, hpos, body, bpos, True, layer,
+                               precincts, kmax_per_band, cblk_style,
+                               eph, discard)
+
+
+def _decode_packet_impl(hdr, hpos, body, bpos, split, layer, precincts,
+                        kmax_per_band, cblk_style, eph, discard):
+    data = body
+    pos = bpos
     if pos + 6 <= len(data) and struct.unpack(">H", data[pos:pos + 2])[0] == SOP_MARKER:
         pos += 6
-    br = BitReader(data, pos)
+    if not split:
+        hpos = pos  # header follows SOP in the combined stream
+    br = BitReader(hdr, hpos)
     # (cblk, seg_idx, npasses, nbytes) in header order
     new_segs: List[Tuple[CblkDec, int, int, int]] = []
     if not br.read_bit():
         br.align()
-        pos = br.pos
-        if eph and pos + 2 <= len(data) and \
-                struct.unpack(">H", data[pos:pos + 2])[0] == EPH_MARKER:
-            pos += 2
-        return pos
+        hpos = br.pos
+        if eph and hpos + 2 <= len(hdr) and \
+                struct.unpack(">H", hdr[hpos:hpos + 2])[0] == EPH_MARKER:
+            hpos += 2
+        if not split:
+            pos = hpos
+        return pos, hpos
     for bi, pr in enumerate(precincts):
         kmax = kmax_per_band[bi]
         for cb in pr.cblks:
@@ -292,13 +336,15 @@ def decode_packet(
                     cb.numpasses += take
                 remaining -= take
     br.align()
-    pos = br.pos
-    if eph and pos + 2 <= len(data) and \
-            struct.unpack(">H", data[pos:pos + 2])[0] == EPH_MARKER:
-        pos += 2
+    hpos = br.pos
+    if eph and hpos + 2 <= len(hdr) and \
+            struct.unpack(">H", hdr[hpos:hpos + 2])[0] == EPH_MARKER:
+        hpos += 2
+    if not split:
+        pos = hpos
     # Packet body: segment bytes in header order.
     for (cb, seg_idx, take, ln) in new_segs:
         if not discard:
             cb.segs[seg_idx].data += data[pos:pos + ln]
         pos += ln
-    return pos
+    return pos, hpos

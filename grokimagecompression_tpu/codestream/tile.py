@@ -141,6 +141,8 @@ def default_qcd(siz: SizInfo, cod: CodInfo, num_guard_bits: int = 2,
 class TileEncResult:
     body: bytes
     num_packets: int
+    packet_headers: Optional[bytes] = None   # packed headers (PPM/PPT mode)
+    packet_lengths: Optional[List[int]] = None  # per-packet byte counts
 
 
 def _apply_fwd_transforms(comps_data: List[np.ndarray], plans,
@@ -180,8 +182,14 @@ def encode_tile(
     pocs=None,
     roishifts: Optional[List[int]] = None,
     custom_mct_matrix=None,
+    split_headers: bool = False,
+    want_packet_lengths: bool = False,
 ) -> TileEncResult:
     """Encode one tile to its packet body bytes.
+
+    `split_headers=True` routes packet headers to a separate packed
+    stream (for PPM/PPT signalling); the body then carries only SOP
+    markers and packet payloads.
 
     `layer_alloc(ctx: pcrd.RateControlCtx) -> None` assigns
     `layer_npasses` on each CblkEnc (e.g. pcrd.PCRDAllocator); default puts
@@ -409,11 +417,45 @@ def encode_tile(
         layer_alloc(ctx)
 
     # Final packet emission in progression order.
+    if split_headers:
+        _reset_t2_state()
+        hdrs = bytearray()
+        body = bytearray()
+        npackets = 0
+        for (l, r, c, p) in _packet_iter():
+            orients = (0,) if r == 0 else (1, 2, 3)
+            precs = [prec_enc[c][(r, o)][p] for o in orients
+                     if (r, o) in prec_enc[c]]
+            h, b = encode_packet(l, precs, cod.cblk_style, sop=cod.sop,
+                                 eph=cod.eph, packet_index=npackets,
+                                 split=True)
+            hdrs += h
+            body += b
+            npackets += 1
+        return TileEncResult(body=bytes(body), num_packets=npackets,
+                             packet_headers=bytes(hdrs))
     body = bytearray()
+    plens: Optional[List[int]] = [] if want_packet_lengths else None
     with trace.stage("enc.t2"):
-        nbytes, npackets = _emit(numlayers - 1, body)
+        if plens is not None:
+            _reset_t2_state()
+            nbytes = 0
+            npackets = 0
+            for (l, r, c, p) in _packet_iter():
+                orients = (0,) if r == 0 else (1, 2, 3)
+                precs = [prec_enc[c][(r, o)][p] for o in orients
+                         if (r, o) in prec_enc[c]]
+                pkt = encode_packet(l, precs, cod.cblk_style, sop=cod.sop,
+                                    eph=cod.eph, packet_index=npackets)
+                plens.append(len(pkt))
+                body += pkt
+                nbytes += len(pkt)
+                npackets += 1
+        else:
+            nbytes, npackets = _emit(numlayers - 1, body)
     trace.add_bytes("enc.t2", nbytes)
-    return TileEncResult(body=bytes(body), num_packets=npackets)
+    return TileEncResult(body=bytes(body), num_packets=npackets,
+                         packet_lengths=plens)
 
 
 # --------------------------------------------------------------------------
@@ -471,6 +513,7 @@ def decode_tile(
     pocs=None,
     roishifts: Optional[List[int]] = None,
     custom_mct=None,
+    packed_headers: Optional[bytes] = None,
 ) -> List[np.ndarray]:
     """Decode one tile's packet body back to component sample arrays.
 
@@ -536,7 +579,7 @@ def decode_tile(
     import os as _os
     _t2nat = None
     if _os.environ.get("GROK_TPU_T2", "") != "python" \
-            and numlayers == cod.numlayers:
+            and numlayers == cod.numlayers and packed_headers is None:
         try:
             from ..native import t2_native as _t2nat
         except Exception:
@@ -563,8 +606,9 @@ def decode_tile(
         parsed = rc is not None
     if not parsed:
         pos = 0
+        hpos = 0
         for (l, r, c, p) in pkt_list:
-            if pos >= len(body):
+            if pos >= len(body) and packed_headers is None:
                 break
             orients = (0,) if r == 0 else (1, 2, 3)
             precs = [prec_dec[c][(r, o)][p] for o in orients
@@ -575,10 +619,19 @@ def decode_tile(
             # but their pass data is discarded; for every code-block the
             # dropped layers are a suffix of its packets, so the retained
             # segment state stays consistent.
-            pos = decode_packet(body, pos, l, precs, kmaxs,
-                                cods[c].cblk_style,
-                                sop=cod.sop, eph=cod.eph,
-                                discard=(l >= numlayers))
+            if packed_headers is not None:
+                # PPM/PPT: headers come from the packed stream, the body
+                # carries only SOP markers + packet payloads.
+                from .t2 import decode_packet_split
+                pos, hpos = decode_packet_split(
+                    packed_headers, hpos, body, pos, l, precs, kmaxs,
+                    cods[c].cblk_style, eph=cod.eph,
+                    discard=(l >= numlayers))
+            else:
+                pos = decode_packet(body, pos, l, precs, kmaxs,
+                                    cods[c].cblk_style,
+                                    sop=cod.sop, eph=cod.eph,
+                                    discard=(l >= numlayers))
 
     # T1 decode (one batched native call over the whole tile's blocks) +
     # dequantize into band arrays, then inverse DWT per comp.

@@ -98,6 +98,11 @@ class EncoderParams:
     # maxshift-style 'component of interest' like the reference -R flag).
     roi_comp: Optional[int] = None
     roi_shift: int = 0
+    # Packed packet headers: PPT (tile-part) or PPM (main header); PLT
+    # writes per-tile packet-length markers for fast seeking.
+    ppt_markers: bool = False
+    ppm_markers: bool = False
+    plt_markers: bool = False
     # Part-2 custom MCT: the DECODING matrix (ncomps x ncomps) — what the
     # codestream MCT record carries; the encoder applies its inverse.
     # (The reference -m file instead holds the CODING matrix and derives
