@@ -54,6 +54,32 @@ class TilePart:
     plt_lengths: List[int] = dataclasses.field(default_factory=list)
 
 
+def _validate_siz(siz: SizInfo) -> None:
+    """SIZ sanity limits (reference: j2k_read_siz:3361 validation;
+    max-tile guard j2k.cpp:2072). Rejecting here keeps corrupt headers
+    from driving huge/negative tile grids or absurd allocations."""
+    if not (0 <= siz.xosiz < siz.xsiz and 0 <= siz.yosiz < siz.ysiz):
+        raise ValueError("SIZ: invalid image area")
+    if siz.xtsiz <= 0 or siz.ytsiz <= 0:
+        raise ValueError("SIZ: invalid tile size")
+    if not (0 <= siz.xtosiz <= siz.xosiz and 0 <= siz.ytosiz <= siz.yosiz):
+        raise ValueError("SIZ: tile origin must not exceed image origin")
+    if siz.xtosiz + siz.xtsiz <= siz.xosiz or \
+            siz.ytosiz + siz.ytsiz <= siz.yosiz:
+        raise ValueError("SIZ: first tile does not cover the image origin")
+    ntx, nty = tile_grid_size(siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
+                              siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
+    if ntx <= 0 or nty <= 0 or ntx * nty > 65535:
+        raise ValueError(f"SIZ: invalid tile grid {ntx}x{nty}")
+    if not siz.comps or len(siz.comps) > 16384:
+        raise ValueError("SIZ: invalid component count")
+    for c in siz.comps:
+        if not (1 <= c.prec <= 38):
+            raise ValueError(f"SIZ: invalid precision {c.prec}")
+        if not (1 <= c.dx <= 255 and 1 <= c.dy <= 255):
+            raise ValueError("SIZ: invalid subsampling")
+
+
 def read_header(data: bytes) -> CodestreamHeader:
     if struct.unpack(">H", data[0:2])[0] != markers.SOC:
         raise ValueError("not a J2K codestream (missing SOC)")
@@ -100,6 +126,7 @@ def read_header(data: bytes) -> CodestreamHeader:
         pos += 2 + length
     if siz is None or cod is None or qcd is None:
         raise ValueError("incomplete main header (need SIZ, COD, QCD)")
+    _validate_siz(siz)
     ncomps = len(siz.comps)
     cod_comp = None
     if coc_raw:
