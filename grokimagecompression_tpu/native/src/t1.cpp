@@ -65,7 +65,7 @@ struct MQEncoder {
   std::vector<uint8_t> out;
   CtxState* ctx;  // shared, persists across segments
 
-  explicit MQEncoder(CtxState* shared) : ctx(shared) { out.reserve(256); }
+  explicit MQEncoder(CtxState* shared) : ctx(shared) { out.reserve(4096); }
 
   void restart() { a = 0x8000; c = 0; ct = 12; out.clear(); }
 
@@ -94,12 +94,25 @@ struct MQEncoder {
     }
   }
 
-  void renorm() {
-    do {
-      a = (a << 1) & 0xFFFF;
-      c <<= 1;
-      if (--ct == 0) byteout();
-    } while (!(a & 0x8000));
+  inline void renorm() {
+    // Batched renormalization: shift by the full deficit at once
+    // instead of bit-by-bit (a is nonzero 16-bit here, so the deficit
+    // is clz(a)-16). byteout() fires exactly where the per-bit loop
+    // would, preserving byte-identical output.
+    int s = __builtin_clz(a) - 16;
+    while (s >= ct) {
+      a = (a << ct) & 0xFFFF;
+      c <<= ct;
+      s -= ct;
+      ct = 0;
+      byteout();
+    }
+    if (s) {
+      a = (a << s) & 0xFFFF;
+      c <<= s;
+      ct -= s;
+      if (ct == 0) byteout();
+    }
   }
 
   void encode(int d, int cx) {
@@ -189,13 +202,18 @@ struct MQDecoder {
     }
   }
 
-  void renormd() {
-    do {
+  inline void renormd() {
+    // Batched renormalization (see MQEncoder::renorm): same bytein
+    // points and dropped high bits as the per-bit loop.
+    int s = __builtin_clz(a) - 16;
+    while (s > 0) {
       if (ct == 0) bytein();
-      a = (a << 1) & 0xFFFF;
-      c = (c << 1);
-      ct -= 1;
-    } while (!(a & 0x8000));
+      int t = s < ct ? s : ct;
+      a = (a << t) & 0xFFFF;
+      c = (c << t);
+      ct -= t;
+      s -= t;
+    }
   }
 
   int decode(int cx) {
