@@ -58,13 +58,117 @@ def dump_codestream(data: bytes, out=None) -> None:
     w("}\n")
     for com in hdr.comments:
         w(f"Comment: {com}\n")
+    if hdr.tlm:
+        w("TLM index {\n")
+        for (t, ln) in hdr.tlm:
+            w(f"\t tile {t}: {ln} bytes\n")
+        w("}\n")
     w("Tile-part index {\n")
     pos = hdr.main_header_end
     i = 0
     for tp in decoder.iter_tile_parts(data, pos):
         w(f"\t tile-part {i}: tile={tp.tile_index},"
           f" body_bytes={len(tp.body)}\n")
+        if tp.plt_lengths:
+            w(f"\t\t PLT packet lengths: {tp.plt_lengths}\n")
         i += 1
+    w("}\n")
+
+
+_MARKER_NAMES = {
+    0xFF4F: "SOC", 0xFF51: "SIZ", 0xFF50: "CAP", 0xFF52: "COD",
+    0xFF53: "COC", 0xFF5C: "QCD", 0xFF5D: "QCC", 0xFF5E: "RGN",
+    0xFF5F: "POC", 0xFF55: "TLM", 0xFF57: "PLM", 0xFF58: "PLT",
+    0xFF60: "PPM", 0xFF61: "PPT", 0xFF63: "CRG", 0xFF64: "COM",
+    0xFF74: "MCT", 0xFF75: "MCC", 0xFF77: "MCO", 0xFF78: "CBD",
+    0xFF90: "SOT", 0xFF91: "SOP", 0xFF92: "EPH", 0xFF93: "SOD",
+    0xFFD9: "EOC",
+}
+
+
+def dump_markers(data: bytes, out=None) -> None:
+    """Low-level marker walk: every marker with offset and length."""
+    out = out if out is not None else sys.stdout
+    w = out.write
+    w("Marker index {\n")
+    pos = 0
+    while pos + 2 <= len(data):
+        m = struct.unpack(">H", data[pos:pos + 2])[0]
+        name = _MARKER_NAMES.get(m, f"{m:04X}")
+        if m in (0xFF4F, 0xFF92, 0xFFD9):   # SOC/EPH/EOC: no length
+            w(f"\t {pos:#010x} {name}\n")
+            pos += 2
+            continue
+        if m == 0xFF93:                     # SOD: body until next SOT/EOC
+            w(f"\t {pos:#010x} SOD\n")
+            # hop to the enclosing tile-part end via last SOT's Psot
+            break
+        if pos + 4 > len(data):
+            break
+        ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        w(f"\t {pos:#010x} {name} len={ln}\n")
+        if m == 0xFF90 and pos + 12 <= len(data):
+            sot = markers.parse_sot(data[pos + 4:pos + 12])
+            w(f"\t\t tile={sot.tile_index} psot={sot.psot}\n")
+        pos += 2 + ln
+    w("}\n")
+    # walk tile-parts for their internal markers
+    try:
+        hdr = decoder.read_header(data)
+    except ValueError:
+        return
+    w("Tile-part markers {\n")
+    for pos2, ln2, t in _tilepart_spans(data, hdr.main_header_end):
+        w(f"\t {pos2:#010x} SOT tile={t} psot={ln2}\n")
+        hp = pos2 + 12
+        end = pos2 + ln2
+        while hp + 4 <= end:
+            m = struct.unpack(">H", data[hp:hp + 2])[0]
+            if m == 0xFF93:
+                w(f"\t\t {hp:#010x} SOD body_bytes={end - hp - 2}\n")
+                break
+            mln = struct.unpack(">H", data[hp + 2:hp + 4])[0]
+            w(f"\t\t {hp:#010x} {_MARKER_NAMES.get(m, hex(m))} "
+              f"len={mln}\n")
+            hp += 2 + mln
+    w("}\n")
+
+
+def _tilepart_spans(data: bytes, start: int):
+    pos = start
+    while pos + 12 <= len(data):
+        m = struct.unpack(">H", data[pos:pos + 2])[0]
+        if m != 0xFF90:
+            break
+        sot = markers.parse_sot(data[pos + 4:pos + 12])
+        psot = sot.psot if sot.psot else len(data) - pos
+        yield pos, psot, sot.tile_index
+        pos += psot
+
+
+def dump_packet_index(data: bytes, out=None) -> None:
+    """Per-tile packet index: progression position and byte length of
+    every packet (the grk_dump codestream-index analog, reference:
+    j2k_dump.cpp j2k_dump_MH_index:176)."""
+    out = out if out is not None else sys.stdout
+    w = out.write
+    from ..codestream.tile import index_tile_packets
+    hdr = decoder.read_header(data)
+    bodies = {}
+    for tp in decoder.iter_tile_parts(data, hdr.main_header_end):
+        bodies.setdefault(tp.tile_index, []).append(tp.body)
+    w("Packet index {\n")
+    for t in sorted(bodies):
+        body = b"".join(bodies[t])
+        try:
+            pkts = index_tile_packets(body, hdr, t)
+        except Exception as e:  # corrupt tiles: report, don't die
+            w(f"\t tile {t}: <unparseable: {e}>\n")
+            continue
+        w(f"\t tile {t}: {len(pkts)} packets\n")
+        for (l, r, c, p, off, ln) in pkts:
+            w(f"\t\t layer={l} res={r} comp={c} prec={p} "
+              f"offset={off} bytes={ln}\n")
     w("}\n")
 
 
@@ -74,6 +178,10 @@ def build_parser() -> argparse.ArgumentParser:
         description="Dump JPEG 2000 codestream structure")
     p.add_argument("-i", "--in-file", required=True)
     p.add_argument("-o", "--out-file", default=None)
+    p.add_argument("-m", "--markers", action="store_true",
+                   help="dump the raw marker index")
+    p.add_argument("-p", "--packets", action="store_true",
+                   help="dump the per-tile packet index")
     return p
 
 
@@ -85,11 +193,18 @@ def main(argv=None) -> int:
         # JP2 container: locate the jp2c box.
         from ..codestream import jp2
         data = jp2.extract_codestream(data)
+    def run(out):
+        dump_codestream(data, out)
+        if args.markers:
+            dump_markers(data, out)
+        if args.packets:
+            dump_packet_index(data, out)
+
     if args.out_file:
         with open(args.out_file, "w") as f:
-            dump_codestream(data, f)
+            run(f)
     else:
-        dump_codestream(data)
+        run(sys.stdout)
     return 0
 
 

@@ -766,3 +766,70 @@ def decode_tile(
         a = mct_np.dc_shift_inv(a, plans[c].prec, plans[c].signed)
         final.append(a.astype(np.int32))
     return list(zip(final, origins))
+
+
+def index_tile_packets(body: bytes, hdr, tile_index: int):
+    """Packet index of one tile: (layer, res, comp, prec, offset, bytes)
+    per packet in progression order — the grk_dump codestream-index
+    analog (reference: j2k_dump.cpp:176). Parses headers only."""
+    from ..core.geometry import tile_rect as _tile_rect
+    siz, cod, qcd = hdr.siz, hdr.cod, hdr.qcd
+    tile = _tile_rect(tile_index, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
+                      siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
+    ncomps = len(siz.comps)
+    cod_comp = hdr.cod_comp
+    qcd_comp = hdr.qcd_comp
+    cods = [cod_comp[c] if cod_comp and cod_comp[c] else cod
+            for c in range(ncomps)]
+    qcds = [qcd_comp[c] if qcd_comp and qcd_comp[c] else qcd
+            for c in range(ncomps)]
+    plans = [build_comp_plan(siz, cods[c], qcds[c], tile, c)
+             for c in range(ncomps)]
+    prec_dec = []
+    for c in range(ncomps):
+        per_res = {}
+        for res in plans[c].layout.resolutions:
+            for band in res.bands:
+                plist = []
+                for prc in band.precincts:
+                    pd = PrecDec(geom=prc,
+                                 cblks=[CblkDec(geom=cb)
+                                        for cb in prc.cblks])
+                    pd.init_trees()
+                    plist.append(pd)
+                per_res[(res.r, band.orient)] = plist
+        prec_dec.append(per_res)
+    comps_iter = [
+        CompIterInfo(
+            numresolutions=cods[c].numresolutions,
+            dx=siz.comps[c].dx,
+            dy=siz.comps[c].dy,
+            tc_rect=plans[c].layout.tc_rect,
+            prec_info=[(res.ppx, res.ppy, res.num_precincts_w,
+                        res.num_precincts_h)
+                       for res in plans[c].layout.resolutions],
+        )
+        for c in range(ncomps)
+    ]
+    if hdr.pocs:
+        from .packetiter import packet_order_poc
+        piter = packet_order_poc(hdr.pocs, cod.numlayers, comps_iter, tile)
+    else:
+        piter = packet_order(cod.progression, cod.numlayers, comps_iter,
+                             tile)
+    out = []
+    pos = 0
+    for (l, r, c, p) in piter:
+        if pos >= len(body):
+            break
+        orients = (0,) if r == 0 else (1, 2, 3)
+        precs = [prec_dec[c][(r, o)][p] for o in orients
+                 if (r, o) in prec_dec[c]]
+        kmaxs = [plans[c].bands[(r, o)].kmax for o in orients
+                 if (r, o) in plans[c].bands]
+        start = pos
+        pos = decode_packet(body, pos, l, precs, kmaxs,
+                            cods[c].cblk_style, sop=cod.sop, eph=cod.eph,
+                            discard=True)
+        out.append((l, r, c, p, start, pos - start))
+    return out

@@ -111,3 +111,43 @@ def test_bmp_cli_pipeline(tmp_path):
     for c in range(3):
         np.testing.assert_array_equal(back.components[c].data,
                                       comps[c].data)
+
+
+def test_dump_packet_index_matches_plt(tmp_path):
+    """-p packet index boundaries agree with the PLT marker lengths."""
+    import numpy as np
+    from grokimagecompression_tpu.codestream import decoder as _dec
+    from grokimagecompression_tpu.codestream import encoder as _enc
+    from grokimagecompression_tpu.codestream.tile import index_tile_packets
+    from grokimagecompression_tpu.core.image import Component, Image
+    from grokimagecompression_tpu.core.params import EncoderParams
+
+    rng = np.random.default_rng(0)
+    img = Image(xsiz=96, ysiz=96, components=[
+        Component(data=rng.integers(0, 256, (96, 96)).astype(np.int32),
+                  prec=8, signed=False, dx=1, dy=1)])
+    cs = _enc.encode(img, EncoderParams(numresolutions=4, plt_markers=True))
+    hdr = _dec.read_header(cs)
+    tp = next(_dec.iter_tile_parts(cs, hdr.main_header_end))
+    pkts = index_tile_packets(tp.body, hdr, 0)
+    assert [ln for (*_, ln) in pkts] == tp.plt_lengths
+    assert sum(tp.plt_lengths) == len(tp.body)
+
+
+def test_dump_modes_run(tmp_path, capsys):
+    import numpy as np
+    from grokimagecompression_tpu.cli import dump as dump_cli
+    from grokimagecompression_tpu.codestream import encoder as _enc
+    from grokimagecompression_tpu.core.image import Component, Image
+    from grokimagecompression_tpu.core.params import EncoderParams
+
+    rng = np.random.default_rng(1)
+    img = Image(xsiz=64, ysiz=64, components=[
+        Component(data=rng.integers(0, 256, (64, 64)).astype(np.int32),
+                  prec=8, signed=False, dx=1, dy=1)])
+    p = str(tmp_path / "d.j2k")
+    open(p, "wb").write(_enc.encode(img, EncoderParams(numresolutions=3)))
+    assert dump_cli.main(["-i", p, "-m", "-p"]) == 0
+    out = capsys.readouterr().out
+    assert "Marker index" in out and "Packet index" in out
+    assert "SIZ" in out and "SOT" in out
