@@ -343,6 +343,20 @@ def encode_tile(
         except Exception:
             _t2_native = None
 
+    _group_cache: Dict[Tuple[int, int, int], object] = {}
+
+    def _native_group(key):
+        grp = _group_cache.get(key)
+        if grp is None:
+            r, c, p = key
+            orients = (0,) if r == 0 else (1, 2, 3)
+            precs = [prec_enc[c][(r, o)][p] for o in orients
+                     if (r, o) in prec_enc[c]]
+            grp = _t2_native.PrecGroupEnc(precs, numlayers,
+                                          cod.cblk_style, cod.eph)
+            _group_cache[key] = grp
+        return grp
+
     def _emit(max_layer: int, collect: Optional[bytearray]) -> Tuple[int, int]:
         """Emit packets for layers 0..max_layer; returns (bytes, packets)."""
         nbytes = 0
@@ -350,18 +364,14 @@ def encode_tile(
         if _t2_native is not None:
             # Native path: every layer's fragment for a precinct group is
             # produced in one call (tag-tree/lblock state lives inside);
-            # fragments are then stitched in progression order.
+            # marshaling is cached across PCRD simulate iterations.
             frags: Dict[Tuple[int, int, int], List[bytes]] = {}
             for (l, r, c, p) in _packet_iter():
                 if l > max_layer:
                     continue
                 key = (r, c, p)
                 if key not in frags:
-                    orients = (0,) if r == 0 else (1, 2, 3)
-                    precs = [prec_enc[c][(r, o)][p] for o in orients
-                             if (r, o) in prec_enc[c]]
-                    frags[key] = _t2_native.encode_precinct_layers(
-                        precs, numlayers, cod.cblk_style, cod.eph)
+                    frags[key] = _native_group(key).encode()
                 pkt = frags[key][l]
                 if cod.sop:
                     import struct as _struct
@@ -406,13 +416,32 @@ def encode_tile(
                 for c in siz.comps)
         else:
             img_samples = image_samples
+        def _simulate(max_layer: int) -> int:
+            """Total bytes of layers 0..max_layer (PCRD dry run)."""
+            if _t2_native is None:
+                return _emit(max_layer, None)[0]
+            total = 0
+            npk = 0
+            seen = set()
+            for (l, r, c, p) in _packet_iter():
+                if l > max_layer:
+                    continue
+                npk += 1
+                key = (r, c, p)
+                if key not in seen:
+                    seen.add(key)
+                    total += _native_group(key).simulate_bytes(max_layer)
+            if cod.sop:
+                total += 6 * npk
+            return total
+
         ctx = RateControlCtx(
             cblks=all_cblks,
             numlayers=numlayers,
             tile_samples=tile_samples,
             image_samples=img_samples,
             max_prec=max(c.prec for c in siz.comps),
-            simulate_upto=lambda l: _emit(l, None)[0],
+            simulate_upto=_simulate,
         )
         layer_alloc(ctx)
 

@@ -22,56 +22,104 @@ _lib.grok_t2_encode_precinct.argtypes = [
 ]
 
 
+class PrecGroupEnc:
+    """Pre-marshaled native T2 state for one precinct group.
+
+    The static per-block data (geometry, pass rates, compressed bytes)
+    is packed once; only the per-layer pass assignment is refreshed per
+    encode() call. This is what makes the PCRD bisection cheap: each of
+    its up-to-128 simulate iterations reuses the marshaling
+    (reference: encode_packets_simulate re-walks structs in C++;
+    the analog here is keeping the ctypes arrays warm)."""
+
+    def __init__(self, precincts, numlayers: int, cblk_style: int,
+                 eph: bool):
+        nbands = len(precincts)
+        self.numlayers = numlayers
+        self.cblk_style = cblk_style
+        self.eph = eph
+        self.nbands = nbands
+        self.grid = np.zeros(nbands * 2, dtype=np.int32)
+        self.ncblks = np.zeros(nbands, dtype=np.int32)
+        cblks = []
+        for b, pr in enumerate(precincts):
+            self.grid[b * 2] = max(1, pr.geom.cblk_grid_w)
+            self.grid[b * 2 + 1] = max(1, pr.geom.cblk_grid_h)
+            self.ncblks[b] = len(pr.cblks)
+            cblks.extend(pr.cblks)
+        self.cblks = cblks
+        n = len(cblks)
+        self.n = n
+        pass_stride = max([cb.numpasses for cb in cblks] + [1])
+        self.pass_stride = pass_stride
+        self.meta = np.zeros(max(1, n * 5), dtype=np.int64)
+        self.layer_np = np.zeros(max(1, n * numlayers), dtype=np.int32)
+        self.rates = np.zeros(max(1, n * pass_stride), dtype=np.int32)
+        self.term = np.zeros(max(1, n * pass_stride), dtype=np.uint8)
+        datas = []
+        off = 0
+        for i, cb in enumerate(cblks):
+            self.meta[i * 5] = cb.geom.cx
+            self.meta[i * 5 + 1] = cb.geom.cy
+            self.meta[i * 5 + 2] = cb.imsb
+            self.meta[i * 5 + 3] = cb.numpasses
+            self.meta[i * 5 + 4] = off
+            for j, p in enumerate(cb.passes):
+                self.rates[i * pass_stride + j] = p.rate
+                self.term[i * pass_stride + j] = 1 if p.terminated else 0
+            datas.append(cb.data)
+            off += len(cb.data)
+        self.total_body = off
+        self.data_flat = np.frombuffer(b"".join(datas) or b"\x00",
+                                       dtype=np.uint8)
+        self.out_cap = self.total_body + 4096 * numlayers + 64 * n
+        self.out = np.empty(self.out_cap, dtype=np.uint8)
+        self.layer_off = np.zeros(numlayers + 1, dtype=np.int64)
+
+    def encode(self) -> List[bytes]:
+        """Encode all layers with the blocks' current layer_npasses."""
+        nl = self.numlayers
+        lp = self.layer_np
+        for i, cb in enumerate(self.cblks):
+            lp[i * nl:(i + 1) * nl] = cb.layer_npasses
+        rc = _lib.grok_t2_encode_precinct(
+            nl, self.cblk_style, 1 if self.eph else 0, self.nbands,
+            self.grid.ctypes.data, self.ncblks.ctypes.data,
+            self.meta.ctypes.data, lp.ctypes.data,
+            self.rates.ctypes.data, self.term.ctypes.data,
+            self.pass_stride, self.data_flat.ctypes.data,
+            self.out.ctypes.data, self.out_cap,
+            self.layer_off.ctypes.data)
+        if rc < 0:
+            raise RuntimeError("native T2 encode overflow")
+        return [bytes(self.out[self.layer_off[l]:self.layer_off[l + 1]])
+                for l in range(nl)]
+
+    def simulate_bytes(self, max_layer: int) -> int:
+        """Byte count of layers 0..max_layer without materializing the
+        fragments."""
+        nl = self.numlayers
+        lp = self.layer_np
+        for i, cb in enumerate(self.cblks):
+            lp[i * nl:(i + 1) * nl] = cb.layer_npasses
+        rc = _lib.grok_t2_encode_precinct(
+            nl, self.cblk_style, 1 if self.eph else 0, self.nbands,
+            self.grid.ctypes.data, self.ncblks.ctypes.data,
+            self.meta.ctypes.data, lp.ctypes.data,
+            self.rates.ctypes.data, self.term.ctypes.data,
+            self.pass_stride, self.data_flat.ctypes.data,
+            self.out.ctypes.data, self.out_cap,
+            self.layer_off.ctypes.data)
+        if rc < 0:
+            raise RuntimeError("native T2 encode overflow")
+        return int(self.layer_off[min(max_layer + 1, nl)])
+
+
 def encode_precinct_layers(precincts, numlayers: int, cblk_style: int,
                            eph: bool) -> List[bytes]:
     """precincts: list of PrecEnc (1 per band). Returns per-layer packet
     fragments (header+body, EPH included, no SOP)."""
-    nbands = len(precincts)
-    grid = np.zeros(nbands * 2, dtype=np.int32)
-    ncblks = np.zeros(nbands, dtype=np.int32)
-    cblks = []
-    for b, pr in enumerate(precincts):
-        grid[b * 2] = max(1, pr.geom.cblk_grid_w)
-        grid[b * 2 + 1] = max(1, pr.geom.cblk_grid_h)
-        ncblks[b] = len(pr.cblks)
-        cblks.extend(pr.cblks)
-    n = len(cblks)
-    pass_stride = max([cb.numpasses for cb in cblks] + [1])
-    meta = np.zeros(max(1, n * 5), dtype=np.int64)
-    layer_np = np.zeros(max(1, n * numlayers), dtype=np.int32)
-    rates = np.zeros(max(1, n * pass_stride), dtype=np.int32)
-    term = np.zeros(max(1, n * pass_stride), dtype=np.uint8)
-    datas = []
-    off = 0
-    total_body = 0
-    for i, cb in enumerate(cblks):
-        meta[i * 5] = cb.geom.cx
-        meta[i * 5 + 1] = cb.geom.cy
-        meta[i * 5 + 2] = cb.imsb
-        meta[i * 5 + 3] = cb.numpasses
-        meta[i * 5 + 4] = off
-        for l in range(numlayers):
-            layer_np[i * numlayers + l] = cb.layer_npasses[l]
-        for j, p in enumerate(cb.passes):
-            rates[i * pass_stride + j] = p.rate
-            term[i * pass_stride + j] = 1 if p.terminated else 0
-        datas.append(cb.data)
-        off += len(cb.data)
-        total_body += len(cb.data)
-    data_flat = np.frombuffer(b"".join(datas) or b"\x00", dtype=np.uint8)
-    out_cap = total_body + 4096 * numlayers + 64 * n
-    out = np.empty(out_cap, dtype=np.uint8)
-    layer_off = np.zeros(numlayers + 1, dtype=np.int64)
-    rc = _lib.grok_t2_encode_precinct(
-        numlayers, cblk_style, 1 if eph else 0, nbands, grid.ctypes.data,
-        ncblks.ctypes.data, meta.ctypes.data, layer_np.ctypes.data,
-        rates.ctypes.data, term.ctypes.data, pass_stride,
-        data_flat.ctypes.data, out.ctypes.data, out_cap,
-        layer_off.ctypes.data)
-    if rc < 0:
-        raise RuntimeError("native T2 encode overflow")
-    return [bytes(out[layer_off[l]:layer_off[l + 1]])
-            for l in range(numlayers)]
+    return PrecGroupEnc(precincts, numlayers, cblk_style, eph).encode()
 
 
 _lib.grok_t2_decode_tile.restype = ctypes.c_int64

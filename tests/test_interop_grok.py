@@ -252,3 +252,38 @@ def test_mode_switch_interop(tmp_path, mode):
                    check=True, capture_output=True)
     rec = read_pnm(str(dec)).components[0].data
     np.testing.assert_array_equal(rec, data)
+
+
+def test_psnr_at_matched_rate_beats_reference(tmp_path):
+    """BASELINE north star: PSNR >= Grok at matched bitrate (9/7 PCRD)."""
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:512, 0:512]
+    base = 128 + 60 * np.sin(yy / 37.0) * np.cos(xx / 29.0)
+    planes = [(base + rng.normal(0, 12, (512, 512))).clip(0, 255)
+              .astype(np.int32) for _ in range(3)]
+    img = make_image(planes, prec=8)
+    src = tmp_path / "src.ppm"
+    write_pnm(str(src), img)
+
+    def psnr(rec):
+        err = np.sqrt(np.mean(
+            [(rec.components[c].data.astype(np.float64)
+              - img.components[c].data) ** 2 for c in range(3)]))
+        return 20 * np.log10(255 / err)
+
+    for ratio in (10, 40):
+        cs = encode(img, EncoderParams(
+            numresolutions=6, transform=Transform.DWT_97,
+            rates=(float(ratio),)))
+        ours = psnr(decode(cs))
+        rj = tmp_path / "r.j2k"
+        rp = tmp_path / "r.ppm"
+        r = subprocess.run([GRK_COMPRESS, "-i", str(src), "-o", str(rj),
+                            "-r", str(ratio), "-I", "-n", "6"],
+                           capture_output=True)
+        assert r.returncode == 0, r.stderr.decode()[:300]
+        subprocess.run([GRK_DECOMPRESS, "-i", str(rj), "-o", str(rp)],
+                       capture_output=True)
+        ref = psnr(read_pnm(str(rp)))
+        assert abs(len(cs) - os.path.getsize(rj)) < 0.03 * len(cs) + 512
+        assert ours >= ref - 0.05, (ratio, ours, ref)
