@@ -230,11 +230,13 @@ def encode_tile(
     # (reference: src/lib/jp2/t1/Tier1.cpp:24, T1Encoder.cpp:57).
     # Blocks are described by (band, x0, y0, w, h) and gathered out of the
     # signed-int32 band planes inside the native call.
-    t1_bands = []           # signed int32 planes
+    t1_bands = []           # int32 planes (rev) or float32 (irrev)
+    t1_steps = []           # per-band stepsize (irrev quantization)
     t1_descs = []           # (band_idx, x0, y0, w, h)
     t1_orients = []
     t1_kmaxs = []
     t1_slots = []           # (comp, (r, orient), precinct_idx, cb, bp)
+    any_irrev = False
     for c in range(ncomps):
         plan = plans[c]
         rev_c = cods[c].transform == Transform.DWT_53
@@ -243,11 +245,16 @@ def encode_tile(
                 bp = plan.bands[(res.r, band.orient)]
                 arr = coeff_bands[c][(res.r, band.orient)]
                 if rev_c:
-                    signed = np.ascontiguousarray(arr, dtype=np.int32)
+                    plane = np.ascontiguousarray(arr, dtype=np.int32)
+                    t1_steps.append(1.0)
                 else:
-                    signed = quant.quantize_signed(arr, bp.stepsize)
+                    # float plane; quantization fuses into the native
+                    # block gather (stepsize per band)
+                    plane = np.ascontiguousarray(arr, dtype=np.float32)
+                    t1_steps.append(bp.stepsize)
+                    any_irrev = True
                 bi = len(t1_bands)
-                t1_bands.append(signed)
+                t1_bands.append(plane)
                 for pi, prc in enumerate(band.precincts):
                     for cb in prc.cblks:
                         x0 = cb.rect.x0 - band.rect.x0
@@ -257,9 +264,17 @@ def encode_tile(
                         t1_kmaxs.append(bp.kmax)
                         t1_slots.append((c, (res.r, band.orient), pi, cb, bp))
 
+    if any_irrev and not all(
+            b.dtype == np.float32 for b in t1_bands):
+        # mixed per-component transforms: promote int planes to float
+        # (stepsize 1.0 reproduces the abs/sign split exactly for the
+        # magnitudes in range)
+        t1_bands = [b.astype(np.float32) if b.dtype != np.float32 else b
+                    for b in t1_bands]
     with trace.stage("enc.t1", sum(d[3] * d[4] * 4 for d in t1_descs)):
         t1_results = t1_backend.encode_cblk_batch_bands(
-            t1_bands, t1_descs, t1_orients, t1_kmaxs, cod.cblk_style)
+            t1_bands, t1_descs, t1_orients, t1_kmaxs, cod.cblk_style,
+            stepsizes=t1_steps if any_irrev else None)
 
     all_cblks: List[CblkEnc] = []
     prec_enc: List[Dict[Tuple[int, int], List[PrecEnc]]] = [

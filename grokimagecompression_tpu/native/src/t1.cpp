@@ -979,4 +979,38 @@ int grok_extract_blocks(int nblocks, const int64_t* band_ptrs,
   return 0;
 }
 
+// Float-band variant for the irreversible path: deadzone quantization
+// (mag = floor(|v| / step), matching numpy float64 floor-division) fused
+// into the block gather. desc layout as grok_extract_blocks; steps holds
+// one double stepsize per band.
+int grok_extract_blocks_f32(int nblocks, const int64_t* band_ptrs,
+                            const int64_t* band_strides,
+                            const double* steps, const int64_t* desc,
+                            uint32_t* mag_flat, uint8_t* neg_flat) {
+#pragma omp parallel for schedule(dynamic, 8) if (nblocks >= 32)
+  for (int i = 0; i < nblocks; i++) {
+    const int64_t* d = desc + (size_t)i * 6;
+    const float* band = (const float*)(uintptr_t)band_ptrs[d[0]];
+    int64_t stride = band_strides[d[0]];
+    double inv_unused = 0.0;
+    (void)inv_unused;
+    double step = steps[d[0]];
+    int w = (int)d[3], h = (int)d[4];
+    uint32_t* mo = mag_flat + d[5];
+    uint8_t* no = neg_flat + d[5];
+    for (int y = 0; y < h; y++) {
+      const float* src = band + (size_t)(d[2] + y) * stride + d[1];
+      for (int x = 0; x < w; x++) {
+        float v = src[x];
+        double m = (double)(v < 0 ? -v : v) / step;
+        mo[x] = (uint32_t)m;  // m >= 0: cast == floor
+        no[x] = v < 0;
+      }
+      mo += w;
+      no += w;
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

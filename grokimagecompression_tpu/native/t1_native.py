@@ -91,6 +91,11 @@ def _load() -> ctypes.CDLL:
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.grok_extract_blocks_f32.restype = ctypes.c_int
+    lib.grok_extract_blocks_f32.argtypes = [
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
     for nm in ("grok_png_unfilter", "grok_png_filter"):
         fn = getattr(lib, nm)
         fn.restype = ctypes.c_int
@@ -158,12 +163,16 @@ def decode_cblk(data: bytes, seg_lengths: Optional[List[int]], w: int, h: int,
     return mag, neg
 
 
-def extract_blocks(bands: List[np.ndarray], descs: np.ndarray
+def extract_blocks(bands: List[np.ndarray], descs: np.ndarray,
+                   stepsizes=None
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Gather code-blocks out of signed-int32 band planes natively.
+    """Gather code-blocks out of band planes natively.
 
-    `bands`: contiguous int32 2-D arrays. `descs`: (n, 5) int64 rows of
-    (band_idx, x0, y0, w, h). Returns (mag_flat, neg_flat, offsets).
+    `bands`: contiguous 2-D arrays — int32 (reversible; abs/sign split)
+    or, with `stepsizes` (one per band), float32 planes quantized with
+    the deadzone quantizer during the gather. `descs`: (n, 5) int64
+    rows of (band_idx, x0, y0, w, h). Returns (mag_flat, neg_flat,
+    offsets).
     """
     n = len(descs)
     band_ptrs = np.array([b.ctypes.data for b in bands], dtype=np.int64)
@@ -176,9 +185,17 @@ def extract_blocks(bands: List[np.ndarray], descs: np.ndarray
     desc6 = np.ascontiguousarray(desc6, dtype=np.int64)
     mag_flat = np.empty(max(1, total), dtype=np.uint32)
     neg_flat = np.empty(max(1, total), dtype=np.uint8)
-    _lib.grok_extract_blocks(n, band_ptrs.ctypes.data, strides.ctypes.data,
-                             desc6.ctypes.data, mag_flat.ctypes.data,
-                             neg_flat.ctypes.data)
+    if stepsizes is not None:
+        steps = np.asarray(stepsizes, np.float64)
+        _lib.grok_extract_blocks_f32(
+            n, band_ptrs.ctypes.data, strides.ctypes.data,
+            steps.ctypes.data, desc6.ctypes.data, mag_flat.ctypes.data,
+            neg_flat.ctypes.data)
+    else:
+        _lib.grok_extract_blocks(n, band_ptrs.ctypes.data,
+                                 strides.ctypes.data, desc6.ctypes.data,
+                                 mag_flat.ctypes.data,
+                                 neg_flat.ctypes.data)
     return mag_flat, neg_flat, offs
 
 
@@ -248,16 +265,18 @@ def _mq_encode_flat(n, mag_flat, neg_flat, desc, cblk_style, max_wh,
 
 def encode_cblk_batch_bands(bands: List[np.ndarray], descs: np.ndarray,
                             orients: np.ndarray, cblk_style: int = 0,
-                            nthreads: Optional[int] = None):
-    """Like encode_cblk_batch but gathers blocks from signed-int32 band
-    planes natively (no per-block numpy marshaling).
+                            nthreads: Optional[int] = None,
+                            stepsizes=None):
+    """Like encode_cblk_batch but gathers blocks from band planes
+    natively (no per-block numpy marshaling); with `stepsizes` the
+    planes are float32 and quantized during the gather.
 
     `descs`: (n, 5) int64 (band_idx, x0, y0, w, h); `orients`: (n,).
     """
     n = len(descs)
     if n == 0:
         return []
-    mag_flat, neg_flat, offs = extract_blocks(bands, descs)
+    mag_flat, neg_flat, offs = extract_blocks(bands, descs, stepsizes)
     desc = np.empty((n, 4), dtype=np.int64)
     desc[:, 0] = offs
     desc[:, 1] = descs[:, 3]
@@ -399,14 +418,15 @@ def _ht_encode_flat(n, mag_flat, neg_flat, desc, max_wh, nthreads):
 
 def ht_encode_cblk_batch_bands(bands: List[np.ndarray], descs: np.ndarray,
                                mbs: np.ndarray,
-                               nthreads: Optional[int] = None):
-    """HT batch encode gathering blocks from signed-int32 band planes
-    natively. `descs`: (n, 5) int64 (band_idx, x0, y0, w, h); `mbs`: (n,)
-    per-block band Mb."""
+                               nthreads: Optional[int] = None,
+                               stepsizes=None):
+    """HT batch encode gathering blocks from band planes natively.
+    `descs`: (n, 5) int64 (band_idx, x0, y0, w, h); `mbs`: (n,) per-block
+    band Mb; `stepsizes` marks float32 planes quantized in the gather."""
     n = len(descs)
     if n == 0:
         return []
-    mag_flat, neg_flat, offs = extract_blocks(bands, descs)
+    mag_flat, neg_flat, offs = extract_blocks(bands, descs, stepsizes)
     desc = np.empty((n, 4), dtype=np.int64)
     desc[:, 0] = offs
     desc[:, 1] = descs[:, 3]

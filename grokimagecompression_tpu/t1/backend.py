@@ -78,14 +78,15 @@ def encode_cblk_batch(blocks, cblk_style: int = 0):
 
 
 def encode_cblk_batch_bands(bands, descs, orients, kmaxs,
-                            cblk_style: int = 0):
-    """Batch encode straight from signed-int32 band planes.
+                            cblk_style: int = 0, stepsizes=None):
+    """Batch encode straight from band planes.
 
-    `bands`: list of contiguous int32 2-D arrays (reversible: raw DWT
-    coefficients; irreversible: signed quantizer outputs). `descs`:
-    (n, 5) int64 rows (band_idx, x0, y0, w, h). Equivalent to slicing
-    each block, converting to (mag, neg) and calling encode_cblk_batch,
-    but the gather and abs/sign split run natively.
+    `bands`: list of contiguous 2-D arrays — int32 DWT coefficients
+    (reversible), or float32 coefficients with `stepsizes` (one per
+    band) for the irreversible path, where deadzone quantization fuses
+    into the native gather. `descs`: (n, 5) int64 rows
+    (band_idx, x0, y0, w, h). Equivalent to slicing each block,
+    quantizing, converting to (mag, neg) and calling encode_cblk_batch.
     """
     import numpy as _np
     nat = _get_native()
@@ -96,18 +97,24 @@ def encode_cblk_batch_bands(bands, descs, orients, kmaxs,
     if nat is not None:
         if cblk_style & CBLKSTY_HT:
             datas = nat.ht_encode_cblk_batch_bands(
-                bands, descs, _np.asarray(kmaxs, _np.int64))
+                bands, descs, _np.asarray(kmaxs, _np.int64),
+                stepsizes=stepsizes)
             return [(d, 1, 1, [t1_np.PassInfo(rate=len(d), distortion=0.0,
                                               terminated=True)])
                     for d in datas]
         return nat.encode_cblk_batch_bands(
-            bands, descs, _np.asarray(orients, _np.int64), cblk_style)
+            bands, descs, _np.asarray(orients, _np.int64), cblk_style,
+            stepsizes=stepsizes)
     # Oracle fallback: slice in Python.
     blocks = []
     for i in range(n):
         bi, x0, y0, w, h = (int(v) for v in descs[i])
         a = bands[bi][y0:y0 + h, x0:x0 + w]
-        m = _np.abs(a).astype(_np.uint32)
+        if stepsizes is not None:
+            m = _np.floor(_np.abs(a) /
+                          _np.float64(stepsizes[bi])).astype(_np.uint32)
+        else:
+            m = _np.abs(a).astype(_np.uint32)
         s = (a < 0).astype(_np.uint8)
         blocks.append((m, s, int(orients[i]), int(kmaxs[i])))
     return encode_cblk_batch(blocks, cblk_style)
