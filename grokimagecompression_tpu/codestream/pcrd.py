@@ -86,6 +86,8 @@ class RateControlCtx:
     image_samples: int      # samples in the whole image across components
     max_prec: int           # max component bit depth (for maxSE)
     simulate_upto: Callable[[int], int]  # bytes of packets for layers 0..l
+    # per-component packet byte totals for layers 0..l (cinema caps)
+    simulate_comp_upto: Optional[Callable[[int], dict]] = None
 
 
 class PCRDAllocator:
@@ -101,13 +103,17 @@ class PCRDAllocator:
     def __init__(self, rates: Sequence[float] = (),
                  quality_psnr: Sequence[float] = (),
                  image_bytes: int = 0,
-                 max_abs_bytes: int = 0):
+                 max_abs_bytes: int = 0,
+                 max_comp_bytes: int = 0):
         self.rates = tuple(rates)
         self.quality_psnr = tuple(quality_psnr)
         self.image_bytes = image_bytes
         # Absolute codestream byte cap (profiles): overrides ratio-derived
         # targets on the final layer.
         self.max_abs_bytes = max_abs_bytes
+        # Per-component packet byte cap (cinema: reference T2.cpp:181
+        # encode_packets_simulate m_max_comp_size check).
+        self.max_comp_bytes = max_comp_bytes
 
     def __call__(self, ctx: RateControlCtx) -> None:
         cblks = [cb for cb in ctx.cblks if cb.numpasses > 0]
@@ -188,14 +194,27 @@ class PCRDAllocator:
             else:
                 # Byte-budget mode: bytes shrink as threshold grows; find
                 # the SMALLEST feasible threshold (most passes) that fits.
+                comp_cap = 0
+                if self.max_comp_bytes and ctx.simulate_comp_upto:
+                    comp_cap = max(1, int(self.max_comp_bytes * tile_frac))
+
+                def fits(l: int) -> bool:
+                    if ctx.simulate_upto(l) > target_bytes:
+                        return False
+                    if comp_cap:
+                        per_comp = ctx.simulate_comp_upto(l)
+                        if any(v > comp_cap for v in per_comp.values()):
+                            return False
+                    return True
+
                 lo, hi = smin, smax
                 apply(hi, layer)
-                feasible = ctx.simulate_upto(layer) <= target_bytes
+                feasible = fits(layer)
                 if feasible:
                     for _ in range(60):
                         mid = 0.5 * (lo + hi)
                         apply(mid, layer)
-                        if ctx.simulate_upto(layer) <= target_bytes:
+                        if fits(layer):
                             hi = mid
                         else:
                             lo = mid

@@ -148,7 +148,8 @@ def encode_with_profile(image, profiled: ProfiledParams) -> bytes:
         budget = max(1, profiled.max_cs_bytes - 1024)
         layer_alloc = PCRDAllocator(
             rates=(1.0,), image_bytes=budget,
-            max_abs_bytes=budget)
+            max_abs_bytes=budget,
+            max_comp_bytes=profiled.max_comp_bytes)
     cs = enc_mod.encode(image, params, layer_alloc=layer_alloc,
                         rsiz=profiled.rsiz)
     return cs

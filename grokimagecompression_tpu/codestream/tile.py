@@ -450,6 +450,27 @@ def encode_tile(
                 total += 6 * npk
             return total
 
+        def _simulate_comps(max_layer: int) -> Dict[int, int]:
+            """Per-component packet byte totals for layers 0..max_layer
+            (cinema per-component caps, reference T2.cpp:135-186)."""
+            totals: Dict[int, int] = {}
+            seen = set()
+            for (l, r, c, p) in _packet_iter():
+                if l > max_layer:
+                    continue
+                key = (r, c, p)
+                if cod.sop:
+                    totals[c] = totals.get(c, 0) + 6
+                if key in seen:
+                    continue
+                seen.add(key)
+                if _t2_native is not None:
+                    nb = _native_group(key).simulate_bytes(max_layer)
+                else:
+                    nb = 0  # python path: caps checked on totals only
+                totals[c] = totals.get(c, 0) + nb
+            return totals
+
         ctx = RateControlCtx(
             cblks=all_cblks,
             numlayers=numlayers,
@@ -457,6 +478,7 @@ def encode_tile(
             image_samples=img_samples,
             max_prec=max(c.prec for c in siz.comps),
             simulate_upto=_simulate,
+            simulate_comp_upto=_simulate_comps,
         )
         layer_alloc(ctx)
 

@@ -84,3 +84,33 @@ def test_broadcast_profile():
     assert prof.rsiz & 0xFF00 == profiles.PROFILE_BC_SINGLE
     cs = profiles.encode_with_profile(img, prof)
     assert decoder.read_header(cs).siz.rsiz == prof.rsiz
+
+
+def test_cinema_per_component_caps():
+    """Cinema caps bound not just the codestream but each component's
+    packet bytes (reference T2.cpp:181 m_max_comp_size)."""
+    import numpy as np
+    from grokimagecompression_tpu.codestream import decoder as _dec
+    from grokimagecompression_tpu.codestream import profiles
+    from grokimagecompression_tpu.codestream.tile import index_tile_packets
+    from grokimagecompression_tpu.core.image import Component, Image
+    from grokimagecompression_tpu.core.params import EncoderParams
+
+    rng = np.random.default_rng(0)
+    comps = [Component(data=rng.integers(0, 4096, (1080, 2048))
+                       .astype(np.int32), prec=12, signed=False,
+                       dx=1, dy=1) for _ in range(3)]
+    img = Image(xsiz=2048, ysiz=1080, components=comps)
+    prof = profiles.apply_cinema(EncoderParams(numresolutions=6), img,
+                                 fps=48)
+    cs = profiles.encode_with_profile(img, prof)
+    assert len(cs) <= profiles.CINEMA_48_CS
+    hdr = _dec.read_header(cs)
+    tp = next(_dec.iter_tile_parts(cs, hdr.main_header_end))
+    per_comp = {}
+    for (l, r, c, p, off, ln) in index_tile_packets(tp.body, hdr, 0):
+        per_comp[c] = per_comp.get(c, 0) + ln
+    for c, total in per_comp.items():
+        assert total <= profiles.CINEMA_48_COMP, (c, total)
+    out = _dec.decode(cs)
+    assert out.components[0].data.shape == (1080, 2048)
