@@ -306,25 +306,52 @@ def decode(data: bytes, params: Optional[DecoderParams] = None) -> Image:
         ch = ceil_div(ay1, cs.dy << reduce) - ceil_div(ay0, cs.dy << reduce)
         comps_out.append(np.zeros((ch, cw), dtype=np.int32))
 
-    tiles = (range(numtiles) if params.tile_index is None
-             else [params.tile_index])
-    for t in tiles:
-        if t not in tile_bodies:
-            continue
+    tiles = [t for t in (range(numtiles) if params.tile_index is None
+                         else [params.tile_index])
+             if t in tile_bodies]
+
+    def _decode_one(t: int):
         tr = tile_rect(t, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
                        siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
         if win is not None and (tr.x1 <= win.x0 or tr.x0 >= win.x1
                                 or tr.y1 <= win.y0 or tr.y0 >= win.y1):
-            continue
+            return None
         body = b"".join(tile_bodies[t])
         tcod, tqcd, cod_comp, qcd_comp, pocs = _tile_params(t)
         packed = (b"".join(tile_hdrs[t]) if t in tile_hdrs else None)
-        tcomps = decode_tile(body, siz, tcod, tqcd, tr, reduce=reduce,
-                             max_layers=params.layers, window=win,
-                             cod_comp=cod_comp, qcd_comp=qcd_comp,
-                             pocs=pocs, roishifts=hdr.roishifts,
-                             custom_mct=hdr.custom_mct,
-                             packed_headers=packed)
+        return decode_tile(body, siz, tcod, tqcd, tr, reduce=reduce,
+                           max_layers=params.layers, window=win,
+                           cod_comp=cod_comp, qcd_comp=qcd_comp,
+                           pocs=pocs, roishifts=hdr.roishifts,
+                           custom_mct=hdr.custom_mct,
+                           packed_headers=packed)
+
+    # Host tile parallelism (decode mirror of the encoder's tile fan-out;
+    # each tile writes a disjoint region of the output planes).
+    import os as _os
+    tile_workers = int(_os.environ.get("GROK_TPU_TILE_THREADS", "0"))
+    if tile_workers == 0:
+        tile_workers = min(len(tiles), _os.cpu_count() or 1)             if len(tiles) > 1 else 1
+    if tile_workers > 1:
+        import concurrent.futures as _cf
+        from ..native import t1_native as _t1n
+        inner = max(1, (_os.cpu_count() or 1) // tile_workers)
+
+        def _worker(t):
+            _t1n.set_thread_override(inner)
+            try:
+                return _decode_one(t)
+            finally:
+                _t1n.set_thread_override(None)
+
+        with _cf.ThreadPoolExecutor(max_workers=tile_workers) as ex:
+            results = list(ex.map(_worker, tiles))
+    else:
+        results = [_decode_one(t) for t in tiles]
+
+    for t, tcomps in zip(tiles, results):
+        if tcomps is None:
+            continue
         for c, (arr, (tx0, ty0)) in enumerate(tcomps):
             cs = siz.comps[c]
             ox = ceil_div(ax0, cs.dx << reduce)

@@ -209,7 +209,10 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
     tile_parts = bytearray()
     tp_lengths = []
     ppm_sections: list = []
-    for t in range(ntx * nty):
+    numtiles = ntx * nty
+    split = params.ppt_markers or params.ppm_markers
+
+    def _encode_one(t: int) -> TileEncResult:
         tr = tile_rect(t, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
                        siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
         comps = extract_tile_comps(image, siz, t)
@@ -218,18 +221,42 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
             from ..models import pipeline as device_pipeline
             cfg = device_pipeline.config_for_tile(siz, cod, tr)
             coeff_bands = device_pipeline.device_fwd_bands(comps, cfg)
-        split = params.ppt_markers or params.ppm_markers
-        res: TileEncResult = encode_tile(comps, siz, cod, qcd, tr,
-                                         layer_alloc=layer_alloc,
-                                         coeff_bands=coeff_bands,
-                                         cod_comp=cod_comp,
-                                         pocs=params.pocs or None,
-                                         roishifts=roishifts,
-                                         custom_mct_matrix=
-                                         custom_coding_matrix,
-                                         split_headers=split,
-                                         want_packet_lengths=
-                                         params.plt_markers)
+        return encode_tile(comps, siz, cod, qcd, tr,
+                           layer_alloc=layer_alloc,
+                           coeff_bands=coeff_bands,
+                           cod_comp=cod_comp,
+                           pocs=params.pocs or None,
+                           roishifts=roishifts,
+                           custom_mct_matrix=custom_coding_matrix,
+                           split_headers=split,
+                           want_packet_lengths=params.plt_markers)
+
+    # Host tile parallelism (absent in the reference, which encodes
+    # tiles sequentially — SURVEY §2.4): tiles fan out over a thread
+    # pool; the native batch calls release the GIL, and the per-tile
+    # inner worker pools are capped so the core count is shared.
+    tile_workers = int(os.environ.get("GROK_TPU_TILE_THREADS", "0"))
+    if tile_workers == 0:
+        tile_workers = min(numtiles, os.cpu_count() or 1)             if numtiles > 1 and not device else 1
+    if tile_workers > 1:
+        import concurrent.futures as _cf
+        inner = max(1, (os.cpu_count() or 1) // tile_workers)
+
+        def _worker(t: int) -> TileEncResult:
+            from ..native import t1_native as _t1n
+            _t1n.set_thread_override(inner)
+            try:
+                return _encode_one(t)
+            finally:
+                _t1n.set_thread_override(None)
+
+        with _cf.ThreadPoolExecutor(max_workers=tile_workers) as ex:
+            results = list(ex.map(_worker, range(numtiles)))
+    else:
+        results = [_encode_one(t) for t in range(numtiles)]
+
+    for t in range(numtiles):
+        res = results[t]
         tp_hdr = b""
         if params.ppt_markers:
             tp_hdr += markers.write_ppt(res.packet_headers or b"")

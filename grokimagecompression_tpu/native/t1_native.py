@@ -111,7 +111,21 @@ def _load() -> ctypes.CDLL:
 _lib = _load()
 
 
+import threading as _threading
+
+_thread_override = _threading.local()
+
+
+def set_thread_override(n):
+    """Per-thread cap on batch worker threads (used by tile-parallel
+    encode so nested pools don't oversubscribe)."""
+    _thread_override.value = n
+
+
 def default_threads() -> int:
+    ov = getattr(_thread_override, "value", None)
+    if ov:
+        return max(1, int(ov))
     env = os.environ.get("GROK_TPU_THREADS")
     if env:
         return max(1, int(env))
