@@ -317,27 +317,19 @@ def decode_cblk_batch(blocks: List[Tuple[bytes, Optional[List[int]], int,
         return []
     data_parts = []
     seg_parts: List[int] = []
-    desc = np.empty(n * 11, dtype=np.int64)
+    rows = []
     data_off = 0
     out_off = 0
-    for i, (data, segs, w, h, orient, numbps, numpasses) in enumerate(blocks):
-        d = desc[i * 11:(i + 1) * 11]
-        d[0] = data_off
-        d[1] = len(data)
-        d[2] = len(seg_parts)
-        d[3] = len(segs) if segs else 0
-        d[4] = w
-        d[5] = h
-        d[6] = orient
-        d[7] = numbps
-        d[8] = numpasses
-        d[9] = cblk_style
-        d[10] = out_off
+    for (data, segs, w, h, orient, numbps, numpasses) in blocks:
+        rows.append((data_off, len(data), len(seg_parts),
+                     len(segs) if segs else 0, w, h, orient, numbps,
+                     numpasses, cblk_style, out_off))
         data_parts.append(bytes(data))
         if segs:
             seg_parts.extend(int(s) for s in segs)
         data_off += len(data)
         out_off += w * h
+    desc = np.asarray(rows, dtype=np.int64).reshape(-1)
     data_flat = np.frombuffer(b"".join(data_parts) or b"\x00",
                               dtype=np.uint8)
     segs_flat = np.asarray(seg_parts or [0], dtype=np.int32)
@@ -462,19 +454,14 @@ def ht_decode_cblk_batch(blocks, nthreads: Optional[int] = None,
     data_parts = [bytes(b[0]) for b in blocks]
     data_flat = np.frombuffer(b"".join(data_parts) or b"\x00",
                               dtype=np.uint8)
-    desc = np.empty(n * 6, dtype=np.int64)
+    rows = []
     data_off = 0
     out_off = 0
-    for i, (data, w, h, miss) in enumerate(blocks):
-        d = desc[i * 6:(i + 1) * 6]
-        d[0] = data_off
-        d[1] = len(data)
-        d[2] = w
-        d[3] = h
-        d[4] = miss
-        d[5] = out_off
+    for (data, w, h, miss) in blocks:
+        rows.append((data_off, len(data), w, h, miss, out_off))
         data_off += len(data)
         out_off += w * h
+    desc = np.asarray(rows, dtype=np.int64).reshape(-1)
     mag_flat = np.zeros(out_off, dtype=np.uint32)
     neg_flat = np.zeros(out_off, dtype=np.uint8)
     _lib.grok_ht_decode_batch(
