@@ -252,6 +252,14 @@ struct MsEnc {
     if (qbits >= 32) drain();
   }
 
+  // one push for a whole quad's MagSgn bits (len <= ~56)
+  inline void encode64(uint64_t cwd, int len) {
+    if (qbits + len > 64) drain();
+    q |= cwd << qbits;
+    qbits += len;
+    if (qbits >= 32) drain();
+  }
+
   void terminate() {
     drain();
     if (qbits) {
@@ -315,6 +323,25 @@ static inline QuadInfo gather_quad(const uint32_t* mag, const uint8_t* neg,
   return q;
 }
 
+// Pack the 4 MagSgn contributions of one quad into a single bit push.
+static inline void ms_encode_quad(MsEnc& ms, const QuadInfo& q, int Uq,
+                                  uint16_t t) {
+  uint64_t cw = 0;
+  int cl = 0;
+  for (int n = 0; n < 4; n++) {
+    int m = (q.rho >> n) & 1 ? Uq - ((t >> n) & 1) : 0;
+    if (cl + m > 56) {  // high-precision quads: flush before overflow
+      ms.encode64(cw, cl);
+      cw = 0;
+      cl = 0;
+    }
+    uint32_t mask = m < 32 ? ((1u << m) - 1u) : 0xFFFFFFFFu;
+    cw |= ((uint64_t)(q.s[n] & mask)) << cl;
+    cl += m;
+  }
+  ms.encode64(cw, cl);
+}
+
 // Encode one HT cleanup segment into dst (capacity >= 6*w*h + 64).
 // Returns the segment length in bytes.
 static int ht_encode(const uint32_t* mag, const uint8_t* neg, int w, int h,
@@ -360,10 +387,7 @@ static int ht_encode(const uint32_t* mag, const uint8_t* neg, int w, int h,
       uint16_t t0 = enc_tbl0[(c_q0 << 8) | (q0.rho << 4) | eps0];
       vlc.encode(t0 >> 8, (t0 >> 4) & 7);
       if (c_q0 == 0) mel.encode(q0.rho != 0);
-      for (int n = 0; n < 4; n++) {
-        int m = (q0.rho >> n) & 1 ? Uq0 - ((t0 >> n) & 1) : 0;
-        ms.encode(q0.s[n] & ((1u << m) - 1), m);
-      }
+      ms_encode_quad(ms, q0, Uq0, t0);
 
       int c_q1 = (q0.rho >> 1) | (q0.rho & 1);
       QuadInfo q1;
@@ -386,10 +410,7 @@ static int ht_encode(const uint32_t* mag, const uint8_t* neg, int w, int h,
         uint16_t t1 = enc_tbl0[(c_q1 << 8) | (q1.rho << 4) | eps1];
         vlc.encode(t1 >> 8, (t1 >> 4) & 7);
         if (c_q1 == 0) mel.encode(q1.rho != 0);
-        for (int n = 0; n < 4; n++) {
-          int m = (q1.rho >> n) & 1 ? Uq1 - ((t1 >> n) & 1) : 0;
-          ms.encode(q1.s[n] & ((1u << m) - 1), m);
-        }
+        ms_encode_quad(ms, q1, Uq1, t1);
       }
 
       // UVLC for the quad pair (initial-row rules).
@@ -444,10 +465,7 @@ static int ht_encode(const uint32_t* mag, const uint8_t* neg, int w, int h,
       uint16_t t0 = enc_tbl1[(c_q0 << 8) | (q0.rho << 4) | eps0];
       vlc.encode(t0 >> 8, (t0 >> 4) & 7);
       if (c_q0 == 0) mel.encode(q0.rho != 0);
-      for (int n = 0; n < 4; n++) {
-        int m = (q0.rho >> n) & 1 ? Uq0 - ((t0 >> n) & 1) : 0;
-        ms.encode(q0.s[n] & ((1u << m) - 1), m);
-      }
+      ms_encode_quad(ms, q0, Uq0, t0);
 
       QuadInfo q1;
       if (x + 2 < w) {
@@ -473,10 +491,7 @@ static int ht_encode(const uint32_t* mag, const uint8_t* neg, int w, int h,
         uint16_t t1 = enc_tbl1[(c_q1 << 8) | (q1.rho << 4) | eps1];
         vlc.encode(t1 >> 8, (t1 >> 4) & 7);
         if (c_q1 == 0) mel.encode(q1.rho != 0);
-        for (int n = 0; n < 4; n++) {
-          int m = (q1.rho >> n) & 1 ? Uq1 - ((t1 >> n) & 1) : 0;
-          ms.encode(q1.s[n] & ((1u << m) - 1), m);
-        }
+        ms_encode_quad(ms, q1, Uq1, t1);
       } else {
         // still consume the c_q0 context for the next pair
         c_q0 = lcxp[0] + (lcxp[1] << 2);
