@@ -431,44 +431,49 @@ def encode_tile(
                 for c in siz.comps)
         else:
             img_samples = image_samples
+        _tile_sim = [None]
+
+        def _get_tile_sim():
+            if _tile_sim[0] is None:
+                groups = []
+                seen = set()
+                for (l, r, c, p) in _packet_iter():
+                    key = (r, c, p)
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    orients = (0,) if r == 0 else (1, 2, 3)
+                    precs = [prec_enc[c][(r, o)][p] for o in orients
+                             if (r, o) in prec_enc[c]]
+                    groups.append((key, c, precs))
+                _tile_sim[0] = _t2_native.TileSim(groups, numlayers,
+                                                 cod.eph)
+            return _tile_sim[0]
+
         def _simulate(max_layer: int) -> int:
-            """Total bytes of layers 0..max_layer (PCRD dry run)."""
+            """Total bytes of layers 0..max_layer (PCRD dry run): one
+            native call over every precinct group."""
             if _t2_native is None:
                 return _emit(max_layer, None)[0]
-            total = 0
-            npk = 0
-            seen = set()
-            for (l, r, c, p) in _packet_iter():
-                if l > max_layer:
-                    continue
-                npk += 1
-                key = (r, c, p)
-                if key not in seen:
-                    seen.add(key)
-                    total += _native_group(key).simulate_bytes(max_layer)
+            total, _per_group = _get_tile_sim().simulate(max_layer)
             if cod.sop:
-                total += 6 * npk
+                total += 6 * sum(1 for (l, *_rest) in _packet_iter()
+                                 if l <= max_layer)
             return total
 
         def _simulate_comps(max_layer: int) -> Dict[int, int]:
             """Per-component packet byte totals for layers 0..max_layer
             (cinema per-component caps, reference T2.cpp:135-186)."""
             totals: Dict[int, int] = {}
-            seen = set()
-            for (l, r, c, p) in _packet_iter():
-                if l > max_layer:
-                    continue
-                key = (r, c, p)
-                if cod.sop:
-                    totals[c] = totals.get(c, 0) + 6
-                if key in seen:
-                    continue
-                seen.add(key)
-                if _t2_native is not None:
-                    nb = _native_group(key).simulate_bytes(max_layer)
-                else:
-                    nb = 0  # python path: caps checked on totals only
-                totals[c] = totals.get(c, 0) + nb
+            if _t2_native is not None:
+                sim = _get_tile_sim()
+                _, per_group = sim.simulate(max_layer)
+                for g, c in enumerate(sim.comps):
+                    totals[c] = totals.get(c, 0) + int(per_group[g])
+            if cod.sop:
+                for (l, r, c, p) in _packet_iter():
+                    if l <= max_layer:
+                        totals[c] = totals.get(c, 0) + 6
             return totals
 
         ctx = RateControlCtx(

@@ -165,27 +165,15 @@ struct CblkState {
 
 }  // namespace
 
-extern "C" {
-
-// Encode all layers of one precinct group.
-//   nbands: band-precincts in this packet (1 or 3)
-//   grid[b*2], grid[b*2+1]: tag-tree grid dims per band-precinct
-//   ncblks[b]: code-blocks per band-precinct
-//   cblk_meta (per cblk, flattened across bands, int64 x 5):
-//     cx, cy, imsb, numpasses, data_off
-//   layer_npasses: int32 per cblk x numlayers
-//   pass_rates: int32 per cblk x pass_stride (cumulative)
-//   pass_term: uint8 per cblk x pass_stride
-//   data_flat: all cblk data (offsets via data_off)
-//   out: output buffer; layer_off[l] gets the fragment start; returns
-//     total bytes or -1 on overflow.
-int grok_t2_encode_precinct(
-    int numlayers, int style, int eph, int nbands, const int32_t* grid,
+// Encode all layers of one precinct group (shared by the real encoder
+// and the tile-wide simulator; simulate=true skips body byte copies and
+// only counts). Returns total bytes for layers 0..max_layer, or -1.
+static int64_t encode_group(
+    int numlayers, int max_layer, int eph, int nbands, const int32_t* grid,
     const int32_t* ncblks, const int64_t* cblk_meta,
     const int32_t* layer_npasses, const int32_t* pass_rates,
     const uint8_t* pass_term, int pass_stride, const uint8_t* data_flat,
-    uint8_t* out, int64_t out_cap, int64_t* layer_off) {
-  // Build per-band tag trees + cblk states.
+    uint8_t* out, int64_t out_cap, int64_t* layer_off, bool simulate) {
   std::vector<TagTree> incl, imsbt;
   std::vector<std::vector<CblkState>> bands(nbands);
   int ci = 0;
@@ -217,14 +205,15 @@ int grok_t2_encode_precinct(
 
   std::vector<uint8_t> frag;
   int64_t total = 0;
-  for (int layer = 0; layer < numlayers; layer++) {
-    layer_off[layer] = total;
+  for (int layer = 0; layer <= max_layer; layer++) {
+    if (layer_off) layer_off[layer] = total;
     frag.clear();
     BitWriter bw(frag);
     bool nonempty = false;
     for (int b = 0; b < nbands; b++)
       for (auto& cb : bands[b])
         if (cb.layer_np[layer] > 0) nonempty = true;
+    int64_t body_bytes = 0;
     std::vector<uint8_t> body;
     if (!nonempty) {
       bw.write_bit(0);
@@ -255,7 +244,6 @@ int grok_t2_encode_precinct(
             cb.lblock = 3;
           }
           bw.write_numpasses(n);
-          // Segments of this layer.
           int segs_np[64], segs_nb[64], nsegs = 0;
           {
             int a = cb.passes_used, end = a + n, i = a;
@@ -283,11 +271,15 @@ int grok_t2_encode_precinct(
           for (int s2 = 0; s2 < nsegs; s2++)
             bw.write_bits((uint32_t)segs_nb[s2],
                           cb.lblock + floorlog2(segs_np[s2]));
-          int start = cb.passes_used > 0 ? cb.rates[cb.passes_used - 1] : 0;
           int nbytes = 0;
           for (int s2 = 0; s2 < nsegs; s2++) nbytes += segs_nb[s2];
-          const uint8_t* src = data_flat + cb.data_off + start;
-          body.insert(body.end(), src, src + nbytes);
+          if (!simulate) {
+            int start =
+                cb.passes_used > 0 ? cb.rates[cb.passes_used - 1] : 0;
+            const uint8_t* src = data_flat + cb.data_off + start;
+            body.insert(body.end(), src, src + nbytes);
+          }
+          body_bytes += nbytes;
           cb.passes_used += n;
         }
       }
@@ -296,14 +288,76 @@ int grok_t2_encode_precinct(
         frag.push_back(0xFF);
         frag.push_back(0x92);
       }
-      frag.insert(frag.end(), body.begin(), body.end());
+      if (!simulate) frag.insert(frag.end(), body.begin(), body.end());
     }
-    if (total + (int64_t)frag.size() > out_cap) return -1;
-    std::memcpy(out + total, frag.data(), frag.size());
-    total += (int64_t)frag.size();
+    int64_t flen = (int64_t)frag.size() + (simulate ? body_bytes : 0);
+    if (!simulate) {
+      if (total + (int64_t)frag.size() > out_cap) return -1;
+      std::memcpy(out + total, frag.data(), frag.size());
+    }
+    total += flen;
   }
-  layer_off[numlayers] = total;
+  if (layer_off) layer_off[max_layer + 1] = total;
+  return total;
+}
+
+extern "C" {
+
+// Encode all layers of one precinct group.
+//   nbands: band-precincts in this packet (1 or 3)
+//   grid[b*2], grid[b*2+1]: tag-tree grid dims per band-precinct
+//   ncblks[b]: code-blocks per band-precinct
+//   cblk_meta (per cblk, flattened across bands, int64 x 5):
+//     cx, cy, imsb, numpasses, data_off
+//   layer_npasses: int32 per cblk x numlayers
+//   pass_rates: int32 per cblk x pass_stride (cumulative)
+//   pass_term: uint8 per cblk x pass_stride
+//   data_flat: all cblk data (offsets via data_off)
+//   out: output buffer; layer_off[l] gets the fragment start; returns
+//     total bytes or -1 on overflow.
+int grok_t2_encode_precinct(
+    int numlayers, int style, int eph, int nbands, const int32_t* grid,
+    const int32_t* ncblks, const int64_t* cblk_meta,
+    const int32_t* layer_npasses, const int32_t* pass_rates,
+    const uint8_t* pass_term, int pass_stride, const uint8_t* data_flat,
+    uint8_t* out, int64_t out_cap, int64_t* layer_off) {
+  int64_t total = encode_group(numlayers, numlayers - 1, eph, nbands, grid,
+                               ncblks, cblk_meta, layer_npasses, pass_rates,
+                               pass_term, pass_stride, data_flat, out,
+                               out_cap, layer_off, false);
   return (int)total;
+}
+
+// Simulate the whole tile's packet emission: every precinct group's
+// layers 0..max_layer are header-encoded (no body copies) in one native
+// call; out_bytes[g] receives each group's byte total. All group data is
+// concatenated: g_nbands gives each group's band count; grids/ncblks/
+// cblk arrays follow in group order (PCRD bisection calls this once per
+// iteration instead of once per group — the reference's
+// encode_packets_simulate analog, T2.cpp:131).
+int grok_t2_simulate_tile(
+    int ngroups, int numlayers, int max_layer, int eph,
+    const int32_t* g_nbands, const int32_t* grid, const int32_t* ncblks,
+    const int64_t* cblk_meta, const int32_t* layer_npasses,
+    const int32_t* pass_rates, const uint8_t* pass_term, int pass_stride,
+    int64_t* out_bytes) {
+  int band_off = 0;
+  int cblk_off = 0;
+  for (int g = 0; g < ngroups; g++) {
+    int nb = g_nbands[g];
+    int ncb = 0;
+    for (int b = 0; b < nb; b++) ncb += ncblks[band_off + b];
+    out_bytes[g] = encode_group(
+        numlayers, max_layer, eph, nb, grid + (size_t)band_off * 2,
+        ncblks + band_off, cblk_meta + (size_t)cblk_off * 5,
+        layer_npasses + (size_t)cblk_off * numlayers,
+        pass_rates + (size_t)cblk_off * pass_stride,
+        pass_term + (size_t)cblk_off * pass_stride, pass_stride, nullptr,
+        nullptr, 0, nullptr, true);
+    band_off += nb;
+    cblk_off += ncb;
+  }
+  return 0;
 }
 
 }  // extern "C"

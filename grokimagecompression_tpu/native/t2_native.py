@@ -122,6 +122,90 @@ def encode_precinct_layers(precincts, numlayers: int, cblk_style: int,
     return PrecGroupEnc(precincts, numlayers, cblk_style, eph).encode()
 
 
+_lib.grok_t2_simulate_tile.restype = ctypes.c_int
+_lib.grok_t2_simulate_tile.argtypes = [
+    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+    ctypes.c_void_p,
+]
+
+
+class TileSim:
+    """Whole-tile packet simulation state for PCRD: all precinct groups
+    marshaled once; each simulate() refreshes only the per-layer pass
+    assignment and makes a single native call."""
+
+    def __init__(self, groups, numlayers: int, eph: bool):
+        """groups: list of (key, comp, [PrecEnc...]) in a fixed order."""
+        self.numlayers = numlayers
+        self.eph = eph
+        self.keys = [g[0] for g in groups]
+        self.comps = [g[1] for g in groups]
+        self.ngroups = len(groups)
+        g_nbands = []
+        grid = []
+        ncblks = []
+        cblks = []
+        for (_, _, precs) in groups:
+            g_nbands.append(len(precs))
+            for pr in precs:
+                grid.append(max(1, pr.geom.cblk_grid_w))
+                grid.append(max(1, pr.geom.cblk_grid_h))
+                ncblks.append(len(pr.cblks))
+                cblks.extend(pr.cblks)
+        self.order = cblks
+        n = len(cblks)
+        pass_stride = max([cb.numpasses for cb in cblks] + [1])
+        self.g_nbands = np.asarray(g_nbands, np.int32)
+        self.grid = np.asarray(grid, np.int32)
+        self.ncblks = np.asarray(ncblks, np.int32)
+        meta = np.zeros(max(1, n * 5), dtype=np.int64)
+        rates = np.zeros(max(1, n * pass_stride), dtype=np.int32)
+        term = np.zeros(max(1, n * pass_stride), dtype=np.uint8)
+        for i, cb in enumerate(cblks):
+            meta[i * 5] = cb.geom.cx
+            meta[i * 5 + 1] = cb.geom.cy
+            meta[i * 5 + 2] = cb.imsb
+            meta[i * 5 + 3] = cb.numpasses
+            for j, pss in enumerate(cb.passes):
+                rates[i * pass_stride + j] = pss.rate
+                term[i * pass_stride + j] = 1 if pss.terminated else 0
+        self.meta = meta
+        self.rates = rates
+        self.term = term
+        self.pass_stride = pass_stride
+        self.layer_np = np.zeros((max(1, n), numlayers), dtype=np.int32)
+        self.out_bytes = np.zeros(max(1, self.ngroups), dtype=np.int64)
+
+    def refresh(self):
+        nl = self.numlayers
+        if nl == 1:
+            self.layer_np[:len(self.order), 0] = np.fromiter(
+                (cb.layer_npasses[0] for cb in self.order), np.int32,
+                len(self.order))
+        else:
+            for l in range(nl):
+                self.layer_np[:len(self.order), l] = np.fromiter(
+                    (cb.layer_npasses[l] for cb in self.order), np.int32,
+                    len(self.order))
+
+    def simulate(self, max_layer: int):
+        """Returns (total_bytes, per_group int64 array) for layers
+        0..max_layer."""
+        self.refresh()
+        rc = _lib.grok_t2_simulate_tile(
+            self.ngroups, self.numlayers, max_layer,
+            1 if self.eph else 0, self.g_nbands.ctypes.data,
+            self.grid.ctypes.data, self.ncblks.ctypes.data,
+            self.meta.ctypes.data, self.layer_np.ctypes.data,
+            self.rates.ctypes.data, self.term.ctypes.data,
+            self.pass_stride, self.out_bytes.ctypes.data)
+        if rc != 0:
+            raise RuntimeError("native tile simulate failed")
+        return int(self.out_bytes[:self.ngroups].sum()), self.out_bytes
+
+
 _lib.grok_t2_decode_tile.restype = ctypes.c_int64
 _lib.grok_t2_decode_tile.argtypes = [
     ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
