@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="IMF profile variant")
     p.add_argument("--broadcast", type=int, default=None, metavar="LEVEL",
                    help="Broadcast profile (single tile) at the given level")
+    p.add_argument("-Q", "--capture-res", default=None, metavar="X,Y",
+                   help="capture resolution in pixels/metre (JP2 resc)")
+    p.add_argument("--display-res", default=None, metavar="X,Y",
+                   help="display resolution in pixels/metre (JP2 resd)")
     p.add_argument("-F", "--raw", default=None, metavar="DESC",
                    help="raw image description w,h,ncomps,prec,[s|u]"
                         "[@dxxdy:...] (reference -F)")
@@ -135,9 +139,18 @@ def main(argv=None) -> int:
     dt = time.perf_counter() - t0
     if args.out_file.lower().endswith(".jp2"):
         from ..codestream import jp2
+
+        def _parse_res(v):
+            if not v:
+                return None
+            x, y = (float(t) for t in v.split(","))
+            return (x, y)
+
         cs = jp2.wrap_codestream(
             cs, image.xsiz, image.ysiz,
-            [(c.prec, c.signed) for c in image.components])
+            [(c.prec, c.signed) for c in image.components],
+            capture_resolution=_parse_res(args.capture_res),
+            display_resolution=_parse_res(args.display_res))
     with open(args.out_file, "wb") as f:
         f.write(cs)
     if args.verbose:

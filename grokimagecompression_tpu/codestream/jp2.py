@@ -23,6 +23,11 @@ T_IHDR = b"ihdr"
 T_BPCC = b"bpcc"
 T_COLR = b"colr"
 T_JP2C = b"jp2c"
+T_RES = b"res "
+T_RESC = b"resc"
+T_RESD = b"resd"
+T_XML = b"xml "
+T_UUID = b"uuid"
 
 # colr enumerated colourspaces (I.5.3.3)
 CS_SRGB = 16
@@ -39,15 +44,61 @@ class JP2Header:
     bpc_per_comp: Optional[List[int]]  # from bpcc when bpc == 255
     colourspace: Optional[int]
     icc_profile: Optional[bytes]
+    capture_resolution: Optional[Tuple[float, float]] = None  # px/m (x, y)
+    display_resolution: Optional[Tuple[float, float]] = None
+    xml: List[bytes] = dataclasses.field(default_factory=list)
+    uuids: List[Tuple[bytes, bytes]] = dataclasses.field(
+        default_factory=list)  # (16-byte id, payload)
 
 
 def _box(btype: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", 8 + len(payload)) + btype + payload
 
 
+def _find_cf(x: float) -> Tuple[int, int]:
+    """Rationalize x as num/den with 16-bit terms via continued
+    fractions (reference: jp2.cpp find_cf)."""
+    import math
+    eps = 1.0 / 65535.0
+    p = [0, 1]
+    q = [1, 0]
+    for _ in range(2, 15):
+        a = math.floor(x)
+        pn = int(a) * p[-1] + p[-2]
+        qn = int(a) * q[-1] + q[-2]
+        if pn > 65535 or qn > 65535:
+            break
+        p.append(pn)
+        q.append(qn)
+        if abs(x - a) < eps:
+            break
+        x = 1.0 / (x - a)
+    return p[-1], max(1, q[-1])
+
+
+def _res_sub_box(btype: bytes, resx: float, resy: float) -> bytes:
+    """resc/resd sub-box: VRnum VRden HRnum HRden VRexp HRexp, value =
+    num/den * 10^exp in pixels/metre (reference: jp2_write_res_box)."""
+    payload = b""
+    for v in (resy, resx):
+        num, den = _find_cf(v)
+        payload += struct.pack(">HH", num, den)
+    payload += struct.pack(">BB", 0, 0)  # exponents
+    return _box(btype, payload)
+
+
+def _parse_res_sub(p: bytes) -> Tuple[float, float]:
+    vrn, vrd, hrn, hrd, vre, hre = struct.unpack(">HHHHbb", p[:10])
+    ry = (vrn / max(1, vrd)) * (10.0 ** vre)
+    rx = (hrn / max(1, hrd)) * (10.0 ** hre)
+    return rx, ry
+
+
 def wrap_codestream(codestream: bytes, width: int, height: int,
                     comps: List[Tuple[int, bool]],
-                    colourspace: Optional[int] = None) -> bytes:
+                    colourspace: Optional[int] = None,
+                    capture_resolution=None, display_resolution=None,
+                    xml: Optional[bytes] = None) -> bytes:
     """Wrap a raw J2K codestream in a JP2 file.
 
     `comps` is [(prec, signed), ...]; colourspace defaults to sRGB for 3+
@@ -70,10 +121,19 @@ def wrap_codestream(codestream: bytes, width: int, height: int,
         jp2h += _box(T_BPCC, bytes((p - 1) | (0x80 if s else 0)
                                    for (p, s) in comps))
     jp2h += _box(T_COLR, struct.pack(">BBBI", 1, 0, 0, colourspace))
+    if capture_resolution or display_resolution:
+        res = b""
+        if capture_resolution:
+            res += _res_sub_box(T_RESC, *capture_resolution)
+        if display_resolution:
+            res += _res_sub_box(T_RESD, *display_resolution)
+        jp2h += _box(T_RES, res)
     out = bytearray()
     out += JP2_SIGNATURE
     out += _box(T_FTYP, b"jp2 " + struct.pack(">I", 0) + b"jp2 ")
     out += _box(T_JP2H, jp2h)
+    if xml:
+        out += _box(T_XML, xml)
     out += _box(T_JP2C, codestream)
     return bytes(out)
 
@@ -108,12 +168,19 @@ def read_jp2(data: bytes) -> Tuple[JP2Header, bytes]:
         raise ValueError("not a JP2 file (bad signature box)")
     hdr: Optional[JP2Header] = None
     codestream: Optional[bytes] = None
+    xml_boxes: List[bytes] = []
+    uuids: List[Tuple[bytes, bytes]] = []
     for btype, start, end in _iter_boxes(data, 12, len(data)):
-        if btype == T_JP2H:
+        if btype == T_XML:
+            xml_boxes.append(data[start:end])
+        elif btype == T_UUID and end - start >= 16:
+            uuids.append((data[start:start + 16], data[start + 16:end]))
+        elif btype == T_JP2H:
             width = height = numcomps = bpc = 0
             bpcc = None
             colourspace = None
             icc = None
+            capture_res = display_res = None
             for ib, istart, iend in _iter_boxes(data, start, end):
                 p = data[istart:iend]
                 if ib == T_IHDR and len(p) >= 14:
@@ -127,9 +194,20 @@ def read_jp2(data: bytes) -> Tuple[JP2Header, bytes]:
                         colourspace = struct.unpack(">I", p[3:7])[0]
                     elif meth == 2:
                         icc = bytes(p[3:])
+                elif ib == T_RES:
+                    for rb, rstart, rend in _iter_boxes(data, istart, iend):
+                        rp = data[rstart:rend]
+                        if len(rp) >= 10 and rb in (T_RESC, T_RESD):
+                            val = _parse_res_sub(rp)
+                            if rb == T_RESC:
+                                capture_res = val
+                            else:
+                                display_res = val
             hdr = JP2Header(width=width, height=height, numcomps=numcomps,
                             bpc=bpc, bpc_per_comp=bpcc,
-                            colourspace=colourspace, icc_profile=icc)
+                            colourspace=colourspace, icc_profile=icc,
+                            capture_resolution=capture_res,
+                            display_resolution=display_res)
         elif btype == T_JP2C:
             codestream = data[start:end]
             break
@@ -137,6 +215,8 @@ def read_jp2(data: bytes) -> Tuple[JP2Header, bytes]:
         raise ValueError("JP2 file has no jp2c codestream box")
     if hdr is None:
         raise ValueError("JP2 file has no jp2h header box")
+    hdr.xml = xml_boxes
+    hdr.uuids = uuids
     return hdr, codestream
 
 

@@ -276,3 +276,41 @@ def test_png_through_codec(tmp_path):
     cs = encoder.encode(loaded)
     out = decoder.decode(cs)
     _assert_images_equal(loaded, out)
+
+
+def test_jp2_res_xml_boxes(tmp_path):
+    """JP2 res (capture/display resolution), xml and uuid boxes
+    (reference: jp2.cpp jp2_read_res:804, jp2_read_xml, jp2_read_uuid)."""
+    from grokimagecompression_tpu.codestream import encoder, jp2
+    img = _img(32, 24, 1, 8, seed=2)
+    cs = encoder.encode(img)
+    wrapped = jp2.wrap_codestream(
+        cs, 32, 24, [(8, False)],
+        capture_resolution=(2834.6, 2834.6),
+        display_resolution=(1000.0, 500.0),
+        xml=b"<meta>hello</meta>")
+    hdr, inner = jp2.read_jp2(wrapped)
+    assert inner == cs
+    assert abs(hdr.capture_resolution[0] - 2834.6) < 0.5
+    assert abs(hdr.display_resolution[0] - 1000.0) < 0.5
+    assert abs(hdr.display_resolution[1] - 500.0) < 0.5
+    assert hdr.xml == [b"<meta>hello</meta>"]
+
+
+def test_jp2_res_reference_interop(tmp_path):
+    """The reference reads our resolution boxes (and vice versa)."""
+    import os
+    import subprocess
+    BIN = os.path.join(os.path.dirname(__file__), "..", ".refbuild", "bin")
+    dump = os.path.abspath(os.path.join(BIN, "grk_dump"))
+    if not os.path.exists(dump):
+        pytest.skip("reference not built")
+    from grokimagecompression_tpu.codestream import encoder, jp2
+    img = _img(32, 24, 1, 8, seed=3)
+    cs = encoder.encode(img)
+    wrapped = jp2.wrap_codestream(cs, 32, 24, [(8, False)],
+                                  capture_resolution=(3000.0, 3000.0))
+    p = str(tmp_path / "r.jp2")
+    open(p, "wb").write(wrapped)
+    r = subprocess.run([dump, "-i", p], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[:300]
