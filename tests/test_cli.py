@@ -151,3 +151,21 @@ def test_dump_modes_run(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "Marker index" in out and "Packet index" in out
     assert "SIZ" in out and "SOT" in out
+
+
+def test_compare_tool(tmp_path, capsys):
+    import numpy as np
+    from grokimagecompression_tpu.cli import compare as cmp_cli
+    from grokimagecompression_tpu.core.image import Component, Image
+    from grokimagecompression_tpu.io.pnm import write_pnm
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 256, (20, 30)).astype(np.int32)
+    b = np.clip(a + rng.integers(-2, 3, a.shape), 0, 255).astype(np.int32)
+    pa, pb = str(tmp_path / "a.pgm"), str(tmp_path / "b.pgm")
+    write_pnm(pa, Image(xsiz=30, ysiz=20, components=[
+        Component(data=a, prec=8, signed=False, dx=1, dy=1)]))
+    write_pnm(pb, Image(xsiz=30, ysiz=20, components=[
+        Component(data=b, prec=8, signed=False, dx=1, dy=1)]))
+    assert cmp_cli.main(["-b", pa, "-t", pb, "-p", "4", "-m", "10"]) == 0
+    assert cmp_cli.main(["-b", pa, "-t", pb, "-p", "0.5", "-m", "0.1"]) == 1
+    assert cmp_cli.main(["-b", pa, "-t", pa, "-p", "0", "-m", "0"]) == 0
