@@ -736,8 +736,13 @@ struct QuadDecCtx {
 
 static inline void decode_quad_samples(QuadDecCtx& ctx, uint32_t qf, int U_p,
                                        int bx, int y, uint8_t*& lsp) {
-  const int dx[4] = {0, 0, 1, 1};
-  const int dy[4] = {0, 1, 0, 1};
+  static const int dx[4] = {0, 0, 1, 1};
+  static const int dy[4] = {0, 1, 0, 1};
+  if ((qf & 0xF0) == 0) {  // fast path: fully insignificant quad
+    ++lsp;
+    lsp[0] = 0;
+    return;
+  }
   for (int n = 0; n < 4; n++) {
     int xx = bx + dx[n], yy = y + dy[n];
     bool sig = (qf >> (4 + n)) & 1;
