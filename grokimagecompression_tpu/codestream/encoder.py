@@ -229,7 +229,8 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
                            roishifts=roishifts,
                            custom_mct_matrix=custom_coding_matrix,
                            split_headers=split,
-                           want_packet_lengths=params.plt_markers)
+                           want_packet_lengths=params.plt_markers
+                           or params.tp_flag is not None)
 
     # Host tile parallelism (absent in the reference, which encodes
     # tiles sequentially — SURVEY §2.4): tiles fan out over a thread
@@ -255,8 +256,46 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
     else:
         results = [_encode_one(t) for t in range(numtiles)]
 
+    axis_idx = {"L": 0, "R": 1, "C": 2}
     for t in range(numtiles):
         res = results[t]
+        if params.tp_flag is not None:
+            # Tile-part generation (reference tp_on/tp_flag,
+            # j2k_write_first_tile_part/j2k_write_all_tile_parts): split
+            # the packet sequence at changes of the chosen progression
+            # coordinate; each run becomes its own SOT..SOD tile-part.
+            if params.ppt_markers or params.ppm_markers:
+                raise ValueError("tp_flag cannot combine with packed "
+                                 "packet headers")
+            ai = axis_idx[params.tp_flag.upper()]
+            runs = []  # (start_byte, end_byte)
+            pos = 0
+            cur = None
+            start = 0
+            for pid, ln in zip(res.packet_ids, res.packet_lengths):
+                v = pid[ai]
+                if cur is None:
+                    cur = v
+                elif v != cur:
+                    runs.append((start, pos))
+                    start = pos
+                    cur = v
+                pos += ln
+            runs.append((start, pos))
+            tnsot = len(runs)
+            for k, (b0, b1) in enumerate(runs):
+                frag = res.body[b0:b1]
+                tp_hdr = b""
+                if params.plt_markers and k == 0:
+                    tp_hdr += markers.write_plt(res.packet_lengths)
+                psot = 12 + len(tp_hdr) + 2 + len(frag)
+                tile_parts += markers.write_sot(SotInfo(
+                    tile_index=t, psot=psot, tpsot=k, tnsot=tnsot))
+                tile_parts += tp_hdr
+                tile_parts += markers.write_sod()
+                tile_parts += frag
+                tp_lengths.append((t, psot))
+            continue
         tp_hdr = b""
         if params.ppt_markers:
             tp_hdr += markers.write_ppt(res.packet_headers or b"")

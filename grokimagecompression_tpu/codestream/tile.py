@@ -143,6 +143,7 @@ class TileEncResult:
     num_packets: int
     packet_headers: Optional[bytes] = None   # packed headers (PPM/PPT mode)
     packet_lengths: Optional[List[int]] = None  # per-packet byte counts
+    packet_ids: Optional[List[Tuple[int, int, int, int]]] = None  # (l,r,c,p)
 
 
 def _apply_fwd_transforms(comps_data: List[np.ndarray], plans,
@@ -508,8 +509,10 @@ def encode_tile(
     body = bytearray()
     plens: Optional[List[int]] = [] if want_packet_lengths else None
     with trace.stage("enc.t2"):
+        pids: Optional[List[Tuple[int, int, int, int]]] = None
         if plens is not None:
             _reset_t2_state()
+            pids = []
             nbytes = 0
             npackets = 0
             for (l, r, c, p) in _packet_iter():
@@ -519,6 +522,7 @@ def encode_tile(
                 pkt = encode_packet(l, precs, cod.cblk_style, sop=cod.sop,
                                     eph=cod.eph, packet_index=npackets)
                 plens.append(len(pkt))
+                pids.append((l, r, c, p))
                 body += pkt
                 nbytes += len(pkt)
                 npackets += 1
@@ -526,7 +530,7 @@ def encode_tile(
             nbytes, npackets = _emit(numlayers - 1, body)
     trace.add_bytes("enc.t2", nbytes)
     return TileEncResult(body=bytes(body), num_packets=npackets,
-                         packet_lengths=plens)
+                         packet_lengths=plens, packet_ids=pids)
 
 
 # --------------------------------------------------------------------------

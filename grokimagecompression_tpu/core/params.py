@@ -103,6 +103,10 @@ class EncoderParams:
     ppt_markers: bool = False
     ppm_markers: bool = False
     plt_markers: bool = False
+    # Tile-part generation: split each tile into tile-parts at changes of
+    # the given progression coordinate ("R" resolution, "L" layer,
+    # "C" component) — the reference's tp_on/tp_flag (grok.h:532-534).
+    tp_flag: Optional[str] = None
     # Part-2 custom MCT: the DECODING matrix (ncomps x ncomps) — what the
     # codestream MCT record carries; the encoder applies its inverse.
     # (The reference -m file instead holds the CODING matrix and derives

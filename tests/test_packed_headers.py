@@ -118,3 +118,49 @@ def test_reference_decodes_our_packed_headers(tmp_path, flag):
     for c in range(3):
         np.testing.assert_array_equal(rec.components[c].data,
                                       img.components[c].data)
+
+
+@pytest.mark.parametrize("flag,prog", [("R", Progression.RPCL),
+                                       ("C", Progression.CPRL),
+                                       ("L", Progression.LRCP)])
+def test_tile_parts_roundtrip(flag, prog):
+    """tp_flag splits tiles into multiple tile-parts at progression
+    boundaries (reference tp_on/tp_flag, grok.h:532-534)."""
+    img = _image(130, 110, ncomps=3, seed=8)
+    kw = dict(numresolutions=4, progression=prog, tile_size=(64, 64))
+    if flag == "L":
+        kw.update(numlayers=2, rates=(8.0, 0.0),
+                  transform=Transform.DWT_97)
+    base = encoder.encode(img, EncoderParams(**kw))
+    cs = encoder.encode(img, EncoderParams(tp_flag=flag, **kw))
+    hdr = decoder.read_header(cs)
+    tps = list(decoder.iter_tile_parts(cs, hdr.main_header_end))
+    per_tile = {}
+    for tp in tps:
+        per_tile.setdefault(tp.tile_index, []).append(tp)
+    assert all(len(v) > 1 for v in per_tile.values()), \
+        {t: len(v) for t, v in per_tile.items()}
+    out = decoder.decode(cs)
+    ref = decoder.decode(base)
+    for c in range(3):
+        np.testing.assert_array_equal(out.components[c].data,
+                                      ref.components[c].data)
+
+
+@pytest.mark.skipif(not HAVE_GROK, reason="Grok reference binaries not built")
+def test_reference_decodes_our_tile_parts(tmp_path):
+    from grokimagecompression_tpu.io.pnm import read_pnm
+    img = _image(96, 96, ncomps=3, seed=9)
+    cs = encoder.encode(img, EncoderParams(
+        numresolutions=4, progression=Progression.RPCL, tp_flag="R",
+        tile_size=(48, 48)))
+    j2k = tmp_path / "tp.j2k"
+    j2k.write_bytes(cs)
+    out = tmp_path / "tp.ppm"
+    r = subprocess.run([GRK_DECOMPRESS, "-i", str(j2k), "-o", str(out)],
+                       capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()[:400]
+    rec = read_pnm(str(out))
+    for c in range(3):
+        np.testing.assert_array_equal(rec.components[c].data,
+                                      img.components[c].data)
