@@ -61,6 +61,11 @@ def _seeds():
         rates=(10.0, 0.0), sop_markers=True, eph_markers=True)))
     out.append(encoder.encode(img(64, 64, 1), EncoderParams(
         numresolutions=3, ppt_markers=True, plt_markers=True)))
+    out.append(encoder.encode(img(96, 96, 3), EncoderParams(
+        numresolutions=3, progression=Progression.RPCL, tp_flag="R",
+        tile_size=(48, 48), tlm_markers=True)))
+    out.append(encoder.encode(img(64, 64, 3), EncoderParams(
+        numresolutions=3, ppm_markers=True, tile_size=(32, 32))))
     return out
 
 
