@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="replicate subsampled components to the full grid")
     p.add_argument("--no-color", action="store_true",
                    help="skip automatic sYCC/eYCC/CMYK -> RGB conversion")
+    p.add_argument("--split-pnm", action="store_true",
+                   help="write each component to its own PGM file "
+                        "(out_0.pgm, out_1.pgm, ...)")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -70,7 +73,17 @@ def main(argv=None) -> int:
                                    force_rgb=args.force_rgb)
     elif args.force_rgb and len(image.components) < 3:
         image = _color.gray_to_rgb(image)
-    common.write_image(args.out_file, image)
+    if args.split_pnm:
+        import os as _os
+        from ..core.image import Image as _Image
+        base, ext = _os.path.splitext(args.out_file)
+        for ci, comp in enumerate(image.components):
+            common.write_image(
+                f"{base}_{ci}.pgm",
+                _Image(x0=image.x0, y0=image.y0, xsiz=image.xsiz,
+                       ysiz=image.ysiz, components=[comp]))
+    else:
+        common.write_image(args.out_file, image)
     if args.verbose:
         c0 = image.components[0].data
         print(f"decoded {len(data)} bytes -> {c0.shape[1]}x{c0.shape[0]}"

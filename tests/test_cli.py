@@ -169,3 +169,27 @@ def test_compare_tool(tmp_path, capsys):
     assert cmp_cli.main(["-b", pa, "-t", pb, "-p", "4", "-m", "10"]) == 0
     assert cmp_cli.main(["-b", pa, "-t", pb, "-p", "0.5", "-m", "0.1"]) == 1
     assert cmp_cli.main(["-b", pa, "-t", pa, "-p", "0", "-m", "0"]) == 0
+
+
+def test_decompress_split_pnm(tmp_path):
+    import numpy as np
+    from grokimagecompression_tpu.cli import compress as c_cli
+    from grokimagecompression_tpu.cli import decompress as d_cli
+    from grokimagecompression_tpu.codestream import encoder as _enc
+    from grokimagecompression_tpu.core.image import Component, Image
+    from grokimagecompression_tpu.io.pnm import read_pnm, write_pnm
+
+    rng = np.random.default_rng(2)
+    comps = [Component(data=rng.integers(0, 256, (20, 30)).astype(np.int32),
+                       prec=8, signed=False, dx=1, dy=1) for _ in range(3)]
+    img = Image(xsiz=30, ysiz=20, components=comps)
+    src = str(tmp_path / "s.ppm")
+    write_pnm(src, img)
+    j2k = str(tmp_path / "s.j2k")
+    assert c_cli.main(["-i", src, "-o", j2k]) == 0
+    out = str(tmp_path / "o.ppm")
+    assert d_cli.main(["-i", j2k, "-o", out, "--split-pnm"]) == 0
+    for c in range(3):
+        rec = read_pnm(str(tmp_path / f"o_{c}.pgm"))
+        np.testing.assert_array_equal(rec.components[0].data,
+                                      comps[c].data)
