@@ -114,6 +114,145 @@ def _inv_lift_axis0(x, lev: int):
     return jnp.where(odd_mask, xo, x)
 
 
+import numpy as _np
+
+# numpy scalars (not traced jnp constants — Pallas kernels cannot capture
+# device arrays) with float32 weak typing.
+ALPHA = _np.float32(-1.586134342059924)
+BETA = _np.float32(-0.052980118572961)
+GAMMA = _np.float32(0.882911075530934)
+DELTA = _np.float32(0.443506852043971)
+_K = 1.230174104914001
+INV_K = _np.float32(1.0 / _K)
+K_HALF = _np.float32(_K / 2.0)
+K_F = _np.float32(_K)
+TWO_OVER_K = _np.float32(2.0 / _K)
+
+
+def _nbr_masks(x, lev: int):
+    """Shared mask/boundary machinery for one lifting level."""
+    hgt = x.shape[0]
+    s = 1 << lev
+    n_act = -(-hgt // s)
+    m = 2 * s
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    active_col = (col % s) == 0
+    odd_mask = ((row % m) == s) & active_col
+    even_mask = ((row % m) == 0) & active_col
+    k_last = n_act - 1
+    last_row = k_last * s
+    return s, n_act, row, odd_mask, even_mask, k_last, last_row
+
+
+def _odd_nbrs(x, s, row, k_last, last_row):
+    """(left, right) even neighbors for the odd update, with reflection."""
+    up = _shift_up(x, s)
+    down = _shift_down(x, s)
+    if k_last % 2 == 1:
+        right = jnp.where(row == last_row, down, up)
+    else:
+        right = up
+    return down, right
+
+
+def _even_nbrs(x, s, row, k_last, last_row):
+    """(left, right) odd neighbors for the even update, with reflection."""
+    up = _shift_up(x, s)
+    down = _shift_down(x, s)
+    left = jnp.where(row == 0, up, down)
+    if k_last % 2 == 0:
+        right = jnp.where(row == last_row, down, up)
+    else:
+        right = up
+    return left, right
+
+
+def _fwd_lift97_axis0(x, lev: int):
+    """One forward 9/7 level along axis 0 (float32), masked in place:
+    alpha/beta/gamma/delta lifting then the K scaling, arithmetic-order
+    identical to the numpy oracle."""
+    geo = _nbr_masks(x, lev)
+    s, n_act, row, odd_mask, even_mask, k_last, last_row = geo
+    if n_act < 2:
+        return x
+    for coef, odd_step in ((ALPHA, True), (BETA, False), (GAMMA, True),
+                           (DELTA, False)):
+        if odd_step:
+            l, r = _odd_nbrs(x, s, row, k_last, last_row)
+            x = jnp.where(odd_mask, x + coef * (l + r), x)
+        else:
+            l, r = _even_nbrs(x, s, row, k_last, last_row)
+            x = jnp.where(even_mask, x + coef * (l + r), x)
+    return jnp.where(even_mask, x * INV_K,
+                     jnp.where(odd_mask, x * K_HALF, x))
+
+
+def _inv_lift97_axis0(x, lev: int):
+    geo = _nbr_masks(x, lev)
+    s, n_act, row, odd_mask, even_mask, k_last, last_row = geo
+    if n_act < 2:
+        return x
+    x = jnp.where(even_mask, x * K_F,
+                  jnp.where(odd_mask, x * TWO_OVER_K, x))
+    for coef, odd_step in ((DELTA, False), (GAMMA, True), (BETA, False),
+                           (ALPHA, True)):
+        if odd_step:
+            l, r = _odd_nbrs(x, s, row, k_last, last_row)
+            x = jnp.where(odd_mask, x - coef * (l + r), x)
+        else:
+            l, r = _even_nbrs(x, s, row, k_last, last_row)
+            x = jnp.where(even_mask, x - coef * (l + r), x)
+    return x
+
+
+def _fwd_kernel97(nlevels: int, x_ref, out_ref):
+    x = x_ref[0]
+    for lev in range(nlevels):
+        x = _fwd_lift97_axis0(x, lev)
+        x = _fwd_lift97_axis0(x.swapaxes(0, 1), lev).swapaxes(0, 1)
+    out_ref[0] = x
+
+
+def _inv_kernel97(nlevels: int, x_ref, out_ref):
+    x = x_ref[0]
+    for lev in range(nlevels - 1, -1, -1):
+        x = _inv_lift97_axis0(x.swapaxes(0, 1), lev).swapaxes(0, 1)
+        x = _inv_lift97_axis0(x, lev)
+    out_ref[0] = x
+
+
+@functools.partial(jax.jit, static_argnames=("nlevels", "interpret"))
+def fwd97_fused(x, nlevels: int, interpret: bool = False):
+    """Forward 9/7, all levels, interleaved layout: (B, H, W) float32."""
+    b, hgt, wid = x.shape
+    bspec = pl.BlockSpec((1, hgt, wid), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel97, nlevels),
+        grid=(b,),
+        in_specs=[bspec],
+        out_specs=bspec,
+        out_shape=jax.ShapeDtypeStruct((b, hgt, wid), x.dtype),
+        interpret=interpret,
+    )(x)
+
+
+@functools.partial(jax.jit, static_argnames=("nlevels", "interpret"))
+def inv97_fused(x, nlevels: int, interpret: bool = False):
+    b, hgt, wid = x.shape
+    bspec = pl.BlockSpec((1, hgt, wid), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_inv_kernel97, nlevels),
+        grid=(b,),
+        in_specs=[bspec],
+        out_specs=bspec,
+        out_shape=jax.ShapeDtypeStruct((b, hgt, wid), x.dtype),
+        interpret=interpret,
+    )(x)
+
+
 def _fwd_kernel2(nlevels: int, x_ref, out_ref):
     x = x_ref[0]
     for lev in range(nlevels):
@@ -216,17 +355,27 @@ def supports(rect, numresolutions: int) -> bool:
     return True
 
 
-def fwd_dwt_2d(x, rect, numresolutions: int, interpret: bool = False):
-    """Multi-level forward 5/3 via the fused Pallas kernel.
+def fwd_dwt_2d(x, rect, numresolutions: int, interpret: bool = False,
+               reversible: bool = True):
+    """Multi-level forward DWT via the fused Pallas kernels.
 
-    `x`: (B, rect.h, rect.w) int32. Returns {(r, orient): (B, ...)} bands
-    matching ops/dwt_np.py. Requires supports(rect, numresolutions).
+    `x`: (B, rect.h, rect.w), int32 (5/3) or float32 (9/7). Returns
+    {(r, orient): (B, ...)} bands matching ops/dwt_np.py. Requires
+    supports(rect, numresolutions).
     """
-    y = fwd53_fused(x, numresolutions - 1, interpret=interpret)
+    if reversible:
+        y = fwd53_fused(x, numresolutions - 1, interpret=interpret)
+    else:
+        y = fwd97_fused(jnp.asarray(x, jnp.float32), numresolutions - 1,
+                        interpret=interpret)
     return deinterleave(y, numresolutions)
 
 
-def inv_dwt_2d(bands, rect, numresolutions: int, interpret: bool = False):
-    """Multi-level inverse 5/3 via the fused Pallas kernel."""
+def inv_dwt_2d(bands, rect, numresolutions: int, interpret: bool = False,
+               reversible: bool = True):
+    """Multi-level inverse DWT via the fused Pallas kernels."""
     y = interleave(bands, numresolutions, rect.h, rect.w)
-    return inv53_fused(y, numresolutions - 1, interpret=interpret)
+    if reversible:
+        return inv53_fused(y, numresolutions - 1, interpret=interpret)
+    return inv97_fused(jnp.asarray(y, jnp.float32), numresolutions - 1,
+                       interpret=interpret)

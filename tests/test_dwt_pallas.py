@@ -3,8 +3,12 @@
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
 from grokimagecompression_tpu.core.geometry import Rect
 from grokimagecompression_tpu.ops import dwt_np, dwt_pallas
+
+INTERPRET = True
 
 RNG = np.random.default_rng(3)
 
@@ -58,3 +62,24 @@ def test_supports():
     assert dwt_pallas.supports(Rect(0, 0, 64, 64), 5)
     assert not dwt_pallas.supports(Rect(1, 0, 64, 64), 2)   # odd origin
     assert not dwt_pallas.supports(Rect(0, 0, 8, 8), 5)     # too deep
+
+
+@pytest.mark.parametrize("shape,nres", [((64, 64), 4), ((128, 96), 5)])
+def test_pallas_97_vs_oracle(shape, nres):
+    """Fused 9/7 kernel matches the numpy oracle within float tolerance
+    (9/7 is float; op-order/FMA differences are expected — conformance
+    is PSNR-based, SURVEY §7 hard part d)."""
+    h, w = shape
+    rng = np.random.default_rng(h + w)
+    a = rng.integers(-500, 500, (2, h, w)).astype(np.float32)
+    tc = Rect(0, 0, w, h)
+    bands = dwt_pallas.fwd_dwt_2d(jnp.asarray(a), tc, nres,
+                                  interpret=INTERPRET, reversible=False)
+    ref = dwt_np.fwd_dwt_2d(a[0].copy(), tc, nres, reversible=False)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(bands[k][0]), ref[k],
+                                   atol=1e-2)
+    rec = dwt_pallas.inv_dwt_2d(bands, tc, nres, interpret=INTERPRET,
+                                reversible=False)
+    np.testing.assert_allclose(np.asarray(rec[0]), a[0], atol=0.1)
+    np.testing.assert_allclose(np.asarray(rec[1]), a[1], atol=0.1)
