@@ -25,8 +25,42 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from ..core.geometry import Rect
-from ..ops import dwt_jax, mct_jax
+from ..ops import dwt_jax, dwt_pallas, mct_jax
+
+
+def _use_pallas(rect: Rect, numresolutions: int) -> bool:
+    """Route the DWT through the fused Pallas kernel when enabled
+    (GROK_TPU_PALLAS=1), the geometry is in kernel scope, and a real
+    accelerator backend is active (Pallas has no compiled CPU path)."""
+    return (os.environ.get("GROK_TPU_PALLAS", "") == "1"
+            and jax.default_backend() != "cpu"
+            and dwt_pallas.supports(rect, numresolutions))
+
+
+def _dwt_fwd(x, rect, numresolutions, reversible):
+    if _use_pallas(rect, numresolutions):
+        squeeze = x.ndim == 2
+        xb = x[None] if squeeze else x
+        bands = dwt_pallas.fwd_dwt_2d(xb, rect, numresolutions,
+                                      reversible=reversible)
+        if squeeze:
+            bands = {k: v[0] for k, v in bands.items()}
+        return bands
+    return dwt_jax.fwd_dwt_2d(x, rect, numresolutions, reversible)
+
+
+def _dwt_inv(bands, rect, numresolutions, reversible):
+    if _use_pallas(rect, numresolutions):
+        sample = next(iter(bands.values()))
+        squeeze = sample.ndim == 2
+        bb = {k: (v[None] if squeeze else v) for k, v in bands.items()}
+        out = dwt_pallas.inv_dwt_2d(bb, rect, numresolutions,
+                                    reversible=reversible)
+        return out[0] if squeeze else out
+    return dwt_jax.inv_dwt_2d(bands, rect, numresolutions, reversible)
 
 BandKey = Tuple[int, int]
 
@@ -61,8 +95,8 @@ def _fwd_transform(cfg: TileTransformConfig, comps):
         shifted = [a.astype(jnp.float32) for a in shifted]
     out = []
     for c in range(ncomps):
-        out.append(dwt_jax.fwd_dwt_2d(shifted[c], cfg.tc_rects[c],
-                                      cfg.numresolutions, cfg.reversible))
+        out.append(_dwt_fwd(shifted[c], cfg.tc_rects[c],
+                            cfg.numresolutions, cfg.reversible))
     return out
 
 
@@ -70,8 +104,8 @@ def _inv_transform(cfg: TileTransformConfig, bands_list):
     """Inverse of _fwd_transform: list of band dicts -> tuple of comps."""
     ncomps = len(bands_list)
     comps = [
-        dwt_jax.inv_dwt_2d(bands_list[c], cfg.tc_rects[c],
-                           cfg.numresolutions, cfg.reversible)
+        _dwt_inv(bands_list[c], cfg.tc_rects[c],
+                 cfg.numresolutions, cfg.reversible)
         for c in range(ncomps)
     ]
     if cfg.mct and ncomps >= 3:
