@@ -23,9 +23,12 @@ from .tile import TileEncResult, default_qcd, encode_tile
 
 
 def build_siz(image: Image, params: EncoderParams) -> SizInfo:
+    # Default tile: one tile covering the whole image area from the tile
+    # origin (Table A-10 requires XTOsiz + XTsiz > XOsiz; sizing from the
+    # image offset would leave phantom tiles before the image origin).
     xt, yt = params.tile_size if params.tile_size else (
-        image.xsiz - params.image_offset[0],
-        image.ysiz - params.image_offset[1],
+        image.xsiz - params.tile_offset[0],
+        image.ysiz - params.tile_offset[1],
     )
     comps = [
         ComponentSiz(prec=c.prec, signed=c.signed, dx=c.dx, dy=c.dy)
