@@ -25,6 +25,7 @@ def _random_case(seed: int):
     y0 = int(rng.integers(0, 4))
     ncomps = int(rng.choice([1, 1, 3, 4]))
     prec = int(rng.choice([8, 8, 8, 12, 16, 4]))
+    signed = bool(rng.random() < 0.2)
     sub = (1, 1)
     if ncomps == 3 and rng.random() < 0.3 and w > 4 and h > 4:
         sub = (2, 2)
@@ -34,10 +35,12 @@ def _random_case(seed: int):
         cw = (x0 + w - (x0 + dx - 1) // dx * dx + dx - 1) // dx
         cw = -(-(x0 + w) // dx) - -(-x0 // dx)
         ch = -(-(y0 + h) // dy) - -(-y0 // dy)
+        lo, hi = (-(1 << (prec - 1)), 1 << (prec - 1)) if signed \
+            else (0, 1 << prec)
         comps.append(Component(
-            data=rng.integers(0, 1 << prec,
+            data=rng.integers(lo, hi,
                               (max(1, ch), max(1, cw))).astype(np.int32),
-            prec=prec, signed=False, dx=dx, dy=dy))
+            prec=prec, signed=signed, dx=dx, dy=dy))
     img = Image(x0=x0, y0=y0, xsiz=x0 + w, ysiz=y0 + h, components=comps)
 
     style = int(rng.choice(STYLES))
@@ -62,7 +65,55 @@ def _random_case(seed: int):
     if rng.random() < 0.25:
         kw["precincts"] = ((int(rng.integers(5, 9)),
                             int(rng.integers(5, 9))),)
+    if transform == Transform.DWT_97 and rng.random() < 0.3:
+        nl = int(rng.integers(1, 4))
+        kw["numlayers"] = nl
+        kw["rates"] = tuple([float(rng.integers(4, 30))] * (nl - 1) + [0.0])
+    if style != 0x40 and ncomps >= 2 and rng.random() < 0.15:
+        kw["roi_comp"] = int(rng.integers(0, ncomps))
+        kw["roi_shift"] = int(rng.integers(1, 6))
     return img, EncoderParams(**kw), transform
+
+
+@pytest.mark.parametrize("seed", range(30, 45))
+def test_random_window_reduce_decode(seed):
+    """Random windowed/reduced decode equals the crop of the full
+    decode (sparse partial path)."""
+    from grokimagecompression_tpu.core.params import DecoderParams
+    img, params, transform = _random_case(seed)
+    if img.xsiz - img.x0 < 8 or img.ysiz - img.y0 < 8:
+        pytest.skip("image too small for a window")
+    try:
+        cs = encoder.encode(img, params)
+    except ValueError:
+        pytest.skip("configuration rejected by encoder")
+    rng = np.random.default_rng(seed + 999)
+    reduce = int(rng.integers(0, min(2, params.numresolutions)))
+    full = decoder.decode(cs, DecoderParams(reduce=reduce))
+    x0 = int(rng.integers(img.x0, img.xsiz - 4))
+    y0 = int(rng.integers(img.y0, img.ysiz - 4))
+    x1 = int(rng.integers(x0 + 1, img.xsiz + 1))
+    y1 = int(rng.integers(y0 + 1, img.ysiz + 1))
+    part = decoder.decode(cs, DecoderParams(window=(x0, y0, x1, y1),
+                                            reduce=reduce))
+    for c, (cp, cf) in enumerate(zip(part.components, full.components)):
+        dxs = cf.dx << reduce
+        dys = cf.dy << reduce
+        ox = -(-x0 // dxs) - -(-full.x0 // dxs)
+        oy = -(-y0 // dys) - -(-full.y0 // dys)
+        h, w = cp.data.shape
+        ref = cf.data[oy:oy + h, ox:ox + w]
+        if transform == Transform.DWT_53:
+            np.testing.assert_array_equal(
+                cp.data, ref,
+                err_msg=f"seed={seed} comp={c} win={(x0, y0, x1, y1)} "
+                        f"reduce={reduce}")
+        else:
+            # 9/7: the windowed partial inverse follows the numpy float
+            # op order while the full path uses the native kernel —
+            # 1-ulp coefficient differences may flip an output LSB.
+            diff = np.abs(cp.data.astype(np.int64) - ref)
+            assert diff.max() <= 1, (seed, c, int(diff.max()))
 
 
 @pytest.mark.parametrize("seed", range(30))
