@@ -105,6 +105,55 @@ def extract_tile_comps(image: Image, siz: SizInfo, t: int) -> List[np.ndarray]:
     return out
 
 
+def _encode_ht_rate_controlled(image: Image, params: EncoderParams,
+                               device, rsiz: int) -> bytes:
+    """HT + byte-rate targeting: bisection over the 9/7 base
+    quantization step (bytes decrease monotonically in the step)."""
+    if params.transform != Transform.DWT_97:
+        raise ValueError("HT rate control requires the 9/7 transform "
+                         "(reversible HT has no quantizer to adjust)")
+    if len(params.rates) != 1 or params.numlayers != 1:
+        raise ValueError("HT rate control supports a single layer/ratio")
+    ratio = float(params.rates[0])
+    if ratio <= 0:
+        raise ValueError("HT rate control needs a positive ratio")
+    image_bytes = sum(
+        c.data.shape[0] * c.data.shape[1] * c.prec
+        for c in image.components) // 8
+    target = max(256, int(image_bytes / ratio))
+
+    def attempt(step: float) -> bytes:
+        p = dataclasses.replace(params, rates=(), base_step=step)
+        return encode(image, p, device=device, rsiz=rsiz)
+
+    lo, hi = 0.25, 1.0          # step bracket (bytes(lo) >= bytes(hi))
+    cs_hi = attempt(hi)
+    while len(cs_hi) > target and hi < 4096:
+        lo, hi = hi, hi * 4.0
+        cs_hi = attempt(hi)
+    if len(cs_hi) > target:
+        return cs_hi            # floor: even huge steps overshoot
+    best = cs_hi
+    cs_lo = attempt(lo)
+    while len(cs_lo) <= target and lo > 1e-4:
+        hi, best = lo, cs_lo
+        lo = lo / 4.0
+        cs_lo = attempt(lo)
+    if len(cs_lo) <= target:
+        return cs_lo
+    for _ in range(8):          # bisect in log space
+        mid = (lo * hi) ** 0.5
+        cs = attempt(mid)
+        if len(cs) <= target:
+            hi, best = mid, cs
+        else:
+            lo = mid
+        if abs(len(cs) - target) <= max(64, target // 200):
+            if len(cs) <= target:
+                return cs
+    return best
+
+
 def encode(image: Image, params: Optional[EncoderParams] = None,
            layer_alloc=None, device: Optional[bool] = None,
            rsiz: int = 0) -> bytes:
@@ -128,9 +177,15 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
     qcd = default_qcd(siz, cod, guard_bits, params.base_step)
     if is_ht:
         siz = dataclasses.replace(siz, rsiz=siz.rsiz | markers.JPH_RSIZ_FLAG)
-        if params.rates or params.quality_psnr:
-            raise ValueError("PCRD rate control is not available with the "
-                             "HT block coder (single cleanup pass)")
+        if params.quality_psnr:
+            raise ValueError("PSNR targets are not available with the HT "
+                             "block coder (single cleanup pass)")
+        if params.rates:
+            # HT has no truncation points, so rate control happens in the
+            # quantizer: search the base step for the byte target — a
+            # capability the reference lacks entirely (it disables rate
+            # control for HT).
+            return _encode_ht_rate_controlled(image, params, device, rsiz)
 
     # Per-component COD overrides (COC markers).
     cod_comp = None

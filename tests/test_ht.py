@@ -131,3 +131,27 @@ def test_grok_decodes_our_ht_rgb_tiled(tmp_path):
     for c in range(3):
         np.testing.assert_array_equal(rec.components[c].data,
                                       img.components[c].data)
+
+
+def test_ht_rate_control():
+    """HT byte-rate targeting via quantizer-step search (a capability
+    the reference disables for HT)."""
+    from grokimagecompression_tpu.core.params import Transform
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:512, 0:512]
+    data = (128 + 60 * np.sin(yy / 37.0) * np.cos(xx / 29.0)
+            + rng.normal(0, 12, (512, 512))).clip(0, 255).astype(np.int32)
+    img = Image(xsiz=512, ysiz=512, components=[
+        Component(data=data, prec=8, signed=False, dx=1, dy=1)])
+    for ratio in (8.0, 24.0):
+        cs = encoder.encode(img, EncoderParams(
+            numresolutions=6, cblk_style=HT, transform=Transform.DWT_97,
+            rates=(ratio,)))
+        target = 512 * 512 // ratio
+        assert len(cs) <= target * 1.01, (ratio, len(cs), target)
+        assert len(cs) >= target * 0.5, (ratio, len(cs), target)
+        out = decoder.decode(cs)
+        err = np.sqrt(np.mean((out.components[0].data.astype(np.float64)
+                               - data) ** 2))
+        psnr = 20 * np.log10(255 / err)
+        assert psnr > 25, (ratio, psnr)
