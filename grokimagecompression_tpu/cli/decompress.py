@@ -63,9 +63,19 @@ def main(argv=None) -> int:
     from ..codestream import jp2 as _jp2
     from ..io import color as _color
     cs = None
+    icc_profile = None
     if _jp2.is_jp2(data):
         hdr, _ = _jp2.read_jp2(data)
         cs = hdr.colourspace
+        icc_profile = hdr.icc_profile
+    if icc_profile and not args.no_color:
+        # Embedded ICC (JP2 colr meth=2): matrix-shaper profiles convert
+        # to sRGB here (reference: color_apply_icc_profile via lcms);
+        # LUT-based profiles pass through untouched.
+        from ..io import icc as _icc
+        converted = _icc.apply_icc(image, icc_profile)
+        if converted is not None:
+            image = converted
     if args.upsample:
         image = _color.upsample(image)
     if not args.no_color:

@@ -98,7 +98,8 @@ def wrap_codestream(codestream: bytes, width: int, height: int,
                     comps: List[Tuple[int, bool]],
                     colourspace: Optional[int] = None,
                     capture_resolution=None, display_resolution=None,
-                    xml: Optional[bytes] = None) -> bytes:
+                    xml: Optional[bytes] = None,
+                    icc_profile: Optional[bytes] = None) -> bytes:
     """Wrap a raw J2K codestream in a JP2 file.
 
     `comps` is [(prec, signed), ...]; colourspace defaults to sRGB for 3+
@@ -120,7 +121,11 @@ def wrap_codestream(codestream: bytes, width: int, height: int,
     if not same:
         jp2h += _box(T_BPCC, bytes((p - 1) | (0x80 if s else 0)
                                    for (p, s) in comps))
-    jp2h += _box(T_COLR, struct.pack(">BBBI", 1, 0, 0, colourspace))
+    if icc_profile:
+        # meth=2: restricted ICC profile
+        jp2h += _box(T_COLR, struct.pack(">BBB", 2, 0, 0) + icc_profile)
+    else:
+        jp2h += _box(T_COLR, struct.pack(">BBBI", 1, 0, 0, colourspace))
     if capture_resolution or display_resolution:
         res = b""
         if capture_resolution:

@@ -1,0 +1,125 @@
+"""ICC profile application (matrix-shaper class), cross-validated
+against littlecms via Pillow (reference: color_apply_icc_profile)."""
+
+import io
+import struct
+
+import numpy as np
+import pytest
+
+from grokimagecompression_tpu.core.image import Component, Image
+from grokimagecompression_tpu.io import icc
+
+PIL_CMS = pytest.importorskip("PIL.ImageCms")
+from PIL import Image as PILImage  # noqa: E402
+
+
+def _s15f16(v):
+    return struct.pack(">i", int(round(v * 65536)))
+
+
+def make_profile(prims, gamma):
+    tags = [
+        (b"wtpt", b"XYZ " + b"\0" * 4
+         + b"".join(_s15f16(v) for v in (0.9642, 1.0, 0.8249))),
+        (b"rXYZ", b"XYZ " + b"\0" * 4
+         + b"".join(_s15f16(v) for v in prims[0])),
+        (b"gXYZ", b"XYZ " + b"\0" * 4
+         + b"".join(_s15f16(v) for v in prims[1])),
+        (b"bXYZ", b"XYZ " + b"\0" * 4
+         + b"".join(_s15f16(v) for v in prims[2])),
+        (b"rTRC", b"curv" + b"\0" * 4
+         + struct.pack(">IH", 1, int(round(gamma * 256)))),
+        (b"gTRC", b"curv" + b"\0" * 4
+         + struct.pack(">IH", 1, int(round(gamma * 256)))),
+        (b"bTRC", b"curv" + b"\0" * 4
+         + struct.pack(">IH", 1, int(round(gamma * 256)))),
+        (b"desc", b"desc" + b"\0" * 4 + struct.pack(">I", 5)
+         + b"test\0" + b"\0" * 78),
+    ]
+    ntags = len(tags)
+    table_size = 4 + ntags * 12
+    off = 128 + table_size
+    table = struct.pack(">I", ntags)
+    body = b""
+    for sig, payload in tags:
+        pad = (4 - len(payload) % 4) % 4
+        table += struct.pack(">4sII", sig, off, len(payload))
+        body += payload + b"\0" * pad
+        off += len(payload) + pad
+    total = 128 + table_size + len(body)
+    hdr = struct.pack(">I", total) + b"lcms"
+    hdr += struct.pack(">I", 0x02400000)
+    hdr += b"mntr" + b"RGB " + b"XYZ "
+    hdr += struct.pack(">HHHHHH", 2024, 1, 1, 0, 0, 0)
+    hdr += b"acsp" + b"\0" * 4 + struct.pack(">I", 0)
+    hdr += b"\0" * 16 + struct.pack(">I", 0)
+    hdr += b"".join(_s15f16(v) for v in (0.9642, 1.0, 0.8249))
+    hdr += b"\0" * 4
+    hdr += b"\0" * (128 - len(hdr))
+    return hdr + table + body
+
+
+ADOBE_LIKE = [(0.6097, 0.3111, 0.0195), (0.2053, 0.6257, 0.0609),
+              (0.1492, 0.0632, 0.7446)]
+
+
+def _rgb_image(arr):
+    return Image(xsiz=arr.shape[1], ysiz=arr.shape[0], components=[
+        Component(data=arr[:, :, c].astype(np.int32), prec=8,
+                  signed=False, dx=1, dy=1) for c in range(3)])
+
+
+def _lcms_ref(arr, prof_bytes):
+    src = PIL_CMS.ImageCmsProfile(io.BytesIO(prof_bytes))
+    dst = PIL_CMS.ImageCmsProfile(PIL_CMS.createProfile("sRGB"))
+    x = PIL_CMS.buildTransform(src, dst, "RGB", "RGB", renderingIntent=0)
+    return np.asarray(PIL_CMS.applyTransform(
+        PILImage.fromarray(arr.astype(np.uint8)), x))
+
+
+def test_srgb_identity_matches_lcms():
+    prof = PIL_CMS.ImageCmsProfile(PIL_CMS.createProfile("sRGB")).tobytes()
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    out = icc.apply_icc(_rgb_image(arr), prof)
+    got = np.stack([c.data for c in out.components], -1)
+    ref = _lcms_ref(arr, prof)
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_wide_gamut_matches_lcms():
+    prof = make_profile(ADOBE_LIKE, 2.2)
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 256, (40, 60, 3), dtype=np.uint8)
+    out = icc.apply_icc(_rgb_image(arr), prof)
+    got = np.stack([c.data for c in out.components], -1)
+    ref = _lcms_ref(arr, prof)
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_unsupported_profile_passthrough():
+    assert icc.apply_icc(_rgb_image(np.zeros((4, 4, 3))), b"junk") is None
+
+
+def test_jp2_embedded_icc_applied(tmp_path):
+    """End to end: JP2 with embedded meth=2 ICC converts on decompress."""
+    from grokimagecompression_tpu.cli import decompress as d_cli
+    from grokimagecompression_tpu.codestream import encoder, jp2
+    from grokimagecompression_tpu.io.pnm import read_pnm
+    prof = make_profile(ADOBE_LIKE, 2.2)
+    rng = np.random.default_rng(2)
+    arr = rng.integers(0, 256, (32, 40, 3), dtype=np.uint8)
+    img = _rgb_image(arr)
+    cs = jp2.wrap_codestream(encoder.encode(img), 40, 32,
+                             [(8, False)] * 3, icc_profile=prof)
+    hdr, _ = jp2.read_jp2(cs)
+    assert hdr.icc_profile == prof
+    p = str(tmp_path / "i.jp2")
+    open(p, "wb").write(cs)
+    out = str(tmp_path / "o.ppm")
+    assert d_cli.main(["-i", p, "-o", out]) == 0
+    rec = read_pnm(out)
+    got = np.stack([c.data for c in rec.components], -1)
+    ref = _lcms_ref(arr, prof)
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
