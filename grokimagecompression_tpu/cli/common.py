@@ -38,6 +38,19 @@ def read_image(path: str, raw_desc: str = None) -> Image:
                 f"raw input needs -F w,h,ncomps,prec,[s|u][@dxxdy]: {path}")
         return rawio.read_raw(path, rawio.RawDesc.parse(raw_desc),
                               big_endian=ext == ".raw")
+    if ext in (".jpg", ".jpeg"):
+        # JPEG input via the environment's Pillow (the analog of the
+        # reference vendoring libjpeg for JPEGFormat.cpp).
+        try:
+            from PIL import Image as PILImage
+        except ImportError:
+            raise SystemExit("JPEG input requires Pillow")
+        import numpy as np
+        from ..core.image import Component, Image as _Image
+        a = np.asarray(PILImage.open(path).convert("RGB"))
+        comps = [Component(data=a[:, :, c].astype(np.int32), prec=8,
+                           signed=False, dx=1, dy=1) for c in range(3)]
+        return _Image(xsiz=a.shape[1], ysiz=a.shape[0], components=comps)
     raise SystemExit(f"unsupported input format: {path}")
 
 
