@@ -22,7 +22,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from ..core.geometry import Rect, tile_grid_size, tile_rect
+from ..core.geometry import tile_grid_size, tile_rect
 from ..core.image import Component, Image
 from ..core.params import DecoderParams, EncoderParams
 from . import decoder as _decoder

@@ -27,7 +27,7 @@ from ..core.geometry import (
     component_rect,
 )
 from ..core.params import Progression, QuantStyle, Transform
-from ..ops import dwt_host, dwt_np, mct_np, quant
+from ..ops import dwt_host, mct_np, quant
 from ..t1 import backend as t1_backend
 from ..utils import trace
 from .markers import CodInfo, QcdInfo, SizInfo

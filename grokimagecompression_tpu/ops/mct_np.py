@@ -7,8 +7,6 @@ mirroring the reference (reference: src/lib/jp2/mct/mct.cpp:85 encode_rev,
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 # MCT component norms used by PCRD distortion weighting

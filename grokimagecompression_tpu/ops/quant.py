@@ -15,7 +15,6 @@ from typing import Tuple
 
 import numpy as np
 
-from ..core.geometry import band_gain
 
 # L2 norms of the synthesis basis vectors per [orient][level] — standard
 # constants for the 5/3 and 9/7 filter banks (identical tables appear in all
