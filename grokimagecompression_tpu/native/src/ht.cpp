@@ -973,6 +973,65 @@ int grok_ht_encode_batch(int nblocks, const uint32_t* mag_flat,
 // [4]=missing_msbs, [5]=output offset
 // signed_out != 0: mag_flat receives signed int32 coefficients instead of
 // magnitudes (neg still filled for callers that need it).
+// Fully fused band-plane batch encode: each worker gathers its block
+// (with optional deadzone quantization for float planes) into
+// thread-local buffers and encodes straight into the output slot — no
+// intermediate (mag, neg) flats.
+// desc5 per block (int64): [band_idx, x0, y0, w, h]; steps: per-band
+// stepsize (used when is_float); mbs: per-block band Mb.
+int grok_ht_encode_bands(int nblocks, const int64_t* band_ptrs,
+                         const int64_t* band_strides, const double* steps,
+                         int is_float, const int64_t* desc5,
+                         const int64_t* mbs, uint8_t* out_flat,
+                         int out_stride, int32_t* out_lens, int nthreads) {
+  std::atomic<int> err(0);
+  int nt = nthreads < nblocks ? nthreads : nblocks;
+  if (nt < 1) nt = 1;
+#pragma omp parallel num_threads(nt) if (nt > 1)
+  {
+    std::vector<uint32_t> mag(64 * 64);
+    std::vector<uint8_t> neg(64 * 64);
+#pragma omp for schedule(dynamic)
+    for (int i = 0; i < nblocks; i++) {
+      const int64_t* d = desc5 + (size_t)i * 5;
+      int w = (int)d[3], h = (int)d[4];
+      if ((size_t)w * h > mag.size()) {
+        mag.resize((size_t)w * h);
+        neg.resize((size_t)w * h);
+      }
+      int64_t stride = band_strides[d[0]];
+      if (is_float) {
+        const float* band = (const float*)(uintptr_t)band_ptrs[d[0]];
+        double step = steps[d[0]];
+        for (int y = 0; y < h; y++) {
+          const float* src = band + (size_t)(d[2] + y) * stride + d[1];
+          for (int x = 0; x < w; x++) {
+            float v = src[x];
+            mag[(size_t)y * w + x] =
+                (uint32_t)((double)(v < 0 ? -v : v) / step);
+            neg[(size_t)y * w + x] = v < 0;
+          }
+        }
+      } else {
+        const int32_t* band = (const int32_t*)(uintptr_t)band_ptrs[d[0]];
+        for (int y = 0; y < h; y++) {
+          const int32_t* src = band + (size_t)(d[2] + y) * stride + d[1];
+          for (int x = 0; x < w; x++) {
+            int32_t v = src[x];
+            mag[(size_t)y * w + x] = (uint32_t)(v < 0 ? -v : v);
+            neg[(size_t)y * w + x] = v < 0;
+          }
+        }
+      }
+      int ln = ht_encode(mag.data(), neg.data(), w, h, (int)mbs[i],
+                         out_flat + (size_t)i * out_stride);
+      if (ln > out_stride) err.store(1);
+      else out_lens[i] = (int32_t)ln;
+    }
+  }
+  return err.load() ? -1 : 0;
+}
+
 int grok_ht_decode_batch(int nblocks, const uint8_t* data_flat,
                          const int64_t* desc, uint32_t* mag_flat,
                          uint8_t* neg_flat, int nthreads,

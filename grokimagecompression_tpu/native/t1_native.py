@@ -91,6 +91,12 @@ def _load() -> ctypes.CDLL:
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.grok_ht_encode_bands.restype = ctypes.c_int
+    lib.grok_ht_encode_bands.argtypes = [
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+    ]
     lib.grok_extract_blocks_f32.restype = ctypes.c_int
     lib.grok_extract_blocks_f32.argtypes = [
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -426,22 +432,34 @@ def ht_encode_cblk_batch_bands(bands: List[np.ndarray], descs: np.ndarray,
                                mbs: np.ndarray,
                                nthreads: Optional[int] = None,
                                stepsizes=None):
-    """HT batch encode gathering blocks from band planes natively.
+    """HT batch encode fully fused with the block gather: each native
+    worker extracts (and quantizes, for float planes) its block and
+    encodes it straight into the output slot.
     `descs`: (n, 5) int64 (band_idx, x0, y0, w, h); `mbs`: (n,) per-block
-    band Mb; `stepsizes` marks float32 planes quantized in the gather."""
+    band Mb; `stepsizes` marks float32 planes."""
     n = len(descs)
     if n == 0:
         return []
-    mag_flat, neg_flat, offs = extract_blocks(bands, descs, stepsizes)
-    desc = np.empty((n, 4), dtype=np.int64)
-    desc[:, 0] = offs
-    desc[:, 1] = descs[:, 3]
-    desc[:, 2] = descs[:, 4]
-    desc[:, 3] = mbs
+    band_ptrs = np.array([b.ctypes.data for b in bands], dtype=np.int64)
+    strides = np.array([b.strides[0] // 4 for b in bands], dtype=np.int64)
+    is_float = stepsizes is not None
+    steps = np.asarray(stepsizes if is_float else [1.0] * len(bands),
+                       np.float64)
+    desc5 = np.ascontiguousarray(descs, dtype=np.int64)
+    mbs64 = np.ascontiguousarray(mbs, dtype=np.int64)
     max_wh = int((descs[:, 3] * descs[:, 4]).max())
-    return _ht_encode_flat(n, mag_flat, neg_flat,
-                           np.ascontiguousarray(desc.ravel()), max_wh,
-                           nthreads)
+    out_stride = max(4096, max_wh * 6)
+    out_flat = np.empty(n * out_stride, dtype=np.uint8)
+    out_lens = np.zeros(n, dtype=np.int32)
+    rc = _lib.grok_ht_encode_bands(
+        n, band_ptrs.ctypes.data, strides.ctypes.data, steps.ctypes.data,
+        1 if is_float else 0, desc5.ctypes.data, mbs64.ctypes.data,
+        out_flat.ctypes.data, out_stride, out_lens.ctypes.data,
+        nthreads if nthreads is not None else default_threads())
+    if rc != 0:
+        raise RuntimeError("HT fused band encode failed")
+    return [bytes(out_flat[i * out_stride:i * out_stride
+                           + int(out_lens[i])]) for i in range(n)]
 
 
 def ht_decode_cblk_batch(blocks, nthreads: Optional[int] = None,
