@@ -14,6 +14,7 @@ device pipeline (models/) producing identical coefficients for batched use.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -146,11 +147,37 @@ class TileEncResult:
     packet_ids: Optional[List[Tuple[int, int, int, int]]] = None  # (l,r,c,p)
 
 
+def _mct_native():
+    if os.environ.get("GROK_TPU_T1") == "python":
+        return None
+    try:
+        from ..native import mct_native
+        return mct_native
+    except Exception:
+        return None
+
+
 def _apply_fwd_transforms(comps_data: List[np.ndarray], plans,
                           cod: CodInfo,
                           custom_matrix=None) -> List[np.ndarray]:
     """DC shift + MCT; returns per-comp arrays ready for DWT."""
     reversible = cod.transform == Transform.DWT_53
+    # Fused native path: DC shift + RCT in one streaming pass over the
+    # first three planes (bit-exact pure-int32 arithmetic).
+    nat = _mct_native()
+    if (cod.mct == 1 and reversible and len(comps_data) >= 3
+            and custom_matrix is None and nat is not None):
+        shifts = [0 if plans[c].signed else 1 << (plans[c].prec - 1)
+                  for c in range(3)]
+        fused = nat.rct_dc_fwd(*(np.ascontiguousarray(a, np.int32)
+                                 for a in comps_data[:3]), shifts)
+        if fused is not None:
+            out = list(fused)
+            for c in range(3, len(comps_data)):
+                p = plans[c]
+                out.append(mct_np.dc_shift_fwd(
+                    comps_data[c].astype(np.int32), p.prec, p.signed))
+            return out
     out = []
     for c, a in enumerate(comps_data):
         p = plans[c]
@@ -827,6 +854,29 @@ def decode_tile(
                 lo, hi = 0, (1 << plans[c].prec) - 1
             final.append(np.clip(a, lo, hi).astype(np.int32))
         return list(zip(final, origins))
+    nat = _mct_native()
+    if (cod.mct == 1 and reversible and ncomps >= 3 and nat is not None
+            and all(out[c].dtype == np.int32 for c in range(3))):
+        shifts, los, his = [], [], []
+        for c in range(3):
+            pn = plans[c]
+            if pn.signed:
+                shifts.append(0)
+                los.append(-(1 << (pn.prec - 1)))
+                his.append((1 << (pn.prec - 1)) - 1)
+            else:
+                shifts.append(1 << (pn.prec - 1))
+                los.append(0)
+                his.append((1 << pn.prec) - 1)
+        fused = nat.rct_dc_inv(*(np.ascontiguousarray(out[c])
+                                 for c in range(3)), shifts, los, his)
+        if fused is not None:
+            final = list(fused)
+            for c in range(3, ncomps):
+                a = mct_np.dc_shift_inv(out[c], plans[c].prec,
+                                        plans[c].signed)
+                final.append(a.astype(np.int32))
+            return list(zip(final, origins))
     if cod.mct and ncomps >= 3:
         if reversible:
             r0, g0, b0 = mct_np.rct_inv(out[0], out[1], out[2])

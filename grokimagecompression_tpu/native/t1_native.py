@@ -36,7 +36,7 @@ def _load() -> ctypes.CDLL:
     os.environ.setdefault("GOMP_SPINCOUNT", "0")
     srcs = [os.path.join(_DIR, "src", f) for f in
             ("t1.cpp", "ht.cpp", "dwt.cpp", "t2.cpp", "imgio.cpp",
-             "ht_tables.inc")]
+             "mct.cpp", "ht_tables.inc")]
     if not os.path.exists(_SO) or any(
         os.path.getmtime(_SO) < os.path.getmtime(f) for f in srcs
     ):
@@ -102,6 +102,18 @@ def _load() -> ctypes.CDLL:
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.grok_rct_fwd.restype = ctypes.c_int
+    lib.grok_rct_fwd.argtypes = [ctypes.c_void_p] * 6 + [
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int]
+    lib.grok_rct_inv.restype = ctypes.c_int
+    lib.grok_rct_inv.argtypes = [ctypes.c_void_p] * 6 + [
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int]
+    lib.grok_dc_unshift.restype = ctypes.c_int
+    lib.grok_dc_unshift.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int]
     for nm in ("grok_png_unfilter", "grok_png_filter"):
         fn = getattr(lib, nm)
         fn.restype = ctypes.c_int
