@@ -635,6 +635,8 @@ def decode_tile(
     reversible = cod.transform == Transform.DWT_53
 
     # Build decode structures.
+    import time as _time
+    _setup_t0 = _time.perf_counter() if trace.enabled() else None
     prec_dec: List[Dict[Tuple[int, int], List[PrecDec]]] = []
     cblk_index: List[Dict[Tuple[int, int], List[CblkDec]]] = []
     for c in range(ncomps):
@@ -677,8 +679,11 @@ def decode_tile(
         piter = packet_order(cod.progression, cod.numlayers, comps_iter,
                              tile)
     pkt_list = list(piter)
+    if _setup_t0 is not None:
+        trace.add_time("dec.setup", _time.perf_counter() - _setup_t0)
 
     import os as _os
+    _t2_t0 = _time.perf_counter() if trace.enabled() else None
     _t2nat = None
     if _os.environ.get("GROK_TPU_T2", "") != "python" \
             and numlayers == cod.numlayers and packed_headers is None:
@@ -734,6 +739,8 @@ def decode_tile(
                                     cods[c].cblk_style,
                                     sop=cod.sop, eph=cod.eph,
                                     discard=(l >= numlayers))
+    if _t2_t0 is not None:
+        trace.add_time("dec.t2", _time.perf_counter() - _t2_t0, len(body))
 
     # T1 decode (one batched native call over the whole tile's blocks) +
     # dequantize into band arrays, then inverse DWT per comp.
@@ -765,16 +772,51 @@ def decode_tile(
                                     cb.geom.rect.h, band.orient, cb.numbps,
                                     cb.numpasses, bp_d.kmax))
                     t1_job_slots.append((c, (res.r, band.orient), cb))
-    with trace.stage("dec.t1", sum(len(j[0]) for j in t1_jobs)):
-        t1_out = t1_backend.decode_cblk_batch(t1_jobs, cods[0].cblk_style,
-                                              signed_out=True) \
-            if not cod_comp else _decode_mixed_styles(t1_jobs, t1_job_slots,
-                                                      cods)
-    decoded: Dict[int, Tuple[np.ndarray, np.ndarray]] = {
-        id(slot[2]): mn for slot, mn in zip(t1_job_slots, t1_out)}
+    # Fused path: native workers decode each block and scatter it (with
+    # dequantization for irreversible bands) directly into pre-allocated
+    # band planes — no per-block arrays or Python placement loop.
+    _fused_bands = None
+    if (window is None and not cod_comp
+            and os.environ.get("GROK_TPU_FUSED_DEC", "1") != "0"):
+        bands_list: List[np.ndarray] = []
+        steps_list: List[float] = []
+        bidx: Dict[Tuple[int, int, int], int] = {}
+        _fused_bands = [dict() for _ in range(ncomps)]
+        fdtype = np.int32 if reversible else np.float32
+        for c in range(ncomps):
+            plan = plans[c]
+            for res in plan.layout.resolutions:
+                for band in res.bands:
+                    key = (res.r, band.orient)
+                    arr = np.zeros((band.rect.h, band.rect.w),
+                                   dtype=fdtype)
+                    _fused_bands[c][key] = arr
+                    bidx[(c,) + key] = len(bands_list)
+                    bands_list.append(arr)
+                    steps_list.append(plan.bands[key].stepsize)
+        placements = [(bidx[(c,) + key],
+                       cb.geom.rect.x0 - plans[c].bands[key].rect.x0,
+                       cb.geom.rect.y0 - plans[c].bands[key].rect.y0)
+                      for (c, key, cb) in t1_job_slots]
+        with trace.stage("dec.t1", sum(len(j[0]) for j in t1_jobs)):
+            ok = t1_backend.decode_cblk_batch_bands(
+                t1_jobs, bands_list, placements, cods[0].cblk_style,
+                stepsizes=None if reversible else steps_list)
+        if not ok:
+            _fused_bands = None
+    decoded: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+    if _fused_bands is None:
+        with trace.stage("dec.t1", sum(len(j[0]) for j in t1_jobs)):
+            t1_out = t1_backend.decode_cblk_batch(
+                t1_jobs, cods[0].cblk_style, signed_out=True) \
+                if not cod_comp else _decode_mixed_styles(
+                    t1_jobs, t1_job_slots, cods)
+        decoded = {id(slot[2]): mn
+                   for slot, mn in zip(t1_job_slots, t1_out)}
 
     out = []
     origins = []
+    _dwt_t0 = _time.perf_counter() if trace.enabled() else None
     for c in range(ncomps):
         plan = plans[c]
         rev_c = cods[c].transform == Transform.DWT_53
@@ -815,6 +857,14 @@ def decode_tile(
             out.append(a)
             origins.append((wx0, wy0))
             continue
+        if _fused_bands is not None:
+            bands_arrays = _fused_bands[c]
+            a = dwt_host.inv_dwt_2d(bands_arrays, plan.layout.tc_rect,
+                                    cods[c].numresolutions,
+                                    reversible=rev_c, max_res=max_res)
+            out.append(a)
+            origins.append((ox, oy))
+            continue
         bands_arrays: Dict[Tuple[int, int], np.ndarray] = {}
         for res in plan.layout.resolutions:
             for band in res.bands:
@@ -839,6 +889,8 @@ def decode_tile(
         out.append(a)
         origins.append((ox, oy))
 
+    if _dwt_t0 is not None:
+        trace.add_time("dec.dwt", _time.perf_counter() - _dwt_t0)
     # Inverse MCT + DC unshift.
     if cod.mct == 2 and custom_mct is not None:
         matrix, offsets = custom_mct

@@ -1032,6 +1032,66 @@ int grok_ht_encode_bands(int nblocks, const int64_t* band_ptrs,
   return err.load() ? -1 : 0;
 }
 
+// Decode straight into band coefficient planes: each worker decodes its
+// block into thread-local scratch, then scatters into the destination
+// band with the sign applied — int32 for the reversible path, or
+// float32 with the fused mid-point dequantizer ((|q|+0.5)*step, float32
+// op order identical to ops.quant.dequantize_signed) for irreversible.
+// desc per block (int64 x 9):
+//   [0]=data offset, [1]=data len, [2]=w, [3]=h, [4]=Mb,
+//   [5]=band index, [6]=x0, [7]=y0 (within band), [8]=unused
+int grok_ht_decode_bands(int nblocks, const uint8_t* data_flat,
+                         const int64_t* desc, const int64_t* band_ptrs,
+                         const int64_t* band_strides, const double* steps,
+                         int is_float, int nthreads) {
+  int nt = nthreads < nblocks ? nthreads : nblocks;
+  if (nt < 1) nt = 1;
+#pragma omp parallel num_threads(nt) if (nt > 1)
+  {
+    static thread_local std::vector<uint32_t> mag;
+    static thread_local std::vector<uint8_t> neg;
+#pragma omp for schedule(dynamic)
+    for (int i = 0; i < nblocks; i++) {
+      const int64_t* d = desc + (size_t)i * 9;
+      int w = (int)d[2], h = (int)d[3];
+      size_t wh = (size_t)w * h;
+      if (mag.size() < wh) { mag.resize(wh); neg.resize(wh); }
+      std::memset(mag.data(), 0, wh * sizeof(uint32_t));
+      std::memset(neg.data(), 0, wh);
+      ht_decode(data_flat + d[0], (int)d[1], w, h, (int)d[4],
+                mag.data(), neg.data());
+      int64_t stride = band_strides[d[5]];
+      if (is_float) {
+        float* band = (float*)(uintptr_t)band_ptrs[d[5]];
+        float step = (float)steps[d[5]];
+        for (int y = 0; y < h; y++) {
+          float* dst = band + (size_t)(d[7] + y) * stride + d[6];
+          const uint32_t* ms = mag.data() + (size_t)y * w;
+          const uint8_t* ns = neg.data() + (size_t)y * w;
+          for (int x = 0; x < w; x++) {
+            float m = (float)ms[x];
+            if (ms[x]) m += 0.5f;
+            float v = m * step;
+            dst[x] = ns[x] ? -v : v;
+          }
+        }
+      } else {
+        int32_t* band = (int32_t*)(uintptr_t)band_ptrs[d[5]];
+        for (int y = 0; y < h; y++) {
+          int32_t* dst = band + (size_t)(d[7] + y) * stride + d[6];
+          const uint32_t* ms = mag.data() + (size_t)y * w;
+          const uint8_t* ns = neg.data() + (size_t)y * w;
+          for (int x = 0; x < w; x++) {
+            int32_t v = (int32_t)ms[x];
+            dst[x] = ns[x] ? -v : v;
+          }
+        }
+      }
+    }
+  }
+  return 0;
+}
+
 int grok_ht_decode_batch(int nblocks, const uint8_t* data_flat,
                          const int64_t* desc, uint32_t* mag_flat,
                          uint8_t* neg_flat, int nthreads,

@@ -947,6 +947,67 @@ int grok_t1_decode_batch(int nblocks, const uint8_t* data_flat,
   return 0;
 }
 
+// MQ-path analog of grok_ht_decode_bands: decode into thread-local
+// scratch, scatter into band planes with sign (and mid-point dequantize
+// for float bands). desc per block (int64 x 13):
+//   [0]=data offset, [1]=data len, [2]=seg offset, [3]=nsegs, [4]=w,
+//   [5]=h, [6]=orient, [7]=numbps, [8]=numpasses, [9]=style,
+//   [10]=band index, [11]=x0, [12]=y0 (within band)
+int grok_t1_decode_bands(int nblocks, const uint8_t* data_flat,
+                         const int32_t* seg_lens_flat, const int64_t* desc,
+                         const int64_t* band_ptrs,
+                         const int64_t* band_strides, const double* steps,
+                         int is_float, int nthreads) {
+  int nt = nthreads < nblocks ? nthreads : nblocks;
+  if (nt < 1) nt = 1;
+#pragma omp parallel num_threads(nt) if (nt > 1)
+  {
+    static thread_local std::vector<uint32_t> mag;
+    static thread_local std::vector<uint8_t> neg;
+#pragma omp for schedule(dynamic)
+    for (int i = 0; i < nblocks; i++) {
+      const int64_t* d = desc + (size_t)i * 13;
+      int w = (int)d[4], h = (int)d[5];
+      size_t wh = (size_t)w * h;
+      if (mag.size() < wh) { mag.resize(wh); neg.resize(wh); }
+      std::memset(mag.data(), 0, wh * sizeof(uint32_t));
+      std::memset(neg.data(), 0, wh);
+      decode_cblk(data_flat + d[0], (int)d[1],
+                  seg_lens_flat + d[2], (int)d[3], w, h,
+                  (int)d[6], (int)d[7], (int)d[8], (int)d[9],
+                  mag.data(), neg.data());
+      int64_t stride = band_strides[d[10]];
+      if (is_float) {
+        float* band = (float*)(uintptr_t)band_ptrs[d[10]];
+        float step = (float)steps[d[10]];
+        for (int y = 0; y < h; y++) {
+          float* dst = band + (size_t)(d[12] + y) * stride + d[11];
+          const uint32_t* ms = mag.data() + (size_t)y * w;
+          const uint8_t* ns = neg.data() + (size_t)y * w;
+          for (int x = 0; x < w; x++) {
+            float m = (float)ms[x];
+            if (ms[x]) m += 0.5f;
+            float v = m * step;
+            dst[x] = ns[x] ? -v : v;
+          }
+        }
+      } else {
+        int32_t* band = (int32_t*)(uintptr_t)band_ptrs[d[10]];
+        for (int y = 0; y < h; y++) {
+          int32_t* dst = band + (size_t)(d[12] + y) * stride + d[11];
+          const uint32_t* ms = mag.data() + (size_t)y * w;
+          const uint8_t* ns = neg.data() + (size_t)y * w;
+          for (int x = 0; x < w; x++) {
+            int32_t v = (int32_t)ms[x];
+            dst[x] = ns[x] ? -v : v;
+          }
+        }
+      }
+    }
+  }
+  return 0;
+}
+
 // Gather code-blocks out of per-band signed-int32 coefficient planes into
 // the (mag, neg) flats the batch coders consume. Doing the abs/sign split
 // and the strided block copy here (not in numpy, block by block) removes

@@ -102,6 +102,17 @@ def _load() -> ctypes.CDLL:
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.grok_ht_decode_bands.restype = ctypes.c_int
+    lib.grok_ht_decode_bands.argtypes = [
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.grok_t1_decode_bands.restype = ctypes.c_int
+    lib.grok_t1_decode_bands.argtypes = [
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_int,
+    ]
     lib.grok_rct_fwd.restype = ctypes.c_int
     lib.grok_rct_fwd.argtypes = [ctypes.c_void_p] * 6 + [
         ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -512,3 +523,82 @@ def ht_decode_cblk_batch(blocks, nthreads: Optional[int] = None,
             out.append((mag, neg))
         out_off += w * h
     return out
+
+
+def _band_meta(bands: List[np.ndarray], stepsizes):
+    ptrs = np.array([b.ctypes.data for b in bands], dtype=np.int64)
+    strides = np.array([b.strides[0] // b.itemsize for b in bands],
+                       dtype=np.int64)
+    is_float = stepsizes is not None
+    steps = np.asarray(stepsizes if is_float else [1.0] * len(bands),
+                       np.float64)
+    return ptrs, strides, steps, is_float
+
+
+def ht_decode_cblk_batch_bands(blocks, bands: List[np.ndarray],
+                               placements, stepsizes=None,
+                               nthreads: Optional[int] = None) -> None:
+    """Fused HT decode + scatter into band planes.
+
+    blocks = [(data, w, h, missing_msbs), ...]; placements = (n, 3) rows
+    of (band_idx, x0, y0); `bands` are pre-zeroed contiguous planes —
+    int32, or float32 with `stepsizes` (per-band mid-point dequantize
+    fused into the scatter)."""
+    n = len(blocks)
+    if n == 0:
+        return
+    data_flat = np.frombuffer(b"".join(bytes(b[0]) for b in blocks)
+                              or b"\x00", dtype=np.uint8)
+    ptrs, strides, steps, is_float = _band_meta(bands, stepsizes)
+    rows = np.empty((n, 9), dtype=np.int64)
+    off = 0
+    for i, (data, w, h, miss) in enumerate(blocks):
+        rows[i] = (off, len(data), w, h, miss, placements[i][0],
+                   placements[i][1], placements[i][2], 0)
+        off += len(data)
+    desc = np.ascontiguousarray(rows.ravel())
+    rc = _lib.grok_ht_decode_bands(
+        n, data_flat.ctypes.data, desc.ctypes.data, ptrs.ctypes.data,
+        strides.ctypes.data, steps.ctypes.data, 1 if is_float else 0,
+        nthreads if nthreads is not None else default_threads())
+    if rc != 0:
+        raise RuntimeError("HT fused band decode failed")
+
+
+def decode_cblk_batch_bands(blocks, bands: List[np.ndarray],
+                            placements, cblk_style: int = 0,
+                            stepsizes=None,
+                            nthreads: Optional[int] = None) -> None:
+    """Fused MQ T1 decode + scatter into band planes.
+
+    blocks = [(data, seg_lengths, w, h, orient, numbps, numpasses), ...]
+    (kmax trailing fields tolerated); placements as in
+    ht_decode_cblk_batch_bands."""
+    n = len(blocks)
+    if n == 0:
+        return
+    data_flat = np.frombuffer(b"".join(bytes(b[0]) for b in blocks)
+                              or b"\x00", dtype=np.uint8)
+    seg_rows = []
+    ptrs, strides, steps, is_float = _band_meta(bands, stepsizes)
+    rows = np.empty((n, 13), dtype=np.int64)
+    doff = soff = 0
+    for i, b in enumerate(blocks):
+        data, segs, w, h, orient, numbps, numpasses = b[:7]
+        nsegs = len(segs) if segs else 0
+        if nsegs:
+            seg_rows.extend(int(x) for x in segs)
+        rows[i] = (doff, len(data), soff, nsegs, w, h, orient, numbps,
+                   numpasses, cblk_style, placements[i][0],
+                   placements[i][1], placements[i][2])
+        doff += len(data)
+        soff += nsegs
+    segs_flat = np.asarray(seg_rows or [0], dtype=np.int32)
+    desc = np.ascontiguousarray(rows.ravel())
+    rc = _lib.grok_t1_decode_bands(
+        n, data_flat.ctypes.data, segs_flat.ctypes.data, desc.ctypes.data,
+        ptrs.ctypes.data, strides.ctypes.data, steps.ctypes.data,
+        1 if is_float else 0,
+        nthreads if nthreads is not None else default_threads())
+    if rc != 0:
+        raise RuntimeError("T1 fused band decode failed")

@@ -120,6 +120,25 @@ def encode_cblk_batch_bands(bands, descs, orients, kmaxs,
     return encode_cblk_batch(blocks, cblk_style)
 
 
+def decode_cblk_batch_bands(blocks, bands, placements, cblk_style: int = 0,
+                            stepsizes=None) -> bool:
+    """Fused native decode straight into band planes. Returns False when
+    the native backend is unavailable (caller falls back to
+    decode_cblk_batch + Python placement)."""
+    nat = _get_native()
+    if nat is None:
+        return False
+    if cblk_style & CBLKSTY_HT:
+        nat.ht_decode_cblk_batch_bands(
+            [(bytes(d), w, h, kmax - nb)
+             for (d, s, w, h, o, nb, np_, kmax) in blocks],
+            bands, placements, stepsizes=stepsizes)
+    else:
+        nat.decode_cblk_batch_bands(blocks, bands, placements, cblk_style,
+                                    stepsizes=stepsizes)
+    return True
+
+
 def decode_cblk_batch(blocks, cblk_style: int = 0, signed_out: bool = False):
     """Batch decode: blocks = [(data, seg_lengths, w, h, orient, numbps,
     numpasses[, kmax]), ...] -> [(mag, neg), ...] or signed int32 arrays

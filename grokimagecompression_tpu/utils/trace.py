@@ -65,6 +65,18 @@ def stage(name: str, nbytes: int = 0):
             rec[2] += nbytes
 
 
+def add_time(name: str, seconds: float, nbytes: int = 0) -> None:
+    """Record an already-measured interval (for stages that can't wrap a
+    `with` block without awkward reindentation)."""
+    if not _enabled:
+        return
+    with _lock:
+        rec = _totals[name]
+        rec[0] += seconds
+        rec[1] += 1
+        rec[2] += nbytes
+
+
 def add_bytes(name: str, nbytes: int) -> None:
     if not _enabled:
         return
