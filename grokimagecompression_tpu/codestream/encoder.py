@@ -166,6 +166,14 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
     if device is None:
         device = os.environ.get("GROK_TPU_DEVICE", "") == "1"
     params = params or EncoderParams()
+    # Layer count follows the rate/quality vectors when they are longer
+    # (the reference sets tcp_numlayers from the -r/-q list length:
+    # grk_compress.cpp parsing); keeps the library API consistent with
+    # the CLI.
+    _nl = max(params.numlayers, len(params.rates),
+              len(params.quality_psnr))
+    if _nl != params.numlayers:
+        params = dataclasses.replace(params, numlayers=_nl)
     is_ht = bool(params.cblk_style & 0x40)
     siz = build_siz(image, params)
     if rsiz:

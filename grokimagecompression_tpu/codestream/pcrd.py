@@ -16,6 +16,8 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, List, Optional, Sequence, Tuple
 
+import numpy as np
+
 from .t2 import CblkEnc
 
 
@@ -88,6 +90,11 @@ class RateControlCtx:
     simulate_upto: Callable[[int], int]  # bytes of packets for layers 0..l
     # per-component packet byte totals for layers 0..l (cinema caps)
     simulate_comp_upto: Optional[Callable[[int], dict]] = None
+    # Optional fast path: write one layer's pass counts (values aligned
+    # with the filtered cblk list passed alongside) straight into the
+    # native simulator's buffer, skipping per-object attribute stores
+    # during bisection.
+    write_layer: Optional[Callable[[int, "np.ndarray", list], None]] = None
 
 
 class PCRDAllocator:
@@ -117,8 +124,8 @@ class PCRDAllocator:
 
     def __call__(self, ctx: RateControlCtx) -> None:
         cblks = [cb for cb in ctx.cblks if cb.numpasses > 0]
-        hulls = {id(cb): convex_hull(cb) for cb in cblks}
-        slopes = [hp.slope for h in hulls.values() for hp in h]
+        hull_list = [convex_hull(cb) for cb in cblks]
+        slopes = [hp.slope for h in hull_list for hp in h]
         for cb in ctx.cblks:
             cb.layer_npasses = [0] * ctx.numlayers
         if not slopes:
@@ -131,30 +138,62 @@ class PCRDAllocator:
         distotile = sum(cb.passes[-1].distortion for cb in cblks)
         max_se = float((1 << ctx.max_prec) - 1) ** 2 * ctx.tile_samples
 
-        prev_n = {id(cb): 0 for cb in cblks}
+        # Padded per-block hull tables: slopes strictly descending along
+        # each row, so the passes included at a threshold is the last
+        # column with slope >= thresh — one vectorized comparison for the
+        # whole tile instead of a Python hull walk per block.
+        N = len(cblks)
+        H = max(len(h) for h in hull_list) or 1
+        S = np.full((N, H), -np.inf)
+        NPV = np.full((N, H), 1 << 30, dtype=np.int64)  # pad > any prev_n
+        DV = np.zeros((N, H))
+        for i, h in enumerate(hull_list):
+            for j, hp in enumerate(h):
+                S[i, j] = hp.slope
+                NPV[i, j] = hp.npasses
+                DV[i, j] = hp.dist
+        rows = np.arange(N)
+        numpasses_vec = np.asarray([cb.numpasses for cb in cblks],
+                                   np.int64)
+        prev_n = np.zeros(N, dtype=np.int64)
+        cur_col = [np.zeros(N, dtype=np.int64)]
+
+        def _n_d_at(thresh: float):
+            k = (S >= thresh).sum(axis=1)
+            idx = np.maximum(k - 1, 0)
+            pos = k > 0
+            n = np.where(pos, NPV[rows, idx], 0)
+            d = np.where(pos, DV[rows, idx], 0.0)
+            return n, d
 
         def apply(thresh: Optional[float], layer: int) -> None:
-            """Set layer_npasses[layer] from threshold (None = all rest)."""
-            for cb in cblks:
-                if thresh is None:
-                    n = cb.numpasses
-                else:
-                    n, _ = _npasses_at(hulls[id(cb)], thresh)
-                n = max(n, prev_n[id(cb)])
-                cb.layer_npasses[layer] = n - prev_n[id(cb)]
+            """Set layer pass counts from threshold (None = all rest)."""
+            if thresh is None:
+                n = numpasses_vec
+            else:
+                n, _ = _n_d_at(thresh)
+            n = np.maximum(n, prev_n)
+            col = n - prev_n
+            cur_col[0] = col
+            if ctx.write_layer is not None:
+                ctx.write_layer(layer, col, cblks)
+            else:
+                for cb, v in zip(cblks, col):
+                    cb.layer_npasses[layer] = int(v)
+
+        def _store_objects(layer: int) -> None:
+            """Materialize the converged column into the CblkEnc objects
+            (packet emission reads them; bisection iterations don't)."""
+            if ctx.write_layer is not None:
+                for cb, v in zip(cblks, cur_col[0]):
+                    cb.layer_npasses[layer] = int(v)
 
         def included_dist(thresh: float) -> float:
-            tot = 0.0
-            for cb in cblks:
-                n, d = _npasses_at(hulls[id(cb)], thresh)
-                if n < prev_n[id(cb)]:
-                    # prior layers already included more; count their dist
-                    hull = hulls[id(cb)]
-                    for hp in hull:
-                        if hp.npasses <= prev_n[id(cb)]:
-                            d = hp.dist
-                tot += max(d, 0.0)
-            return tot
+            n, d = _n_d_at(thresh)
+            j = (NPV <= prev_n[:, None]).sum(axis=1)
+            d_prev = np.where(j > 0, DV[rows, np.maximum(j - 1, 0)], 0.0)
+            d_eff = np.where(n < prev_n, d_prev, d)
+            return float(np.maximum(d_eff, 0.0).sum())
 
         for layer in range(ctx.numlayers):
             rate = self.rates[layer] if layer < len(self.rates) else 0.0
@@ -169,8 +208,8 @@ class PCRDAllocator:
                     else cap
             if target_bytes <= 0 and q <= 0:
                 apply(None, layer)
-                for cb in cblks:
-                    prev_n[id(cb)] = cb.numpasses
+                _store_objects(layer)
+                prev_n = numpasses_vec.copy()
                 continue
 
             if q > 0:
@@ -191,6 +230,7 @@ class PCRDAllocator:
                 else:
                     thresh = smin  # best effort: include everything feasible
                 apply(thresh, layer)
+                _store_objects(layer)
             else:
                 # Byte-budget mode: bytes shrink as threshold grows; find
                 # the SMALLEST feasible threshold (most passes) that fits.
@@ -219,14 +259,18 @@ class PCRDAllocator:
                         else:
                             lo = mid
                     apply(hi, layer)
+                    _store_objects(layer)
                 else:
                     # Even the sparsest assignment busts the budget: emit
                     # an empty layer (headers only), like the reference's
                     # failure path.
+                    zero = np.zeros(N, dtype=np.int64)
+                    cur_col[0] = zero
+                    if ctx.write_layer is not None:
+                        ctx.write_layer(layer, zero, cblks)
                     for cb in cblks:
                         cb.layer_npasses[layer] = 0
-            for cb in cblks:
-                prev_n[id(cb)] += cb.layer_npasses[layer]
+            prev_n = prev_n + cur_col[0]
 
 
 def make_layer_alloc(image, params) -> PCRDAllocator:

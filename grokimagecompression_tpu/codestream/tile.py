@@ -504,6 +504,9 @@ def encode_tile(
                         totals[c] = totals.get(c, 0) + 6
             return totals
 
+        def _write_layer(layer, values, cblks_f):
+            _get_tile_sim().write_rows(layer, values, cblks_f)
+
         ctx = RateControlCtx(
             cblks=all_cblks,
             numlayers=numlayers,
@@ -512,6 +515,7 @@ def encode_tile(
             max_prec=max(c.prec for c in siz.comps),
             simulate_upto=_simulate,
             simulate_comp_upto=_simulate_comps,
+            write_layer=_write_layer if _t2_native is not None else None,
         )
         layer_alloc(ctx)
 

@@ -177,8 +177,23 @@ class TileSim:
         self.pass_stride = pass_stride
         self.layer_np = np.zeros((max(1, n), numlayers), dtype=np.int32)
         self.out_bytes = np.zeros(max(1, self.ngroups), dtype=np.int64)
+        # When the allocator writes layer_np directly (write_rows), the
+        # CblkEnc objects are stale during bisection — skip re-reading.
+        self.direct = False
+        self._row_of = None
+
+    def write_rows(self, layer: int, values, cblks) -> None:
+        """Scatter one layer's pass counts for `cblks` into layer_np."""
+        if self._row_of is None:
+            self._row_of = {id(cb): i for i, cb in enumerate(self.order)}
+        rows = np.fromiter((self._row_of[id(cb)] for cb in cblks),
+                           np.int64, len(cblks))
+        self.layer_np[rows, layer] = values
+        self.direct = True
 
     def refresh(self):
+        if self.direct:
+            return
         nl = self.numlayers
         if nl == 1:
             self.layer_np[:len(self.order), 0] = np.fromiter(

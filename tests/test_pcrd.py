@@ -115,3 +115,36 @@ def test_rate_control_rgb_tiled():
     out = decoder.decode(cs)
     for c in range(3):
         assert _psnr(out.components[c].data, comps[c].data) > 24.0
+
+
+def test_rates_vector_implies_numlayers():
+    """rates longer than numlayers must create that many layers (the
+    reference derives tcp_numlayers from the -r list length)."""
+    import numpy as np
+    from grokimagecompression_tpu.codestream import decoder, encoder
+    from grokimagecompression_tpu.codestream.decoder import DecoderParams
+    from grokimagecompression_tpu.core.image import Component, Image
+    from grokimagecompression_tpu.core.params import EncoderParams, Transform
+
+    rng = np.random.default_rng(7)
+    d = rng.integers(0, 256, (120, 160, 3)).astype(np.int32)
+    img = Image(xsiz=160, ysiz=120, components=[
+        Component(data=d[:, :, c], prec=8, signed=False, dx=1, dy=1)
+        for c in range(3)])
+    cs = encoder.encode(img, EncoderParams(transform=Transform.DWT_97,
+                                           rates=[50.0, 10.0, 3.0]),
+                        device=False)
+    hdr = decoder.read_header(cs)
+    assert hdr.cod.numlayers == 3
+    raw = d.size  # 8-bit samples
+    ratio = raw / len(cs)
+    assert 2.5 <= ratio <= 3.6
+    full = decoder.decode(cs)
+    one = decoder.decode(cs, DecoderParams(layers=1))
+    err_full = np.sqrt(np.mean(
+        [(full.components[c].data.astype(np.float64) - d[:, :, c]) ** 2
+         for c in range(3)]))
+    err_one = np.sqrt(np.mean(
+        [(one.components[c].data.astype(np.float64) - d[:, :, c]) ** 2
+         for c in range(3)]))
+    assert err_one > err_full
