@@ -110,3 +110,29 @@ def test_vsc_pterm_styles(style):
             ref[0], segs if len(segs) > 1 else None, w, h, orient,
             ref[1], ref[2], style)
         np.testing.assert_array_equal(m2, mag)
+
+
+def test_fused_decode_matches_fallback(monkeypatch):
+    """GROK_TPU_FUSED_DEC=0 (per-block decode + Python placement) must
+    reproduce the fused band-scatter decode exactly, lossless and lossy."""
+    import numpy as np
+    from grokimagecompression_tpu.codestream import decoder, encoder
+    from grokimagecompression_tpu.core.image import Component, Image
+    from grokimagecompression_tpu.core.params import EncoderParams, Transform
+
+    rng = np.random.default_rng(11)
+    d = rng.integers(0, 256, (96, 130, 3)).astype(np.int32)
+    img = Image(xsiz=130, ysiz=96, components=[
+        Component(data=d[:, :, c], prec=8, signed=False, dx=1, dy=1)
+        for c in range(3)])
+    for params in (EncoderParams(),                      # 5/3 MQ
+                   EncoderParams(cblk_style=0x40),       # 5/3 HT
+                   EncoderParams(transform=Transform.DWT_97)):  # 9/7 MQ
+        cs = encoder.encode(img, params, device=False)
+        fused = decoder.decode(cs)
+        monkeypatch.setenv("GROK_TPU_FUSED_DEC", "0")
+        plain = decoder.decode(cs)
+        monkeypatch.delenv("GROK_TPU_FUSED_DEC")
+        for c in range(3):
+            assert np.array_equal(fused.components[c].data,
+                                  plain.components[c].data)
