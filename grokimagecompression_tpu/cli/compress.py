@@ -39,8 +39,17 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="grk_compress",
         description="TPU-native JPEG 2000 encoder (Grok-compatible CLI)")
-    p.add_argument("-i", "--in-file", required=True)
-    p.add_argument("-o", "--out-file", required=True)
+    p.add_argument("-i", "--in-file")
+    p.add_argument("-o", "--out-file")
+    p.add_argument("-y", "--img-dir", default=None,
+                   help="encode every image in this directory (-O required)")
+    p.add_argument("-O", "--out-format", default=None,
+                   choices=["J2K", "J2C", "JP2", "j2k", "j2c", "jp2"],
+                   help="output format for -y directory mode")
+    p.add_argument("-a", "--out-dir", default=None,
+                   help="output directory (with -y)")
+    p.add_argument("-K", "--in-format", default=None,
+                   help="input format override (extension without dot)")
     p.add_argument("-r", "--compression-ratios",
                    help="layer compression ratios, e.g. 20,10,1")
     p.add_argument("-q", "--quality", help="layer PSNR targets in dB")
@@ -81,8 +90,67 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-F", "--raw", default=None, metavar="DESC",
                    help="raw image description w,h,ncomps,prec,[s|u]"
                         "[@dxxdy:...] (reference -F)")
+    p.add_argument("-P", "--poc", default=None,
+                   help="progression order changes, e.g. "
+                        "T1=0,0,1,5,3,CPRL/T1=5,0,1,6,3,CPRL")
+    p.add_argument("-u", "--tp", default=None, choices=["R", "L", "C"],
+                   help="divide each tile into tile-parts by resolution, "
+                        "layer, or component")
+    p.add_argument("-R", "--roi", default=None, metavar="c=N,U=S",
+                   help="component-of-interest upshift (RGN marker)")
+    p.add_argument("-Y", "--mct", type=int, default=None, choices=[0, 1, 2],
+                   help="0: no MCT; 1: RGB->YCC; 2: custom (needs -m)")
+    p.add_argument("-m", "--custom-mct", default=None, metavar="FILE",
+                   help="file of comma-separated decode-matrix values "
+                        "(ncomps x ncomps); implies -Y 2")
+    p.add_argument("-Z", "--rsiz", type=lambda v: int(v, 0), default=0,
+                   help="explicit Rsiz profile/capability value")
+    p.add_argument("-A", "--rate-control-algorithm", type=int, default=1,
+                   choices=[0, 1],
+                   help="rate control: both map to feasible-truncation "
+                        "bisection on the convex hull")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
+
+
+def _parse_poc(spec: str, default_layers: int):
+    from ..codestream.markers import PocEntry
+    out = []
+    for part in spec.split("/"):
+        part = part.strip()
+        if "=" in part:
+            part = part.split("=", 1)[1]   # strip T<tile>= prefix
+        f = part.split(",")
+        if len(f) != 6:
+            common.fail(f"-P entry needs 6 fields, got {part!r}")
+        out.append(PocEntry(rs=int(f[0]), cs=int(f[1]), lye=int(f[2]),
+                            re=int(f[3]), ce=int(f[4]),
+                            prog=Progression[f[5]]))
+    return tuple(out)
+
+
+def _parse_roi(spec: str):
+    comp = shift = None
+    for kv in spec.split(","):
+        k, _, v = kv.partition("=")
+        if k.strip().lower() == "c":
+            comp = int(v)
+        elif k.strip().upper() == "U":
+            shift = int(v)
+    if comp is None or shift is None:
+        common.fail(f"-R expects c=<comp>,U=<shift>, got {spec!r}")
+    return comp, shift
+
+
+def _read_mct_file(path: str):
+    txt = open(path).read().replace("\n", ",")
+    vals = [float(v) for v in txt.split(",") if v.strip()]
+    import math
+    n = int(math.isqrt(len(vals)))
+    if n * n != len(vals):
+        common.fail(f"-m file must hold a square matrix, got {len(vals)} "
+                    "values")
+    return [vals[i * n:(i + 1) * n] for i in range(n)]
 
 
 def main(argv=None) -> int:
@@ -90,6 +158,45 @@ def main(argv=None) -> int:
     if args.num_workers > 0:
         os.environ["GROK_TPU_THREADS"] = str(args.num_workers)
 
+    if args.img_dir:
+        # Directory batch mode (reference -ImgDir/-OutFor/-OutDir).
+        if not args.out_format:
+            common.fail("-y/--img-dir requires -O/--out-format")
+        out_dir = args.out_dir or args.img_dir
+        os.makedirs(out_dir, exist_ok=True)
+        ext = "." + args.out_format.lower().replace("j2c", "j2k")
+        rc = 0
+        for name in sorted(os.listdir(args.img_dir)):
+            src = os.path.join(args.img_dir, name)
+            if not os.path.isfile(src):
+                continue
+            stem, sfx = os.path.splitext(name)
+            if args.in_format and sfx.lstrip(".").lower() \
+                    != args.in_format.lower():
+                continue
+            dst = os.path.join(out_dir, stem + ext)
+            sub = [a for a in (argv if argv is not None else sys.argv[1:])]
+            # Re-run single-file mode with -i/-o substituted.
+            filtered = []
+            skip = False
+            for i, a in enumerate(sub):
+                if skip:
+                    skip = False
+                    continue
+                if a in ("-y", "--img-dir", "-O", "--out-format", "-a",
+                         "--out-dir", "-K", "--in-format"):
+                    skip = True
+                    continue
+                filtered.append(a)
+            try:
+                rc |= main(filtered + ["-i", src, "-o", dst])
+            except SystemExit as e:
+                print(f"error encoding {src}: {e}", file=sys.stderr)
+                rc = 1
+        return rc
+
+    if not args.in_file or not args.out_file:
+        common.fail("-i and -o are required (or use -y directory mode)")
     image = common.read_image(args.in_file, raw_desc=args.raw)
 
     rates = tuple(float(r) for r in args.compression_ratios.split(",")) \
@@ -118,7 +225,22 @@ def main(argv=None) -> int:
         sop_markers=args.sop,
         eph_markers=args.eph,
         comment=args.comment,
+        pocs=_parse_poc(args.poc, max(1, len(rates), len(quality)))
+        if args.poc else (),
+        tp_flag=args.tp,
+        roi_comp=_parse_roi(args.roi)[0] if args.roi else None,
+        roi_shift=_parse_roi(args.roi)[1] if args.roi else 0,
     )
+    if args.custom_mct:
+        import dataclasses as _dc
+        params = _dc.replace(params, custom_mct=_read_mct_file(
+            args.custom_mct), transform=Transform.DWT_97)
+    elif args.mct is not None:
+        if args.mct == 2:
+            common.fail("-Y 2 (custom MCT) requires -m <matrix file>")
+        import dataclasses as _dc
+        from ..core.params import MCT as _MCT
+        params = _dc.replace(params, mct=_MCT(args.mct))
     t0 = time.perf_counter()
     if args.cinema2k or args.cinema4k or args.imf or args.broadcast:
         from ..codestream import profiles
@@ -135,7 +257,8 @@ def main(argv=None) -> int:
             print(f"warning: {w}", file=sys.stderr)
         cs = profiles.encode_with_profile(image, prof)
     else:
-        cs = encoder.encode(image, params, device=args.device)
+        cs = encoder.encode(image, params, device=args.device,
+                            rsiz=args.rsiz)
     dt = time.perf_counter() - t0
     if args.out_file.lower().endswith(".jp2"):
         from ..codestream import jp2

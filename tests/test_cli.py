@@ -193,3 +193,37 @@ def test_decompress_split_pnm(tmp_path):
         rec = read_pnm(str(tmp_path / f"o_{c}.pgm"))
         np.testing.assert_array_equal(rec.components[0].data,
                                       comps[c].data)
+
+
+def test_compress_cli_poc_tp_roi_flags(tmp_path):
+    """New reference-parity flags: -P (POC), -u (tile-parts), -R (ROI),
+    -Y (MCT select), -y/-O/-a (directory mode)."""
+    import numpy as np
+    from grokimagecompression_tpu.cli import compress, decompress
+    from grokimagecompression_tpu.io.pnm import read_pnm
+
+    rng = np.random.default_rng(5)
+    d = rng.integers(0, 256, (64, 80, 3)).astype(np.uint8)
+    src = tmp_path / "in.ppm"
+    src.write_bytes(b"P6\n80 64\n255\n" + d.tobytes())
+
+    out = tmp_path / "out.j2k"
+    rc = compress.main(["-i", str(src), "-o", str(out), "-n", "4",
+                        "-P", "T0=0,0,1,3,3,CPRL/T0=3,0,1,4,3,LRCP",
+                        "-u", "R", "-R", "c=0,U=4", "-Y", "0"])
+    assert rc == 0
+    dec = tmp_path / "dec.ppm"
+    assert decompress.main(["-i", str(out), "-o", str(dec)]) == 0
+    got = read_pnm(str(dec))
+    for c in range(3):
+        assert np.array_equal(got.components[c].data, d[:, :, c])
+
+    # directory batch mode
+    imgs = tmp_path / "imgs"
+    outs = tmp_path / "outs"
+    imgs.mkdir()
+    for n in ("a", "b"):
+        (imgs / f"{n}.ppm").write_bytes(b"P6\n80 64\n255\n" + d.tobytes())
+    rc = compress.main(["-y", str(imgs), "-O", "J2K", "-a", str(outs)])
+    assert rc == 0
+    assert sorted(p.name for p in outs.iterdir()) == ["a.j2k", "b.j2k"]
