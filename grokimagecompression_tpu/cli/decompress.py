@@ -21,8 +21,14 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="grk_decompress",
         description="TPU-native JPEG 2000 decoder (Grok-compatible CLI)")
-    p.add_argument("-i", "--in-file", required=True)
-    p.add_argument("-o", "--out-file", required=True)
+    p.add_argument("-i", "--in-file")
+    p.add_argument("-o", "--out-file")
+    p.add_argument("-y", "--img-dir", default=None,
+                   help="decode every .j2k/.jp2 in this directory")
+    p.add_argument("-a", "--out-dir", default=None,
+                   help="output directory (with -y)")
+    p.add_argument("-O", "--out-format", default="ppm",
+                   help="output extension for -y directory mode")
     p.add_argument("-r", "--reduce", type=int, default=0,
                    help="discard this many highest resolution levels")
     p.add_argument("-l", "--layers", type=int, default=0,
@@ -40,12 +46,92 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--split-pnm", action="store_true",
                    help="write each component to its own PGM file "
                         "(out_0.pgm, out_1.pgm, ...)")
+    p.add_argument("-p", "--precision", default=None,
+                   help="force component precisions, e.g. 8C,10S "
+                        "(C = clip, S = scale; last value repeats)")
+    p.add_argument("-H", "--num-workers", type=int, default=0,
+                   help="T1 worker threads (0 = all cores)")
+    p.add_argument("-X", "--xml", action="store_true",
+                   help="write JP2 XML metadata next to the output file")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
 
+def _parse_precision(spec: str):
+    out = []
+    for tok in spec.split(","):
+        tok = tok.strip()
+        mode = "C"
+        if tok and tok[-1] in "CScs":
+            mode = tok[-1].upper()
+            tok = tok[:-1]
+        out.append((int(tok), mode))
+    return out
+
+
+def _force_precision(image, spec):
+    """Clip or scale components to the requested bit depths (reference:
+    grk_decompress.cpp precision option)."""
+    import dataclasses
+    import numpy as np
+    from ..core.image import Image
+    plist = _parse_precision(spec)
+    comps = []
+    for ci, comp in enumerate(image.components):
+        prec, mode = plist[min(ci, len(plist) - 1)]
+        if prec == 0 or prec == comp.prec:
+            comps.append(comp)
+            continue
+        a = comp.data.astype(np.int64)
+        if mode == "S":
+            if prec > comp.prec:
+                a = a << (prec - comp.prec)
+            else:
+                a = a >> (comp.prec - prec)
+        if comp.signed:
+            lo, hi = -(1 << (prec - 1)), (1 << (prec - 1)) - 1
+        else:
+            lo, hi = 0, (1 << prec) - 1
+        a = np.clip(a, lo, hi).astype(np.int32)
+        comps.append(dataclasses.replace(comp, data=a, prec=prec))
+    return dataclasses.replace(image, components=comps)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    import os as _os
+    if args.num_workers > 0:
+        _os.environ["GROK_TPU_THREADS"] = str(args.num_workers)
+    if args.img_dir:
+        out_dir = args.out_dir or args.img_dir
+        _os.makedirs(out_dir, exist_ok=True)
+        rc = 0
+        base_argv = list(argv if argv is not None else sys.argv[1:])
+        filtered = []
+        skip = False
+        for a in base_argv:
+            if skip:
+                skip = False
+                continue
+            if a in ("-y", "--img-dir", "-a", "--out-dir", "-O",
+                     "--out-format"):
+                skip = True
+                continue
+            filtered.append(a)
+        for name in sorted(_os.listdir(args.img_dir)):
+            if not name.lower().endswith((".j2k", ".j2c", ".jp2", ".jph")):
+                continue
+            src = _os.path.join(args.img_dir, name)
+            dst = _os.path.join(out_dir, _os.path.splitext(name)[0]
+                                + "." + args.out_format.lstrip("."))
+            try:
+                rc |= main(filtered + ["-i", src, "-o", dst])
+            except SystemExit as e:
+                print(f"error decoding {src}: {e}", file=sys.stderr)
+                rc = 1
+        return rc
+    if not args.in_file or not args.out_file:
+        common.fail("-i and -o are required (or use -y directory mode)")
     with open(args.in_file, "rb") as f:
         data = f.read()
     window = None
@@ -83,6 +169,13 @@ def main(argv=None) -> int:
                                    force_rgb=args.force_rgb)
     elif args.force_rgb and len(image.components) < 3:
         image = _color.gray_to_rgb(image)
+    if args.precision:
+        image = _force_precision(image, args.precision)
+    if args.xml and _jp2.is_jp2(data):
+        hdr2, _ = _jp2.read_jp2(data)
+        if getattr(hdr2, "xml", None):
+            with open(args.out_file + ".xml", "wb") as xf:
+                xf.write(b"".join(hdr2.xml))
     if args.split_pnm:
         import os as _os
         from ..core.image import Image as _Image

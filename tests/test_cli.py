@@ -227,3 +227,40 @@ def test_compress_cli_poc_tp_roi_flags(tmp_path):
     rc = compress.main(["-y", str(imgs), "-O", "J2K", "-a", str(outs)])
     assert rc == 0
     assert sorted(p.name for p in outs.iterdir()) == ["a.j2k", "b.j2k"]
+
+
+def test_decompress_cli_precision_and_dir(tmp_path):
+    """-p precision forcing (clip/scale) and -y directory decode."""
+    import numpy as np
+    from grokimagecompression_tpu.cli import compress, decompress
+    from grokimagecompression_tpu.io.pnm import read_pnm
+
+    rng = np.random.default_rng(9)
+    d = rng.integers(0, 256, (48, 60)).astype(np.uint8)
+    src = tmp_path / "in.pgm"
+    src.write_bytes(b"P5\n60 48\n255\n" + d.tobytes())
+    j2k = tmp_path / "x.j2k"
+    assert compress.main(["-i", str(src), "-o", str(j2k)]) == 0
+
+    # scale to 10 bits: v << 2
+    out10 = tmp_path / "p10.pgm"
+    assert decompress.main(["-i", str(j2k), "-o", str(out10),
+                            "-p", "10S"]) == 0
+    got = read_pnm(str(out10))
+    assert got.components[0].prec == 10
+    assert np.array_equal(got.components[0].data,
+                          d.astype(np.int32) << 2)
+
+    # clip to 6 bits
+    out6 = tmp_path / "p6.pgm"
+    assert decompress.main(["-i", str(j2k), "-o", str(out6),
+                            "-p", "6C"]) == 0
+    got6 = read_pnm(str(out6))
+    assert int(got6.components[0].data.max()) <= 63
+
+    # directory mode
+    outs = tmp_path / "outs"
+    assert decompress.main(["-y", str(tmp_path), "-a", str(outs),
+                            "-O", "pgm"]) == 0
+    rec = read_pnm(str(outs / "x.pgm"))
+    assert np.array_equal(rec.components[0].data, d.astype(np.int32))
