@@ -128,6 +128,75 @@ def compress(array: np.ndarray, *, lossless: bool = True,
     return c.compress_image(img)
 
 
+def compress_batch(arrays: Sequence[np.ndarray], *,
+                   workers: int = 0, **kwargs) -> list:
+    """Compress a batch of arrays concurrently — the serving-path analog
+    of the reference's per-image CLI loop, but with images fanned out
+    over a thread pool while each image's native coding stages run with
+    a proportional slice of the cores (the native batch entries release
+    the GIL). Accepts the same keyword options as compress()."""
+    arrays = list(arrays)
+    if not arrays:
+        return []
+    if len(arrays) == 1:
+        return [compress(arrays[0], **kwargs)]
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+    ncpu = os.cpu_count() or 1
+    nw = workers or min(len(arrays), ncpu)
+    inner = max(1, ncpu // nw)
+
+    def one(a):
+        try:
+            from .native import t1_native
+            t1_native.set_thread_override(inner)
+        except Exception:
+            pass
+        try:
+            return compress(a, **kwargs)
+        finally:
+            try:
+                t1_native.set_thread_override(None)
+            except Exception:
+                pass
+
+    with ThreadPoolExecutor(max_workers=nw) as ex:
+        return list(ex.map(one, arrays))
+
+
+def decompress_batch(streams: Sequence[bytes], *,
+                     workers: int = 0, **kwargs) -> list:
+    """Decompress a batch of codestreams concurrently (see
+    compress_batch)."""
+    streams = list(streams)
+    if not streams:
+        return []
+    if len(streams) == 1:
+        return [decompress(streams[0], **kwargs)]
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+    ncpu = os.cpu_count() or 1
+    nw = workers or min(len(streams), ncpu)
+    inner = max(1, ncpu // nw)
+
+    def one(d):
+        try:
+            from .native import t1_native
+            t1_native.set_thread_override(inner)
+        except Exception:
+            pass
+        try:
+            return decompress(d, **kwargs)
+        finally:
+            try:
+                t1_native.set_thread_override(None)
+            except Exception:
+                pass
+
+    with ThreadPoolExecutor(max_workers=nw) as ex:
+        return list(ex.map(one, streams))
+
+
 def decompress(data: bytes, *, reduce: int = 0, layers: int = 0,
                window: Optional[Tuple[int, int, int, int]] = None
                ) -> np.ndarray:
