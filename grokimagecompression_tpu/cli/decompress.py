@@ -51,6 +51,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "(C = clip, S = scale; last value repeats)")
     p.add_argument("-H", "--num-workers", type=int, default=0,
                    help="T1 worker threads (0 = all cores)")
+    p.add_argument("-c", "--compression", type=int, default=0,
+                   help="output compression: 8 = zip for TIFF output")
     p.add_argument("-X", "--xml", action="store_true",
                    help="write JP2 XML metadata next to the output file")
     p.add_argument("-v", "--verbose", action="store_true")
@@ -185,6 +187,10 @@ def main(argv=None) -> int:
                 f"{base}_{ci}.pgm",
                 _Image(x0=image.x0, y0=image.y0, xsiz=image.xsiz,
                        ysiz=image.ysiz, components=[comp]))
+    elif args.compression == 8 and args.out_file.lower().endswith(
+            (".tif", ".tiff")):
+        from ..io import tiff as _tiff
+        _tiff.write_tiff(args.out_file, image, compression=8)
     else:
         common.write_image(args.out_file, image)
     if args.verbose:

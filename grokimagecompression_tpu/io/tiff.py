@@ -91,7 +91,7 @@ def read_tiff(path: str) -> Image:
     planar = tags.get(_PLANAR, [1])[0]
     sample_fmt = tags.get(_SAMPLE_FMT, [1])[0]
     signed = sample_fmt == 2
-    if compression not in (1, 32773):
+    if compression not in (1, 8, 32773, 32946):
         raise ValueError(f"unsupported TIFF compression {compression}")
     if bps not in (1, 8, 16):
         raise ValueError(f"unsupported TIFF bit depth {bps}")
@@ -103,7 +103,10 @@ def read_tiff(path: str) -> Image:
         buf = bytearray()
         for i, o in enumerate(offs):
             chunk = data[o:o + cnts[i]]
-            if compression == 32773:
+            if compression in (8, 32946):
+                import zlib
+                chunk = zlib.decompress(chunk)
+            elif compression == 32773:
                 rows = min(rows_per_strip, h - i * rows_per_strip)
                 if planar == 2:
                     want = ((w * bps + 7) // 8) * rows
@@ -159,7 +162,9 @@ def _tag(e: str, tag: int, typ: int, vals: List[int],
     return struct.pack(e + "HHII", tag, typ, n, off)
 
 
-def write_tiff(path: str, image: Image) -> None:
+def write_tiff(path: str, image: Image, compression: int = 1) -> None:
+    """`compression`: 1 = none (default), 8 = zip/deflate (the reference's
+    -c 8 COMPRESSION_ADOBE_DEFLATE output option)."""
     e = "<"
     n = len(image.components)
     w, h = image.xsiz, image.ysiz
@@ -177,6 +182,11 @@ def write_tiff(path: str, image: Image) -> None:
         body = stack.astype(
             np.dtype(np.int16 if signed else np.uint16).newbyteorder(e)
         ).tobytes()
+    if compression == 8:
+        import zlib
+        body = zlib.compress(body, 6)
+    elif compression != 1:
+        raise ValueError(f"unsupported TIFF write compression {compression}")
     photo = 2 if n >= 3 else 1
     ntags = 10
     ifd_off = 8
@@ -190,7 +200,7 @@ def write_tiff(path: str, image: Image) -> None:
         ent += _tag(e, _W, 4, [w], hp, heap_base)
         ent += _tag(e, _H, 4, [h], hp, heap_base)
         ent += _tag(e, _BPS, 3, [bps] * n, hp, heap_base)
-        ent += _tag(e, _COMPRESSION, 3, [1], hp, heap_base)
+        ent += _tag(e, _COMPRESSION, 3, [compression], hp, heap_base)
         ent += _tag(e, _PHOTO, 3, [photo], hp, heap_base)
         ent += _tag(e, _STRIP_OFF, 4, [pixel_off], hp, heap_base)
         ent += _tag(e, _SPP, 3, [n], hp, heap_base)

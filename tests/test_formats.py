@@ -314,3 +314,27 @@ def test_jp2_res_reference_interop(tmp_path):
     open(p, "wb").write(wrapped)
     r = subprocess.run([dump, "-i", p], capture_output=True, text=True)
     assert r.returncode == 0, r.stderr[:300]
+
+
+def test_tiff_deflate_roundtrip(tmp_path):
+    import numpy as np
+    from grokimagecompression_tpu.core.image import Component, Image
+    from grokimagecompression_tpu.io import tiff
+
+    rng = np.random.default_rng(13)
+    d = rng.integers(0, 256, (40, 56, 3)).astype(np.int32)
+    img = Image(xsiz=56, ysiz=40, components=[
+        Component(data=d[:, :, c], prec=8, signed=False, dx=1, dy=1)
+        for c in range(3)])
+    f = tmp_path / "z.tif"
+    tiff.write_tiff(str(f), img, compression=8)
+    back = tiff.read_tiff(str(f))
+    for c in range(3):
+        assert np.array_equal(back.components[c].data, d[:, :, c])
+    # 16-bit too
+    d16 = rng.integers(0, 4096, (25, 31)).astype(np.int32)
+    img16 = Image(xsiz=31, ysiz=25, components=[
+        Component(data=d16, prec=12, signed=False, dx=1, dy=1)])
+    f16 = tmp_path / "z16.tif"
+    tiff.write_tiff(str(f16), img16, compression=8)
+    assert np.array_equal(tiff.read_tiff(str(f16)).components[0].data, d16)
