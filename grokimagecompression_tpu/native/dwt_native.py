@@ -44,6 +44,12 @@ def _level_geom(rect: Rect, levels: int):
 def fwd_dwt_2d(a: np.ndarray, rect: Rect, numresolutions: int,
                reversible: bool = True) -> Dict[Tuple[int, int], np.ndarray]:
     levels = numresolutions - 1
+    if rect.w <= 0 or rect.h <= 0:
+        # Degenerate tile-component (possible with subsampled comps or
+        # hostile SIZ): numpy semantics, no native call.
+        from ..ops import dwt_np
+        return dwt_np.fwd_dwt_2d(a, rect, numresolutions,
+                                 reversible=reversible)
     dtype = np.int32 if reversible else np.float32
     a = np.ascontiguousarray(a, dtype=dtype)
     geom, (llw, llh) = _level_geom(rect, levels)
@@ -78,6 +84,10 @@ def inv_dwt_2d(bands: Dict[Tuple[int, int], np.ndarray], rect: Rect,
                numresolutions: int, reversible: bool = True,
                max_res=None) -> np.ndarray:
     levels = numresolutions - 1
+    if rect.w <= 0 or rect.h <= 0:
+        from ..ops import dwt_np
+        return dwt_np.inv_dwt_2d(bands, rect, numresolutions,
+                                 reversible=reversible, max_res=max_res)
     if max_res is not None and max_res < levels:
         # Partial reconstruction falls back to the numpy reference.
         from ..ops import dwt_np

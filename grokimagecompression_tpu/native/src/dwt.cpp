@@ -475,6 +475,7 @@ extern "C" {
 int grok_dwt53_fwd(int32_t* data, int w, int h, int x0, int y0, int levels,
                    int32_t* band_flat, const int64_t* band_off,
                    int64_t ll_off) {
+  if (w <= 0 || h <= 0) return 0;  // degenerate tile-component
   int cw = w, ch = h, cx0 = x0, cy0 = y0;
   int32_t* cur = arena<int32_t>(0, (size_t)w * h);
   std::memcpy(cur, data, sizeof(int32_t) * (size_t)w * h);
@@ -530,6 +531,7 @@ int grok_dwt53_fwd(int32_t* data, int w, int h, int x0, int y0, int levels,
 int grok_dwt53_inv(int32_t* data, int w, int h, int x0, int y0, int levels,
                    const int32_t* band_flat, const int64_t* band_off,
                    int64_t ll_off) {
+  if (w <= 0 || h <= 0) return 0;  // degenerate tile-component
   // compute per-level geometry top-down
   std::vector<int> ws(levels + 1), hs(levels + 1), xs(levels + 1),
       ys(levels + 1);
@@ -583,6 +585,7 @@ int grok_dwt53_inv(int32_t* data, int w, int h, int x0, int y0, int levels,
 int grok_dwt97_fwd(float* data, int w, int h, int x0, int y0, int levels,
                    float* band_flat, const int64_t* band_off,
                    int64_t ll_off) {
+  if (w <= 0 || h <= 0) return 0;  // degenerate tile-component
   int cw = w, ch = h, cx0 = x0, cy0 = y0;
   float* cur = arena<float>(0, (size_t)w * h);
   std::memcpy(cur, data, sizeof(float) * (size_t)w * h);
@@ -637,6 +640,7 @@ int grok_dwt97_fwd(float* data, int w, int h, int x0, int y0, int levels,
 int grok_dwt97_inv(float* data, int w, int h, int x0, int y0, int levels,
                    const float* band_flat, const int64_t* band_off,
                    int64_t ll_off) {
+  if (w <= 0 || h <= 0) return 0;  // degenerate tile-component
   std::vector<int> ws(levels + 1), hs(levels + 1), xs(levels + 1),
       ys(levels + 1);
   ws[0] = w; hs[0] = h; xs[0] = x0; ys[0] = y0;
