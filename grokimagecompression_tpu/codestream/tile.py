@@ -405,21 +405,33 @@ def encode_tile(
         nbytes = 0
         npk = 0
         if _t2_native is not None:
-            # Native path: every layer's fragment for a precinct group is
-            # produced in one call (tag-tree/lblock state lives inside);
-            # marshaling is cached across PCRD simulate iterations.
-            frags: Dict[Tuple[int, int, int], List[bytes]] = {}
-            for (l, r, c, p) in _packet_iter():
+            # Native path: ONE call encodes every precinct group (worker
+            # threads across groups); Python assembles the per-layer
+            # fragments in progression order.
+            order = list(_packet_iter())
+            groups = []
+            seen = set()
+            for (l, r, c, p) in order:
+                key = (r, c, p)
+                if key in seen:
+                    continue
+                seen.add(key)
+                orients = (0,) if r == 0 else (1, 2, 3)
+                precs = [prec_enc[c][(r, o)][p] for o in orients
+                         if (r, o) in prec_enc[c]]
+                groups.append((key, c, precs))
+            tenc = _t2_native.TileEnc(groups, numlayers, cod.cblk_style,
+                                      cod.eph)
+            frags = tenc.encode_all(max_layer,
+                                    t1_backend.native_threads())
+            for (l, r, c, p) in order:
                 if l > max_layer:
                     continue
-                key = (r, c, p)
-                if key not in frags:
-                    frags[key] = _native_group(key).encode()
-                pkt = frags[key][l]
+                pkt = frags[(r, c, p)][l]
                 if cod.sop:
                     import struct as _struct
                     pkt = _struct.pack(">HHH", 0xFF91, 4,
-                                      npk & 0xFFFF) + pkt
+                                       npk & 0xFFFF) + bytes(pkt)
                 nbytes += len(pkt)
                 if collect is not None:
                     collect += pkt

@@ -9,6 +9,7 @@
 // it inside a single native call over the layer loop reproduces the
 // packet-by-packet state evolution exactly.
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -358,6 +359,48 @@ int grok_t2_simulate_tile(
     cblk_off += ncb;
   }
   return 0;
+}
+
+// Whole-tile packet emission: every group encoded in one call, OMP
+// across groups, each into its own slot of `out` (slot prefix offsets in
+// group_off, ngroups+1 entries). Per-(group, layer) fragment offsets are
+// written to frag_off (ngroups x (numlayers+1), relative to the group
+// slot). Returns -1 if any group overflows its slot.
+int grok_t2_encode_tile(
+    int ngroups, int numlayers, int max_layer, int eph,
+    const int32_t* g_nbands, const int32_t* grid, const int32_t* ncblks,
+    const int64_t* cblk_meta, const int32_t* layer_npasses,
+    const int32_t* pass_rates, const uint8_t* pass_term, int pass_stride,
+    const uint8_t* data_flat, uint8_t* out, const int64_t* group_off,
+    int64_t* frag_off, int nthreads) {
+  std::vector<int> band_offs(ngroups), cblk_offs(ngroups);
+  int band_off = 0, cblk_off = 0;
+  for (int g = 0; g < ngroups; g++) {
+    band_offs[g] = band_off;
+    cblk_offs[g] = cblk_off;
+    int nb = g_nbands[g];
+    for (int b = 0; b < nb; b++) cblk_off += ncblks[band_off + b];
+    band_off += nb;
+  }
+  std::atomic<int> err{0};
+  int nt = nthreads < ngroups ? nthreads : ngroups;
+  if (nt < 1) nt = 1;
+#pragma omp parallel for schedule(dynamic) num_threads(nt) if (nt > 1)
+  for (int g = 0; g < ngroups; g++) {
+    int nb = g_nbands[g];
+    int bo = band_offs[g], co = cblk_offs[g];
+    int64_t cap = group_off[g + 1] - group_off[g];
+    int64_t n = encode_group(
+        numlayers, max_layer, eph, nb, grid + (size_t)bo * 2,
+        ncblks + bo, cblk_meta + (size_t)co * 5,
+        layer_npasses + (size_t)co * numlayers,
+        pass_rates + (size_t)co * pass_stride,
+        pass_term + (size_t)co * pass_stride, pass_stride, data_flat,
+        out + group_off[g], cap, frag_off + (size_t)g * (numlayers + 1),
+        false);
+    if (n < 0 || n > cap) err.store(1);
+  }
+  return err.load() ? -1 : 0;
 }
 
 }  // extern "C"

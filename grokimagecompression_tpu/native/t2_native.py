@@ -131,6 +131,16 @@ _lib.grok_t2_simulate_tile.argtypes = [
 ]
 
 
+_lib.grok_t2_encode_tile.restype = ctypes.c_int
+_lib.grok_t2_encode_tile.argtypes = [
+    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ctypes.c_int,
+]
+
+
 class TileSim:
     """Whole-tile packet simulation state for PCRD: all precinct groups
     marshaled once; each simulate() refreshes only the per-layer pass
@@ -301,3 +311,103 @@ def decode_tile_packets(body: bytes, packets, groups, kmaxs_per_band,
             segs[si].data += body[off:off + ln]
         cb.segs = [segs[si] for si in order]
     return int(rc)
+
+
+class TileEnc:
+    """Whole-tile packet emission: all precinct groups marshaled once
+    (including the compressed block bytes) and encoded by one native call
+    with worker threads across groups."""
+
+    def __init__(self, groups, numlayers: int, cblk_style: int, eph: bool):
+        """groups: list of (key, comp, [PrecEnc...]) in a fixed order."""
+        self.numlayers = numlayers
+        self.cblk_style = cblk_style
+        self.eph = eph
+        self.keys = [g[0] for g in groups]
+        self.ngroups = len(groups)
+        g_nbands = []
+        grid = []
+        ncblks = []
+        cblks = []
+        group_ncb = []
+        for (_, _, precs) in groups:
+            g_nbands.append(len(precs))
+            ncb = 0
+            for pr in precs:
+                grid.append(max(1, pr.geom.cblk_grid_w))
+                grid.append(max(1, pr.geom.cblk_grid_h))
+                ncblks.append(len(pr.cblks))
+                cblks.extend(pr.cblks)
+                ncb += len(pr.cblks)
+            group_ncb.append(ncb)
+        self.order = cblks
+        n = len(cblks)
+        pass_stride = max([cb.numpasses for cb in cblks] + [1])
+        self.g_nbands = np.asarray(g_nbands, np.int32)
+        self.grid = np.asarray(grid, np.int32)
+        self.ncblks = np.asarray(ncblks, np.int32)
+        meta = np.zeros(max(1, n * 5), dtype=np.int64)
+        rates = np.zeros(max(1, n * pass_stride), dtype=np.int32)
+        term = np.zeros(max(1, n * pass_stride), dtype=np.uint8)
+        datas = []
+        off = 0
+        group_body = [0] * self.ngroups
+        gi = 0
+        seen = 0
+        for i, cb in enumerate(cblks):
+            while gi < self.ngroups - 1 and i >= seen + group_ncb[gi]:
+                seen += group_ncb[gi]
+                gi += 1
+            meta[i * 5] = cb.geom.cx
+            meta[i * 5 + 1] = cb.geom.cy
+            meta[i * 5 + 2] = cb.imsb
+            meta[i * 5 + 3] = cb.numpasses
+            meta[i * 5 + 4] = off
+            for j, pss in enumerate(cb.passes):
+                rates[i * pass_stride + j] = pss.rate
+                term[i * pass_stride + j] = 1 if pss.terminated else 0
+            datas.append(cb.data)
+            group_body[gi] += len(cb.data)
+            off += len(cb.data)
+        self.meta = meta
+        self.rates = rates
+        self.term = term
+        self.pass_stride = pass_stride
+        self.data_flat = np.frombuffer(b"".join(datas) or b"\x00",
+                                       dtype=np.uint8)
+        self.layer_np = np.zeros(max(1, n * numlayers), dtype=np.int32)
+        go = np.zeros(self.ngroups + 1, dtype=np.int64)
+        for g in range(self.ngroups):
+            go[g + 1] = go[g] + group_body[g] + 4096 * numlayers \
+                + 64 * max(1, group_ncb[g])
+        self.group_off = go
+        self.out = np.empty(max(1, int(go[-1])), dtype=np.uint8)
+        self.frag_off = np.zeros(self.ngroups * (numlayers + 1),
+                                 dtype=np.int64)
+
+    def encode_all(self, max_layer: int, nthreads: int):
+        """Encode layers 0..max_layer for every group. Returns
+        {key: [layer fragments as memoryview]}."""
+        nl = self.numlayers
+        lp = self.layer_np
+        for i, cb in enumerate(self.order):
+            lp[i * nl:(i + 1) * nl] = cb.layer_npasses
+        rc = _lib.grok_t2_encode_tile(
+            self.ngroups, nl, max_layer, 1 if self.eph else 0,
+            self.g_nbands.ctypes.data, self.grid.ctypes.data,
+            self.ncblks.ctypes.data, self.meta.ctypes.data,
+            lp.ctypes.data, self.rates.ctypes.data, self.term.ctypes.data,
+            self.pass_stride, self.data_flat.ctypes.data,
+            self.out.ctypes.data, self.group_off.ctypes.data,
+            self.frag_off.ctypes.data, nthreads)
+        if rc != 0:
+            raise RuntimeError("native tile T2 encode overflow")
+        mv = memoryview(self.out)
+        frags = {}
+        fo = self.frag_off
+        for g, key in enumerate(self.keys):
+            base = int(self.group_off[g])
+            row = fo[g * (nl + 1):(g + 1) * (nl + 1)]
+            frags[key] = [mv[base + int(row[l]):base + int(row[l + 1])]
+                          for l in range(max_layer + 1)]
+        return frags

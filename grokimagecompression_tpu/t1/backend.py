@@ -120,6 +120,15 @@ def encode_cblk_batch_bands(bands, descs, orients, kmaxs,
     return encode_cblk_batch(blocks, cblk_style)
 
 
+def native_threads() -> int:
+    """Worker thread count the native batch entries would use (respects
+    the per-thread tile-parallel override)."""
+    nat = _get_native()
+    if nat is None:
+        return 1
+    return nat.default_threads()
+
+
 def decode_cblk_batch_bands(blocks, bands, placements, cblk_style: int = 0,
                             stepsizes=None) -> bool:
     """Fused native decode straight into band planes. Returns False when
