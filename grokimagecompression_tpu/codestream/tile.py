@@ -181,8 +181,14 @@ def _apply_fwd_transforms(comps_data: List[np.ndarray], plans,
     out = []
     for c, a in enumerate(comps_data):
         p = plans[c]
-        a = mct_np.dc_shift_fwd(a.astype(np.int32), p.prec, p.signed)
-        out.append(a)
+        fused = None
+        if nat is not None and isinstance(a, np.ndarray):
+            fused = nat.dc_shift_fwd(np.ascontiguousarray(a, np.int32),
+                                     p.prec, p.signed)
+        if fused is None:
+            fused = mct_np.dc_shift_fwd(a.astype(np.int32), p.prec,
+                                        p.signed)
+        out.append(fused)
     if cod.mct == 2 and custom_matrix is not None:
         out = mct_np.custom_fwd(out, custom_matrix)
     elif cod.mct and len(out) >= 3:

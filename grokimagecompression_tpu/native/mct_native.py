@@ -53,6 +53,21 @@ def rct_dc_inv(y, u, v, shifts, los, his):
     return r, g, b
 
 
+def dc_shift_fwd(a, prec, signed):
+    """Fused copy + DC level shift (a - 2^(prec-1)); int32 in/out."""
+    if signed:
+        shift = 0
+    else:
+        shift = 1 << (prec - 1)
+    if not (a.dtype == np.int32 and a.flags.c_contiguous):
+        return None
+    out = np.empty_like(a)
+    _lib.grok_dc_unshift(a.ctypes.data, out.ctypes.data, a.size,
+                         -shift, -(1 << 31), (1 << 31) - 1,
+                         default_threads())
+    return out
+
+
 def dc_unshift(a, shift, lo, hi):
     """Fused DC unshift + clamp; returns int32 array or None."""
     if not (a.dtype == np.int32 and a.flags.c_contiguous):
