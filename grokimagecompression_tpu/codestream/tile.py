@@ -804,14 +804,44 @@ def decode_tile(
         steps_list: List[float] = []
         bidx: Dict[Tuple[int, int, int], int] = {}
         _fused_bands = [dict() for _ in range(ncomps)]
+        _packed = [None] * ncomps
         fdtype = np.int32 if reversible else np.float32
+        try:
+            from ..native import dwt_native as _dwtnat
+        except Exception:
+            _dwtnat = None
         for c in range(ncomps):
             plan = plans[c]
+            views = None
+            if _dwtnat is not None and reduce == 0 \
+                    and os.environ.get("GROK_TPU_DWT", "") != "python" \
+                    and os.environ.get("GROK_TPU_PACKED_DEC", "1") != "0":
+                # Band views into the packed inverse-DWT buffer: the T1
+                # scatter then fills it in place and the inverse runs
+                # with no copy pass.
+                packed = _dwtnat.alloc_inv_bands(
+                    plan.layout.tc_rect, cods[c].numresolutions,
+                    cods[c].transform == Transform.DWT_53)
+                if packed is not None:
+                    flat, views, offs_, llo_ = packed
+                    ok_shapes = all(
+                        views.get((res.r, band.orient)) is not None
+                        and views[(res.r, band.orient)].shape
+                        == (band.rect.h, band.rect.w)
+                        for res in plan.layout.resolutions
+                        for band in res.bands)
+                    if ok_shapes:
+                        _packed[c] = (flat, offs_, llo_)
+                    else:
+                        views = None
             for res in plan.layout.resolutions:
                 for band in res.bands:
                     key = (res.r, band.orient)
-                    arr = np.zeros((band.rect.h, band.rect.w),
-                                   dtype=fdtype)
+                    if views is not None:
+                        arr = views[key]
+                    else:
+                        arr = np.zeros((band.rect.h, band.rect.w),
+                                       dtype=fdtype)
                     _fused_bands[c][key] = arr
                     bidx[(c,) + key] = len(bands_list)
                     bands_list.append(arr)
@@ -880,10 +910,19 @@ def decode_tile(
             origins.append((wx0, wy0))
             continue
         if _fused_bands is not None:
-            bands_arrays = _fused_bands[c]
-            a = dwt_host.inv_dwt_2d(bands_arrays, plan.layout.tc_rect,
-                                    cods[c].numresolutions,
-                                    reversible=rev_c, max_res=max_res)
+            if _packed[c] is not None and max_res == \
+                    cods[c].numresolutions - 1:
+                from ..native import dwt_native as _dwtnat2
+                flat, offs_, llo_ = _packed[c]
+                a = _dwtnat2.inv_dwt_2d_packed(
+                    flat, offs_, llo_, plan.layout.tc_rect,
+                    cods[c].numresolutions, reversible=rev_c)
+            else:
+                a = dwt_host.inv_dwt_2d(_fused_bands[c],
+                                        plan.layout.tc_rect,
+                                        cods[c].numresolutions,
+                                        reversible=rev_c,
+                                        max_res=max_res)
             out.append(a)
             origins.append((ox, oy))
             continue

@@ -118,3 +118,50 @@ def inv_dwt_2d(bands: Dict[Tuple[int, int], np.ndarray], rect: Rect,
     fn(out.ctypes.data, rect.w, rect.h, rect.x0, rect.y0, levels,
        flat.ctypes.data, offs.ctypes.data, ll_off)
     return out
+
+
+def alloc_inv_bands(rect: Rect, numresolutions: int, reversible: bool):
+    """Pre-allocate the packed inverse-DWT input buffer and return band
+    VIEWS into it keyed {(r, orient): array}. A T1 decode that scatters
+    into these views fills the packed buffer in place, so
+    inv_dwt_2d_packed needs no copy pass. Returns
+    (flat, views, offs, ll_off) or None for degenerate rects."""
+    levels = numresolutions - 1
+    if rect.w <= 0 or rect.h <= 0 or levels < 0:
+        return None
+    dtype = np.int32 if reversible else np.float32
+    geom, (llw, llh) = _level_geom(rect, levels)
+    offs = np.zeros(max(1, levels * 3), dtype=np.int64)
+    total = 0
+    shapes = []
+    for lev, (cw, ch, ne_x, no_x, ne_y, no_y) in enumerate(geom):
+        for bi, (bh, bw) in enumerate([(ne_y, no_x), (no_y, ne_x),
+                                       (no_y, no_x)]):
+            offs[lev * 3 + bi] = total
+            shapes.append((bh, bw))
+            total += bh * bw
+    ll_off = total
+    total += llw * llh
+    flat = np.zeros(max(1, total), dtype=dtype)
+    views = {}
+    for lev in range(levels):
+        r = levels - lev
+        for bi, orient in enumerate((1, 2, 3)):
+            bh, bw = shapes[lev * 3 + bi]
+            o = int(offs[lev * 3 + bi])
+            views[(r, orient)] = flat[o:o + bh * bw].reshape(bh, bw)
+    views[(0, 0)] = flat[ll_off:ll_off + llw * llh].reshape(llh, llw)
+    return flat, views, offs, ll_off
+
+
+def inv_dwt_2d_packed(flat: np.ndarray, offs: np.ndarray, ll_off: int,
+                      rect: Rect, numresolutions: int,
+                      reversible: bool = True) -> np.ndarray:
+    """Full inverse DWT over an alloc_inv_bands buffer (no band copies)."""
+    levels = numresolutions - 1
+    dtype = np.int32 if reversible else np.float32
+    out = np.empty((rect.h, rect.w), dtype=dtype)
+    fn = _lib.grok_dwt53_inv if reversible else _lib.grok_dwt97_inv
+    fn(out.ctypes.data, rect.w, rect.h, rect.x0, rect.y0, levels,
+       flat.ctypes.data, offs.ctypes.data, ll_off)
+    return out
