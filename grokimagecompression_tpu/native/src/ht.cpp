@@ -127,11 +127,27 @@ static const int MEL_EXP[13] = {0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 4, 5};
 // warmup.
 struct Scratch {
   std::vector<uint8_t> mel, vlcr, ms, e_val, cx_val;
+  // Row-pair SoA precompute (vectorized): per quad column.
+  std::vector<uint8_t> rho_a, emax_a, eps_a, e1_a, e3_a;
+  std::vector<uint32_t> s0_a, s1_a, s2_a, s3_a, zrow;
+  std::vector<uint8_t> zrow8;
   void ensure(size_t wh) {
     if (ms.size() < wh * 4 + 64) {
       ms.resize(wh * 4 + 64);
       vlcr.resize(wh * 2 + 64);
       mel.resize(wh / 2 + 64);
+    }
+  }
+  void ensure_rows(int w) {
+    size_t qw = (size_t)(w + 1) / 2 + 2;
+    if (rho_a.size() < qw) {
+      rho_a.resize(qw); emax_a.resize(qw); eps_a.resize(qw);
+      e1_a.resize(qw); e3_a.resize(qw);
+      s0_a.resize(qw); s1_a.resize(qw); s2_a.resize(qw); s3_a.resize(qw);
+    }
+    if (zrow.size() < (size_t)w + 2) {
+      zrow.assign((size_t)w + 2, 0);
+      zrow8.assign((size_t)w + 2, 0);
     }
   }
 };
@@ -323,6 +339,92 @@ static inline QuadInfo gather_quad(const uint32_t* mag, const uint8_t* neg,
   return q;
 }
 
+// Vectorizable per-row-pair precompute: significance/exponent/value for
+// every quad column in one SoA pass (the emission loop then only does
+// table lookups and bit pushes). eps_a is the raw (e_n == e_qmax)
+// pattern; callers apply it only when u_q > 0, matching gather_quad's
+// conditional eps computation.
+static void precompute_rowpair(const uint32_t* mag, const uint8_t* neg,
+                               int w, int h, int y, int shift, int p,
+                               Scratch& s) {
+  const uint32_t* r0 = mag + (size_t)y * w;
+  const uint8_t* n0 = neg + (size_t)y * w;
+  bool h2 = y + 1 < h;
+  const uint32_t* r1 = h2 ? r0 + w : s.zrow.data();
+  const uint8_t* n1 = h2 ? n0 + w : s.zrow8.data();
+  int full = w / 2;
+  uint8_t* rho = s.rho_a.data();
+  uint8_t* emax = s.emax_a.data();
+  uint8_t* eps = s.eps_a.data();
+  uint8_t* e1 = s.e1_a.data();
+  uint8_t* e3 = s.e3_a.data();
+  uint32_t* s0 = s.s0_a.data();
+  uint32_t* s1 = s.s1_a.data();
+  uint32_t* s2 = s.s2_a.data();
+  uint32_t* s3 = s.s3_a.data();
+#pragma GCC ivdep
+  for (int qx = 0; qx < full; qx++) {
+    uint32_t ma = r0[2 * qx], mb = r1[2 * qx];
+    uint32_t mc = r0[2 * qx + 1], md = r1[2 * qx + 1];
+    uint32_t va = (((ma << shift) << 1) >> p) & ~1u;
+    uint32_t vb = (((mb << shift) << 1) >> p) & ~1u;
+    uint32_t vc = (((mc << shift) << 1) >> p) & ~1u;
+    uint32_t vd = (((md << shift) << 1) >> p) & ~1u;
+    int ea = va ? 32 - __builtin_clz(va - 1) : 0;
+    int eb = vb ? 32 - __builtin_clz(vb - 1) : 0;
+    int ec = vc ? 32 - __builtin_clz(vc - 1) : 0;
+    int ed = vd ? 32 - __builtin_clz(vd - 1) : 0;
+    int r = (va ? 1 : 0) | (vb ? 2 : 0) | (vc ? 4 : 0) | (vd ? 8 : 0);
+    int em = ea > eb ? ea : eb;
+    em = ec > em ? ec : em;
+    em = ed > em ? ed : em;
+    rho[qx] = (uint8_t)r;
+    emax[qx] = (uint8_t)em;
+    eps[qx] = (uint8_t)(((ea == em) ? 1 : 0) | ((eb == em) ? 2 : 0)
+                        | ((ec == em) ? 4 : 0) | ((ed == em) ? 8 : 0));
+    e1[qx] = (uint8_t)eb;
+    e3[qx] = (uint8_t)ed;
+    s0[qx] = va - 2 + (uint32_t)(n0[2 * qx] ? 1 : 0);
+    s1[qx] = vb - 2 + (uint32_t)(n1[2 * qx] ? 1 : 0);
+    s2[qx] = vc - 2 + (uint32_t)(n0[2 * qx + 1] ? 1 : 0);
+    s3[qx] = vd - 2 + (uint32_t)(n1[2 * qx + 1] ? 1 : 0);
+  }
+  if (w & 1) {  // half quad: right column absent
+    int qx = full;
+    uint32_t ma = r0[w - 1], mb = r1[w - 1];
+    uint32_t va = (((ma << shift) << 1) >> p) & ~1u;
+    uint32_t vb = (((mb << shift) << 1) >> p) & ~1u;
+    int ea = va ? 32 - __builtin_clz(va - 1) : 0;
+    int eb = vb ? 32 - __builtin_clz(vb - 1) : 0;
+    int em = ea > eb ? ea : eb;
+    rho[qx] = (uint8_t)((va ? 1 : 0) | (vb ? 2 : 0));
+    emax[qx] = (uint8_t)em;
+    eps[qx] = (uint8_t)(((ea == em) ? 1 : 0) | ((eb == em) ? 2 : 0)
+                        | ((0 == em) ? 4 : 0) | ((0 == em) ? 8 : 0));
+    e1[qx] = (uint8_t)eb;
+    e3[qx] = 0;
+    s0[qx] = va - 2 + (uint32_t)(n0[w - 1] ? 1 : 0);
+    s1[qx] = vb - 2 + (uint32_t)(n1[w - 1] ? 1 : 0);
+    s2[qx] = 0;
+    s3[qx] = 0;
+  }
+  // one sentinel quad past the end (q1 loads at x+2 >= w read it)
+  int qw = (w + 1) / 2;
+  rho[qw] = 0; emax[qw] = 0; eps[qw] = 0; e1[qw] = 0; e3[qw] = 0;
+  s0[qw] = s1[qw] = s2[qw] = s3[qw] = 0;
+}
+
+static inline void load_quad(const Scratch& s, int qx, QuadInfo& q) {
+  q.rho = s.rho_a[qx];
+  q.e_qmax = s.emax_a[qx];
+  q.e_q[1] = s.e1_a[qx];
+  q.e_q[3] = s.e3_a[qx];
+  q.s[0] = s.s0_a[qx];
+  q.s[1] = s.s1_a[qx];
+  q.s[2] = s.s2_a[qx];
+  q.s[3] = s.s3_a[qx];
+}
+
 // Pack the 4 MagSgn contributions of one quad into a single bit push.
 static inline void ms_encode_quad(MsEnc& ms, const QuadInfo& q, int Uq,
                                   uint16_t t) {
@@ -358,25 +460,24 @@ static int ht_encode(const uint32_t* mag, const uint8_t* neg, int w, int h,
   int qw = (w + 1) / 2;  // quad columns
   s.e_val.assign(qw + 2, 0);
   s.cx_val.assign(qw + 2, 0);
+  s.ensure_rows(w);
   std::vector<uint8_t>& e_val = s.e_val;
   std::vector<uint8_t>& cx_val = s.cx_val;
 
   // ---- initial row pair ----
   {
+    precompute_rowpair(mag, neg, w, h, 0, shift, p, s);
     uint8_t* lep = e_val.data();
     uint8_t* lcxp = cx_val.data();
     lep[0] = 0;
     lcxp[0] = 0;
     int c_q0 = 0;
     for (int x = 0; x < w; x += 4) {
-      QuadInfo q0 = gather_quad(mag, neg, w, h, x, 0, shift, p);
+      QuadInfo q0;
+      load_quad(s, x >> 1, q0);
       int Uq0 = q0.e_qmax > 1 ? q0.e_qmax : 1;
       int u_q0 = Uq0 - 1, u_q1 = 0;
-      int eps0 = 0;
-      if (u_q0 > 0) {
-        for (int n = 0; n < 4; n++)
-          eps0 |= (q0.e_q[n] == q0.e_qmax) << n;
-      }
+      int eps0 = u_q0 > 0 ? s.eps_a[x >> 1] : 0;
       lep[0] = lep[0] > q0.e_q[1] ? lep[0] : (uint8_t)q0.e_q[1];
       lep++;
       lep[0] = (uint8_t)q0.e_q[3];
@@ -392,14 +493,10 @@ static int ht_encode(const uint32_t* mag, const uint8_t* neg, int w, int h,
       int c_q1 = (q0.rho >> 1) | (q0.rho & 1);
       QuadInfo q1;
       if (x + 2 < w) {
-        q1 = gather_quad(mag, neg, w, h, x + 2, 0, shift, p);
+        load_quad(s, (x >> 1) + 1, q1);
         int Uq1 = q1.e_qmax > 1 ? q1.e_qmax : 1;
         u_q1 = Uq1 - 1;
-        int eps1 = 0;
-        if (u_q1 > 0) {
-          for (int n = 0; n < 4; n++)
-            eps1 |= (q1.e_q[n] == q1.e_qmax) << n;
-        }
+        int eps1 = u_q1 > 0 ? s.eps_a[(x >> 1) + 1] : 0;
         lep[0] = lep[0] > q1.e_q[1] ? lep[0] : (uint8_t)q1.e_q[1];
         lep++;
         lep[0] = (uint8_t)q1.e_q[3];
@@ -417,19 +514,25 @@ static int ht_encode(const uint32_t* mag, const uint8_t* neg, int w, int h,
       if (u_q0 > 0 && u_q1 > 0)
         mel.encode((u_q0 < u_q1 ? u_q0 : u_q1) > 2);
       if (u_q0 > 2 && u_q1 > 2) {
-        vlc.encode(uvlc_pre[u_q0 - 2], uvlc_pre_len[u_q0 - 2]);
-        vlc.encode(uvlc_pre[u_q1 - 2], uvlc_pre_len[u_q1 - 2]);
-        vlc.encode(uvlc_suf[u_q0 - 2], uvlc_suf_len[u_q0 - 2]);
-        vlc.encode(uvlc_suf[u_q1 - 2], uvlc_suf_len[u_q1 - 2]);
+        int a = u_q0 - 2, b = u_q1 - 2;
+        int l0 = uvlc_pre_len[a], l1 = uvlc_pre_len[b];
+        int l2 = uvlc_suf_len[a];
+        vlc.encode(uvlc_pre[a] | (uvlc_pre[b] << l0)
+                       | (uvlc_suf[a] << (l0 + l1))
+                       | (uvlc_suf[b] << (l0 + l1 + l2)),
+                   l0 + l1 + l2 + uvlc_suf_len[b]);
       } else if (u_q0 > 2 && u_q1 > 0) {
-        vlc.encode(uvlc_pre[u_q0], uvlc_pre_len[u_q0]);
-        vlc.encode(u_q1 - 1, 1);
-        vlc.encode(uvlc_suf[u_q0], uvlc_suf_len[u_q0]);
+        int l0 = uvlc_pre_len[u_q0];
+        vlc.encode(uvlc_pre[u_q0] | ((u_q1 - 1) << l0)
+                       | (uvlc_suf[u_q0] << (l0 + 1)),
+                   l0 + 1 + uvlc_suf_len[u_q0]);
       } else {
-        vlc.encode(uvlc_pre[u_q0], uvlc_pre_len[u_q0]);
-        vlc.encode(uvlc_pre[u_q1], uvlc_pre_len[u_q1]);
-        vlc.encode(uvlc_suf[u_q0], uvlc_suf_len[u_q0]);
-        vlc.encode(uvlc_suf[u_q1], uvlc_suf_len[u_q1]);
+        int l0 = uvlc_pre_len[u_q0], l1 = uvlc_pre_len[u_q1];
+        int l2 = uvlc_suf_len[u_q0];
+        vlc.encode(uvlc_pre[u_q0] | (uvlc_pre[u_q1] << l0)
+                       | (uvlc_suf[u_q0] << (l0 + l1))
+                       | (uvlc_suf[u_q1] << (l0 + l1 + l2)),
+                   l0 + l1 + l2 + uvlc_suf_len[u_q1]);
       }
       c_q0 = (q1.rho >> 1) | (q1.rho & 1);
     }
@@ -437,6 +540,7 @@ static int ht_encode(const uint32_t* mag, const uint8_t* neg, int w, int h,
 
   // ---- non-initial row pairs ----
   for (int y = 2; y < h; y += 2) {
+    precompute_rowpair(mag, neg, w, h, y, shift, p, s);
     uint8_t* lep = e_val.data();
     uint8_t* lcxp = cx_val.data();
     int max_e = (lep[0] > lep[1] ? lep[0] : lep[1]) - 1;
@@ -444,15 +548,12 @@ static int ht_encode(const uint32_t* mag, const uint8_t* neg, int w, int h,
     int c_q0 = lcxp[0] + (lcxp[1] << 2);
     lcxp[0] = 0;
     for (int x = 0; x < w; x += 4) {
-      QuadInfo q0 = gather_quad(mag, neg, w, h, x, y, shift, p);
+      QuadInfo q0;
+      load_quad(s, x >> 1, q0);
       int kappa = (q0.rho & (q0.rho - 1)) ? (max_e > 1 ? max_e : 1) : 1;
       int Uq0 = q0.e_qmax > kappa ? q0.e_qmax : kappa;
       int u_q0 = Uq0 - kappa, u_q1 = 0;
-      int eps0 = 0;
-      if (u_q0 > 0) {
-        for (int n = 0; n < 4; n++)
-          eps0 |= (q0.e_q[n] == q0.e_qmax) << n;
-      }
+      int eps0 = u_q0 > 0 ? s.eps_a[x >> 1] : 0;
       lep[0] = lep[0] > q0.e_q[1] ? lep[0] : (uint8_t)q0.e_q[1];
       lep++;
       max_e = (lep[0] > lep[1] ? lep[0] : lep[1]) - 1;
@@ -469,16 +570,12 @@ static int ht_encode(const uint32_t* mag, const uint8_t* neg, int w, int h,
 
       QuadInfo q1;
       if (x + 2 < w) {
-        q1 = gather_quad(mag, neg, w, h, x + 2, y, shift, p);
+        load_quad(s, (x >> 1) + 1, q1);
         kappa = (q1.rho & (q1.rho - 1)) ? (max_e > 1 ? max_e : 1) : 1;
         c_q1 |= ((q0.rho & 4) >> 1) | ((q0.rho & 8) >> 2);
         int Uq1 = q1.e_qmax > kappa ? q1.e_qmax : kappa;
         u_q1 = Uq1 - kappa;
-        int eps1 = 0;
-        if (u_q1 > 0) {
-          for (int n = 0; n < 4; n++)
-            eps1 |= (q1.e_q[n] == q1.e_qmax) << n;
-        }
+        int eps1 = u_q1 > 0 ? s.eps_a[(x >> 1) + 1] : 0;
         lep[0] = lep[0] > q1.e_q[1] ? lep[0] : (uint8_t)q1.e_q[1];
         lep++;
         max_e = (lep[0] > lep[1] ? lep[0] : lep[1]) - 1;
@@ -497,10 +594,14 @@ static int ht_encode(const uint32_t* mag, const uint8_t* neg, int w, int h,
         c_q0 = lcxp[0] + (lcxp[1] << 2);
       }
 
-      vlc.encode(uvlc_pre[u_q0], uvlc_pre_len[u_q0]);
-      vlc.encode(uvlc_pre[u_q1], uvlc_pre_len[u_q1]);
-      vlc.encode(uvlc_suf[u_q0], uvlc_suf_len[u_q0]);
-      vlc.encode(uvlc_suf[u_q1], uvlc_suf_len[u_q1]);
+      {
+        int l0 = uvlc_pre_len[u_q0], l1 = uvlc_pre_len[u_q1];
+        int l2 = uvlc_suf_len[u_q0];
+        vlc.encode(uvlc_pre[u_q0] | (uvlc_pre[u_q1] << l0)
+                       | (uvlc_suf[u_q0] << (l0 + l1))
+                       | (uvlc_suf[u_q1] << (l0 + l1 + l2)),
+                   l0 + l1 + l2 + uvlc_suf_len[u_q1]);
+      }
 
       c_q0 |= ((q1.rho & 4) >> 1) | ((q1.rho & 8) >> 2);
     }
