@@ -197,18 +197,20 @@ struct VlcEnc {
   size_t n = 0;
   int used = 4, tmp = 0xF;
   bool last_gt_8f = true;
+  uint64_t q = 0;   // pending bit queue (LSB first)
+  int qbits = 0;
 
   explicit VlcEnc(uint8_t* b) : rbuf(b) { rbuf[n++] = 0xFF; }
 
-  inline void encode(int cwd, int len) {
-    while (len > 0) {
+  inline void drain_to(int floor_bits) {
+    while (qbits > floor_bits) {
       int avail = 8 - (last_gt_8f ? 1 : 0) - used;
-      int t = avail < len ? avail : len;
-      tmp |= (cwd & ((1 << t) - 1)) << used;
+      int t = avail < qbits ? avail : qbits;
+      tmp |= (int)(q & ((1u << t) - 1)) << used;
       used += t;
       avail -= t;
-      len -= t;
-      cwd >>= t;
+      qbits -= t;
+      q >>= t;
       if (avail == 0) {
         if (last_gt_8f && tmp != 0x7F) {
           last_gt_8f = false;
@@ -221,9 +223,19 @@ struct VlcEnc {
       }
     }
   }
+
+  inline void encode(int cwd, int len) {
+    uint64_t mask = (len < 64) ? ((1ull << len) - 1) : ~0ull;
+    q |= ((uint64_t)(uint32_t)cwd & mask) << qbits;
+    qbits += len;
+    if (qbits >= 32) drain_to(0);
+  }
+
+  inline void flush_queue() { drain_to(0); }
 };
 
 static void terminate_mel_vlc(MelEnc& mel, VlcEnc& vlc) {
+  vlc.flush_queue();
   if (mel.run > 0) mel.emit_bit(1);
   mel.tmp <<= mel.remaining;
   int mel_mask = (0xFF << mel.remaining) & 0xFF;
@@ -252,6 +264,17 @@ struct MsEnc {
   explicit MsEnc(uint8_t* b) : buf(b) {}
 
   inline void drain() {
+    // Bulk fast path: 4 plain bytes at once when none is 0xFF (stuffing
+    // only ever follows an 0xFF byte).
+    while (qbits >= 32 && max_bits == 8) {
+      uint32_t w32 = (uint32_t)q;
+      uint32_t x = w32 ^ 0xFFFFFFFFu;  // has-zero-byte test on ~w
+      if ((x - 0x01010101u) & ~x & 0x80808080u) break;  // contains 0xFF
+      std::memcpy(buf + n, &w32, 4);
+      n += 4;
+      q >>= 32;
+      qbits -= 32;
+    }
     while (qbits >= max_bits) {
       uint8_t byte = (uint8_t)(q & ((1u << max_bits) - 1));
       q >>= max_bits;
