@@ -303,6 +303,8 @@ def _decode_packet_impl(hdr, hpos, body, bpos, split, layer, precincts,
         kmax = kmax_per_band[bi]
         for cb in pr.cblks:
             if not cb.included:
+                if pr.incltree is None:
+                    pr.init_trees()
                 inc = pr.incltree.decode(br, cb.geom.cx, cb.geom.cy, layer + 1)
             else:
                 inc = bool(br.read_bit())

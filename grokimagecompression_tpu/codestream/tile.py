@@ -27,7 +27,7 @@ from ..core.geometry import (
     ceil_div,
     component_rect,
 )
-from ..core.params import Progression, QuantStyle, Transform
+from ..core.params import QuantStyle, Transform
 from ..ops import dwt_host, mct_np, quant
 from ..t1 import backend as t1_backend
 from ..utils import trace
@@ -671,8 +671,9 @@ def decode_tile(
                 cbl = []
                 for prc in band.precincts:
                     cbs = [CblkDec(geom=cb) for cb in prc.cblks]
+                    # Tag trees are initialized lazily on first Python
+                    # packet parse; the native parser builds its own.
                     pd = PrecDec(geom=prc, cblks=cbs)
-                    pd.init_trees()
                     plist.append(pd)
                     cbl.extend(cbs)
                 per_res[(res.r, band.orient)] = plist
