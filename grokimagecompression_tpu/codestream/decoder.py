@@ -293,11 +293,19 @@ def decode(data: bytes, params: Optional[DecoderParams] = None) -> Image:
         if win.x1 <= win.x0 or win.y1 <= win.y0:
             raise ValueError(f"decode window {params.window} is empty "
                              f"after clipping to the image area")
-    # Output area (canvas): window or whole image.
-    ax0 = win.x0 if win else siz.xosiz
-    ay0 = win.y0 if win else siz.yosiz
-    ax1 = win.x1 if win else siz.xsiz
-    ay1 = win.y1 if win else siz.ysiz
+    # Output area (canvas): window, single tile, or whole image.
+    # Single-tile decode crops the output to the tile bounds like the
+    # reference (grk_decompress -t writes a tile-sized image).
+    if win is None and params.tile_index is not None:
+        _tr = tile_rect(params.tile_index, siz.xsiz, siz.ysiz, siz.xosiz,
+                        siz.yosiz, siz.xtsiz, siz.ytsiz, siz.xtosiz,
+                        siz.ytosiz)
+        ax0, ay0, ax1, ay1 = _tr.x0, _tr.y0, _tr.x1, _tr.y1
+    else:
+        ax0 = win.x0 if win else siz.xosiz
+        ay0 = win.y0 if win else siz.yosiz
+        ax1 = win.x1 if win else siz.xsiz
+        ay1 = win.y1 if win else siz.ysiz
 
     # Output image dims at the reduced resolution.
     comps_out: List[np.ndarray] = []

@@ -146,3 +146,35 @@ def test_reference_decodes_streamed_file(tmp_path):
     for c in range(3):
         np.testing.assert_array_equal(rec.components[c].data,
                                       img.components[c].data)
+
+
+def test_random_tile_access():
+    """Decode arbitrary single tiles by index and via StreamDecoder;
+    every access must reproduce the full decode's pixels for that tile
+    (the analog of the reference's j2k_random_tile_access test,
+    reference: tests/j2k_random_tile_access.cpp)."""
+    import numpy as np
+    from grokimagecompression_tpu.codestream import decoder, encoder
+    from grokimagecompression_tpu.core.image import Component, Image
+    from grokimagecompression_tpu.core.params import (DecoderParams,
+                                                      EncoderParams)
+
+    rng = np.random.default_rng(31)
+    w = h = 256
+    d = rng.integers(0, 256, (h, w, 3)).astype(np.int32)
+    img = Image(xsiz=w, ysiz=h, components=[
+        Component(data=d[:, :, c], prec=8, signed=False, dx=1, dy=1)
+        for c in range(3)])
+    cs = encoder.encode(img, EncoderParams(tile_size=(64, 64),
+                                           numresolutions=3,
+                                           tlm_markers=True), device=False)
+    ntx = nty = 4
+    for t in rng.permutation(ntx * nty)[:6]:
+        t = int(t)
+        out = decoder.decode(cs, DecoderParams(tile_index=t))
+        ty, tx = divmod(t, ntx)
+        ref = d[ty * 64:(ty + 1) * 64, tx * 64:(tx + 1) * 64]
+        for c in range(3):
+            got = out.components[c].data
+            assert got.shape == (64, 64)
+            assert np.array_equal(got, ref[:, :, c]), (t, c)
