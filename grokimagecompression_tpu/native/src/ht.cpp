@@ -437,6 +437,154 @@ static void precompute_rowpair(const uint32_t* mag, const uint8_t* neg,
   s0[qw] = s1[qw] = s2[qw] = s3[qw] = 0;
 }
 
+// Strided signed-int32 source: reads band rows in place (no gather
+// buffer), abs/sign fused into the same vector pass.
+static void precompute_rowpair_i32(const int32_t* base, int64_t stride,
+                                   int w, int h, int y, int shift, int p,
+                                   Scratch& s) {
+  const int32_t* r0 = base + (size_t)y * stride;
+  static thread_local std::vector<int32_t> zr;
+  if ((int)zr.size() < w + 2) zr.assign(w + 2, 0);
+  const int32_t* r1 = (y + 1 < h) ? r0 + stride : zr.data();
+  int full = w / 2;
+  uint8_t* rho = s.rho_a.data();
+  uint8_t* emax = s.emax_a.data();
+  uint8_t* eps = s.eps_a.data();
+  uint8_t* e1 = s.e1_a.data();
+  uint8_t* e3 = s.e3_a.data();
+  uint32_t* s0 = s.s0_a.data();
+  uint32_t* s1 = s.s1_a.data();
+  uint32_t* s2 = s.s2_a.data();
+  uint32_t* s3 = s.s3_a.data();
+#pragma GCC ivdep
+  for (int qx = 0; qx < full; qx++) {
+    int32_t xa = r0[2 * qx], xb = r1[2 * qx];
+    int32_t xc = r0[2 * qx + 1], xd = r1[2 * qx + 1];
+    uint32_t ma = (uint32_t)(xa < 0 ? -xa : xa);
+    uint32_t mb = (uint32_t)(xb < 0 ? -xb : xb);
+    uint32_t mc = (uint32_t)(xc < 0 ? -xc : xc);
+    uint32_t md = (uint32_t)(xd < 0 ? -xd : xd);
+    uint32_t va = (((ma << shift) << 1) >> p) & ~1u;
+    uint32_t vb = (((mb << shift) << 1) >> p) & ~1u;
+    uint32_t vc = (((mc << shift) << 1) >> p) & ~1u;
+    uint32_t vd = (((md << shift) << 1) >> p) & ~1u;
+    int ea = va ? 32 - __builtin_clz(va - 1) : 0;
+    int eb = vb ? 32 - __builtin_clz(vb - 1) : 0;
+    int ec = vc ? 32 - __builtin_clz(vc - 1) : 0;
+    int ed = vd ? 32 - __builtin_clz(vd - 1) : 0;
+    int r = (va ? 1 : 0) | (vb ? 2 : 0) | (vc ? 4 : 0) | (vd ? 8 : 0);
+    int em = ea > eb ? ea : eb;
+    em = ec > em ? ec : em;
+    em = ed > em ? ed : em;
+    rho[qx] = (uint8_t)r;
+    emax[qx] = (uint8_t)em;
+    eps[qx] = (uint8_t)(((ea == em) ? 1 : 0) | ((eb == em) ? 2 : 0)
+                        | ((ec == em) ? 4 : 0) | ((ed == em) ? 8 : 0));
+    e1[qx] = (uint8_t)eb;
+    e3[qx] = (uint8_t)ed;
+    s0[qx] = va - 2 + (uint32_t)(xa < 0 ? 1 : 0);
+    s1[qx] = vb - 2 + (uint32_t)(xb < 0 ? 1 : 0);
+    s2[qx] = vc - 2 + (uint32_t)(xc < 0 ? 1 : 0);
+    s3[qx] = vd - 2 + (uint32_t)(xd < 0 ? 1 : 0);
+  }
+  if (w & 1) {
+    int qx = full;
+    int32_t xa = r0[w - 1], xb = r1[w - 1];
+    uint32_t ma = (uint32_t)(xa < 0 ? -xa : xa);
+    uint32_t mb = (uint32_t)(xb < 0 ? -xb : xb);
+    uint32_t va = (((ma << shift) << 1) >> p) & ~1u;
+    uint32_t vb = (((mb << shift) << 1) >> p) & ~1u;
+    int ea = va ? 32 - __builtin_clz(va - 1) : 0;
+    int eb = vb ? 32 - __builtin_clz(vb - 1) : 0;
+    int em = ea > eb ? ea : eb;
+    rho[qx] = (uint8_t)((va ? 1 : 0) | (vb ? 2 : 0));
+    emax[qx] = (uint8_t)em;
+    eps[qx] = (uint8_t)(((ea == em) ? 1 : 0) | ((eb == em) ? 2 : 0)
+                        | ((0 == em) ? 4 : 0) | ((0 == em) ? 8 : 0));
+    e1[qx] = (uint8_t)eb;
+    e3[qx] = 0;
+    s0[qx] = va - 2 + (uint32_t)(xa < 0 ? 1 : 0);
+    s1[qx] = vb - 2 + (uint32_t)(xb < 0 ? 1 : 0);
+    s2[qx] = 0;
+    s3[qx] = 0;
+  }
+  int qw = (w + 1) / 2;
+  rho[qw] = 0; emax[qw] = 0; eps[qw] = 0; e1[qw] = 0; e3[qw] = 0;
+  s0[qw] = s1[qw] = s2[qw] = s3[qw] = 0;
+}
+
+// Strided float32 source with the deadzone quantizer fused (double
+// division, identical to the extract path / numpy semantics).
+static void precompute_rowpair_f32(const float* base, int64_t stride,
+                                   double step, int w, int h, int y,
+                                   int shift, int p, Scratch& s) {
+  const float* r0 = base + (size_t)y * stride;
+  static thread_local std::vector<float> zrf;
+  if ((int)zrf.size() < w + 2) zrf.assign(w + 2, 0.0f);
+  const float* r1 = (y + 1 < h) ? r0 + stride : zrf.data();
+  int qw = (w + 1) / 2;
+  uint8_t* rho = s.rho_a.data();
+  uint8_t* emax = s.emax_a.data();
+  uint8_t* eps = s.eps_a.data();
+  uint8_t* e1 = s.e1_a.data();
+  uint8_t* e3 = s.e3_a.data();
+  uint32_t* s0 = s.s0_a.data();
+  uint32_t* s1 = s.s1_a.data();
+  uint32_t* s2 = s.s2_a.data();
+  uint32_t* s3 = s.s3_a.data();
+  for (int qx = 0; qx < qw; qx++) {
+    int x0c = 2 * qx;
+    bool c2 = x0c + 1 < w;
+    float fa = r0[x0c], fb = r1[x0c];
+    float fc = c2 ? r0[x0c + 1] : 0.0f, fd = c2 ? r1[x0c + 1] : 0.0f;
+    uint32_t ma = (uint32_t)((double)(fa < 0 ? -fa : fa) / step);
+    uint32_t mb = (uint32_t)((double)(fb < 0 ? -fb : fb) / step);
+    uint32_t mc = (uint32_t)((double)(fc < 0 ? -fc : fc) / step);
+    uint32_t md = (uint32_t)((double)(fd < 0 ? -fd : fd) / step);
+    uint32_t va = (((ma << shift) << 1) >> p) & ~1u;
+    uint32_t vb = (((mb << shift) << 1) >> p) & ~1u;
+    uint32_t vc = (((mc << shift) << 1) >> p) & ~1u;
+    uint32_t vd = (((md << shift) << 1) >> p) & ~1u;
+    int ea = va ? 32 - __builtin_clz(va - 1) : 0;
+    int eb = vb ? 32 - __builtin_clz(vb - 1) : 0;
+    int ec = vc ? 32 - __builtin_clz(vc - 1) : 0;
+    int ed = vd ? 32 - __builtin_clz(vd - 1) : 0;
+    int em = ea > eb ? ea : eb;
+    em = ec > em ? ec : em;
+    em = ed > em ? ed : em;
+    rho[qx] = (uint8_t)((va ? 1 : 0) | (vb ? 2 : 0) | (vc ? 4 : 0)
+                        | (vd ? 8 : 0));
+    emax[qx] = (uint8_t)em;
+    eps[qx] = (uint8_t)(((ea == em) ? 1 : 0) | ((eb == em) ? 2 : 0)
+                        | ((ec == em) ? 4 : 0) | ((ed == em) ? 8 : 0));
+    e1[qx] = (uint8_t)eb;
+    e3[qx] = (uint8_t)ed;
+    s0[qx] = va - 2 + (uint32_t)(fa < 0 ? 1 : 0);
+    s1[qx] = vb - 2 + (uint32_t)(fb < 0 ? 1 : 0);
+    s2[qx] = vc - 2 + (uint32_t)(fc < 0 ? 1 : 0);
+    s3[qx] = vd - 2 + (uint32_t)(fd < 0 ? 1 : 0);
+  }
+  rho[qw] = 0; emax[qw] = 0; eps[qw] = 0; e1[qw] = 0; e3[qw] = 0;
+  s0[qw] = s1[qw] = s2[qw] = s3[qw] = 0;
+}
+
+struct SrcU32 { const uint32_t* mag; const uint8_t* neg; };
+struct SrcI32 { const int32_t* base; int64_t stride; };
+struct SrcF32 { const float* base; int64_t stride; double step; };
+
+static inline void src_rowpair(const SrcU32& r, int w, int h, int y,
+                               int shift, int p, Scratch& s) {
+  precompute_rowpair(r.mag, r.neg, w, h, y, shift, p, s);
+}
+static inline void src_rowpair(const SrcI32& r, int w, int h, int y,
+                               int shift, int p, Scratch& s) {
+  precompute_rowpair_i32(r.base, r.stride, w, h, y, shift, p, s);
+}
+static inline void src_rowpair(const SrcF32& r, int w, int h, int y,
+                               int shift, int p, Scratch& s) {
+  precompute_rowpair_f32(r.base, r.stride, r.step, w, h, y, shift, p, s);
+}
+
 static inline void load_quad(const Scratch& s, int qx, QuadInfo& q) {
   q.rho = s.rho_a[qx];
   q.e_qmax = s.emax_a[qx];
@@ -469,8 +617,9 @@ static inline void ms_encode_quad(MsEnc& ms, const QuadInfo& q, int Uq,
 
 // Encode one HT cleanup segment into dst (capacity >= 6*w*h + 64).
 // Returns the segment length in bytes.
-static int ht_encode(const uint32_t* mag, const uint8_t* neg, int w, int h,
-                     int Mb, uint8_t* dst) {
+template <class Src>
+static int ht_encode_t(const Src& src, int w, int h, int Mb,
+                       uint8_t* dst) {
   Scratch& s = scratch();
   s.ensure((size_t)w * h);
   MelEnc mel(s.mel.data());
@@ -489,7 +638,7 @@ static int ht_encode(const uint32_t* mag, const uint8_t* neg, int w, int h,
 
   // ---- initial row pair ----
   {
-    precompute_rowpair(mag, neg, w, h, 0, shift, p, s);
+    src_rowpair(src, w, h, 0, shift, p, s);
     uint8_t* lep = e_val.data();
     uint8_t* lcxp = cx_val.data();
     lep[0] = 0;
@@ -563,7 +712,7 @@ static int ht_encode(const uint32_t* mag, const uint8_t* neg, int w, int h,
 
   // ---- non-initial row pairs ----
   for (int y = 2; y < h; y += 2) {
-    precompute_rowpair(mag, neg, w, h, y, shift, p, s);
+    src_rowpair(src, w, h, y, shift, p, s);
     uint8_t* lep = e_val.data();
     uint8_t* lcxp = cx_val.data();
     int max_e = (lep[0] > lep[1] ? lep[0] : lep[1]) - 1;
@@ -645,6 +794,11 @@ static int ht_encode(const uint32_t* mag, const uint8_t* neg, int w, int h,
   dst[L - 1] = (uint8_t)(scup >> 4);
   dst[L - 2] = (uint8_t)((dst[L - 2] & 0xF0) | (scup & 0xF));
   return (int)L;
+}
+
+static int ht_encode(const uint32_t* mag, const uint8_t* neg, int w, int h,
+                     int Mb, uint8_t* dst) {
+  return ht_encode_t(SrcU32{mag, neg}, w, h, Mb, dst);
 }
 
 // ---------------------------------------------------------------------------
@@ -1113,42 +1267,24 @@ int grok_ht_encode_bands(int nblocks, const int64_t* band_ptrs,
   if (nt < 1) nt = 1;
 #pragma omp parallel num_threads(nt) if (nt > 1)
   {
-    std::vector<uint32_t> mag(64 * 64);
-    std::vector<uint8_t> neg(64 * 64);
 #pragma omp for schedule(dynamic)
     for (int i = 0; i < nblocks; i++) {
       const int64_t* d = desc5 + (size_t)i * 5;
       int w = (int)d[3], h = (int)d[4];
-      if ((size_t)w * h > mag.size()) {
-        mag.resize((size_t)w * h);
-        neg.resize((size_t)w * h);
-      }
       int64_t stride = band_strides[d[0]];
+      // The coder reads strided band rows in place — no gather buffer.
+      int ln;
       if (is_float) {
-        const float* band = (const float*)(uintptr_t)band_ptrs[d[0]];
-        double step = steps[d[0]];
-        for (int y = 0; y < h; y++) {
-          const float* src = band + (size_t)(d[2] + y) * stride + d[1];
-          for (int x = 0; x < w; x++) {
-            float v = src[x];
-            mag[(size_t)y * w + x] =
-                (uint32_t)((double)(v < 0 ? -v : v) / step);
-            neg[(size_t)y * w + x] = v < 0;
-          }
-        }
+        const float* band = (const float*)(uintptr_t)band_ptrs[d[0]]
+            + (size_t)d[2] * stride + d[1];
+        ln = ht_encode_t(SrcF32{band, stride, steps[d[0]]}, w, h,
+                         (int)mbs[i], out_flat + (size_t)i * out_stride);
       } else {
-        const int32_t* band = (const int32_t*)(uintptr_t)band_ptrs[d[0]];
-        for (int y = 0; y < h; y++) {
-          const int32_t* src = band + (size_t)(d[2] + y) * stride + d[1];
-          for (int x = 0; x < w; x++) {
-            int32_t v = src[x];
-            mag[(size_t)y * w + x] = (uint32_t)(v < 0 ? -v : v);
-            neg[(size_t)y * w + x] = v < 0;
-          }
-        }
-      }
-      int ln = ht_encode(mag.data(), neg.data(), w, h, (int)mbs[i],
+        const int32_t* band = (const int32_t*)(uintptr_t)band_ptrs[d[0]]
+            + (size_t)d[2] * stride + d[1];
+        ln = ht_encode_t(SrcI32{band, stride}, w, h, (int)mbs[i],
                          out_flat + (size_t)i * out_stride);
+      }
       if (ln > out_stride) err.store(1);
       else out_lens[i] = (int32_t)ln;
     }
