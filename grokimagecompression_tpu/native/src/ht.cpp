@@ -1005,15 +1005,48 @@ static int uvlc_decode(uint32_t vlc, int mode, bool initial, int* u) {
 // Decode the significant samples of one quad and update the per-quad-column
 // line state (bit 7 = sigma of the quad's bottom-right sample; bits 0..6 =
 // max exponent of the bottom samples), mirroring the reference data flow.
-struct QuadDecCtx {
-  MsDec* magsgn;
+// Output sinks: classic (mag, neg) split arrays, signed int32 band rows,
+// or float32 band rows with the mid-point dequantizer fused (float op
+// order identical to ops.quant.dequantize_signed).
+struct SinkU32 {
   uint32_t* mag;
   uint8_t* neg;
+  int w;
+  inline void write(int x, int y, uint32_t m, uint32_t sign) {
+    mag[(size_t)y * w + x] = m;
+    neg[(size_t)y * w + x] = (uint8_t)sign;
+  }
+};
+struct SinkI32 {
+  int32_t* base;
+  int64_t stride;
+  inline void write(int x, int y, uint32_t m, uint32_t sign) {
+    base[(size_t)y * stride + x] = sign ? -(int32_t)m : (int32_t)m;
+  }
+};
+struct SinkF32 {
+  float* base;
+  int64_t stride;
+  float step;
+  inline void write(int x, int y, uint32_t m, uint32_t sign) {
+    float mm = (float)m;
+    if (m) mm += 0.5f;
+    float v = mm * step;
+    base[(size_t)y * stride + x] = sign ? -v : v;
+  }
+};
+
+template <class Sink>
+struct QuadDecCtx {
+  MsDec* magsgn;
+  Sink sink;
   int w, h, p, out_shift;
 };
 
-static inline void decode_quad_samples(QuadDecCtx& ctx, uint32_t qf, int U_p,
-                                       int bx, int y, uint8_t*& lsp) {
+template <class Sink>
+static inline void decode_quad_samples(QuadDecCtx<Sink>& ctx, uint32_t qf,
+                                       int U_p, int bx, int y,
+                                       uint8_t*& lsp) {
   static const int dx[4] = {0, 0, 1, 1};
   static const int dy[4] = {0, 1, 0, 1};
   if ((qf & 0xF0) == 0) {  // fast path: fully insignificant quad
@@ -1035,8 +1068,7 @@ static inline void decode_quad_samples(QuadDecCtx& ctx, uint32_t qf, int U_p,
       v_n |= 1;  // center of bin
       if (xx < ctx.w && yy < ctx.h) {
         uint64_t recon = ((uint64_t)(v_n + 2)) << (ctx.p - 1);
-        ctx.mag[yy * ctx.w + xx] = (uint32_t)(recon >> ctx.out_shift);
-        ctx.neg[yy * ctx.w + xx] = (uint8_t)sign;
+        ctx.sink.write(xx, yy, (uint32_t)(recon >> ctx.out_shift), sign);
       }
     }
     if (n == 1) {
@@ -1056,10 +1088,9 @@ static inline void decode_quad_samples(QuadDecCtx& ctx, uint32_t qf, int U_p,
   }
 }
 
-static bool ht_decode(const uint8_t* coded, int lcup, int w, int h,
-                      int missing_msbs, uint32_t* mag, uint8_t* neg) {
-  std::memset(mag, 0, sizeof(uint32_t) * (size_t)w * h);
-  std::memset(neg, 0, (size_t)w * h);
+template <class Sink>
+static bool ht_decode_t(const uint8_t* coded, int lcup, int w, int h,
+                        int missing_msbs, Sink sink) {
   if (lcup < 2) return false;
   int p = 30 - missing_msbs;
   int out_shift = 31 - (missing_msbs + 1);
@@ -1072,7 +1103,7 @@ static bool ht_decode(const uint8_t* coded, int lcup, int w, int h,
 
   int qw = (w + 1) / 2;
   std::vector<uint8_t> line_state(qw + 4, 0);
-  QuadDecCtx ctx{&magsgn, mag, neg, w, h, p, out_shift};
+  QuadDecCtx<Sink> ctx{&magsgn, sink, w, h, p, out_shift};
 
   int run = mel.get_run();
 
@@ -1209,6 +1240,14 @@ int grok_ht_encode(const uint32_t* mag, const uint8_t* neg, int w, int h,
 }
 
 // Decode one HT cleanup segment.
+static bool ht_decode(const uint8_t* coded, int lcup, int w, int h,
+                      int missing_msbs, uint32_t* mag, uint8_t* neg) {
+  std::memset(mag, 0, sizeof(uint32_t) * (size_t)w * h);
+  std::memset(neg, 0, (size_t)w * h);
+  return ht_decode_t(coded, lcup, w, h, missing_msbs,
+                     SinkU32{mag, neg, w});
+}
+
 int grok_ht_decode(const uint8_t* data, int len, int w, int h,
                    int missing_msbs, uint32_t* mag, uint8_t* neg) {
   return ht_decode(data, len, w, h, missing_msbs, mag, neg) ? 0 : -1;
@@ -1306,47 +1345,23 @@ int grok_ht_decode_bands(int nblocks, const uint8_t* data_flat,
                          int is_float, int nthreads) {
   int nt = nthreads < nblocks ? nthreads : nblocks;
   if (nt < 1) nt = 1;
-#pragma omp parallel num_threads(nt) if (nt > 1)
-  {
-    static thread_local std::vector<uint32_t> mag;
-    static thread_local std::vector<uint8_t> neg;
-#pragma omp for schedule(dynamic)
-    for (int i = 0; i < nblocks; i++) {
-      const int64_t* d = desc + (size_t)i * 9;
-      int w = (int)d[2], h = (int)d[3];
-      size_t wh = (size_t)w * h;
-      if (mag.size() < wh) { mag.resize(wh); neg.resize(wh); }
-      std::memset(mag.data(), 0, wh * sizeof(uint32_t));
-      std::memset(neg.data(), 0, wh);
-      ht_decode(data_flat + d[0], (int)d[1], w, h, (int)d[4],
-                mag.data(), neg.data());
-      int64_t stride = band_strides[d[5]];
-      if (is_float) {
-        float* band = (float*)(uintptr_t)band_ptrs[d[5]];
-        float step = (float)steps[d[5]];
-        for (int y = 0; y < h; y++) {
-          float* dst = band + (size_t)(d[7] + y) * stride + d[6];
-          const uint32_t* ms = mag.data() + (size_t)y * w;
-          const uint8_t* ns = neg.data() + (size_t)y * w;
-          for (int x = 0; x < w; x++) {
-            float m = (float)ms[x];
-            if (ms[x]) m += 0.5f;
-            float v = m * step;
-            dst[x] = ns[x] ? -v : v;
-          }
-        }
-      } else {
-        int32_t* band = (int32_t*)(uintptr_t)band_ptrs[d[5]];
-        for (int y = 0; y < h; y++) {
-          int32_t* dst = band + (size_t)(d[7] + y) * stride + d[6];
-          const uint32_t* ms = mag.data() + (size_t)y * w;
-          const uint8_t* ns = neg.data() + (size_t)y * w;
-          for (int x = 0; x < w; x++) {
-            int32_t v = (int32_t)ms[x];
-            dst[x] = ns[x] ? -v : v;
-          }
-        }
-      }
+#pragma omp parallel for schedule(dynamic) num_threads(nt) if (nt > 1)
+  for (int i = 0; i < nblocks; i++) {
+    const int64_t* d = desc + (size_t)i * 9;
+    int w = (int)d[2], h = (int)d[3];
+    int64_t stride = band_strides[d[5]];
+    // Decode straight into the (pre-zeroed) band plane: significant
+    // samples are written once, insignificant positions stay 0.
+    if (is_float) {
+      float* dst = (float*)(uintptr_t)band_ptrs[d[5]]
+          + (size_t)d[7] * stride + d[6];
+      ht_decode_t(data_flat + d[0], (int)d[1], w, h, (int)d[4],
+                  SinkF32{dst, stride, (float)steps[d[5]]});
+    } else {
+      int32_t* dst = (int32_t*)(uintptr_t)band_ptrs[d[5]]
+          + (size_t)d[7] * stride + d[6];
+      ht_decode_t(data_flat + d[0], (int)d[1], w, h, (int)d[4],
+                  SinkI32{dst, stride});
     }
   }
   return 0;
