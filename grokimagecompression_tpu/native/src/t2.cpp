@@ -342,21 +342,26 @@ int grok_t2_simulate_tile(
     const int64_t* cblk_meta, const int32_t* layer_npasses,
     const int32_t* pass_rates, const uint8_t* pass_term, int pass_stride,
     int64_t* out_bytes) {
-  int band_off = 0;
-  int cblk_off = 0;
+  std::vector<int> band_offs(ngroups), cblk_offs(ngroups);
+  int band_off = 0, cblk_off = 0;
+  for (int g = 0; g < ngroups; g++) {
+    band_offs[g] = band_off;
+    cblk_offs[g] = cblk_off;
+    int nb = g_nbands[g];
+    for (int b = 0; b < nb; b++) cblk_off += ncblks[band_off + b];
+    band_off += nb;
+  }
+#pragma omp parallel for schedule(dynamic) if (ngroups > 4)
   for (int g = 0; g < ngroups; g++) {
     int nb = g_nbands[g];
-    int ncb = 0;
-    for (int b = 0; b < nb; b++) ncb += ncblks[band_off + b];
     out_bytes[g] = encode_group(
-        numlayers, max_layer, eph, nb, grid + (size_t)band_off * 2,
-        ncblks + band_off, cblk_meta + (size_t)cblk_off * 5,
-        layer_npasses + (size_t)cblk_off * numlayers,
-        pass_rates + (size_t)cblk_off * pass_stride,
-        pass_term + (size_t)cblk_off * pass_stride, pass_stride, nullptr,
-        nullptr, 0, nullptr, true);
-    band_off += nb;
-    cblk_off += ncb;
+        numlayers, max_layer, eph, nb,
+        grid + (size_t)band_offs[g] * 2, ncblks + band_offs[g],
+        cblk_meta + (size_t)cblk_offs[g] * 5,
+        layer_npasses + (size_t)cblk_offs[g] * numlayers,
+        pass_rates + (size_t)cblk_offs[g] * pass_stride,
+        pass_term + (size_t)cblk_offs[g] * pass_stride, pass_stride,
+        nullptr, nullptr, 0, nullptr, true);
   }
   return 0;
 }
