@@ -269,11 +269,24 @@ def main(argv=None) -> int:
             x, y = (float(t) for t in v.split(","))
             return (x, y)
 
+        cdefs = None
+        if any(getattr(c, "alpha", False) for c in image.components):
+            ncolor = sum(1 for c in image.components
+                         if not getattr(c, "alpha", False))
+            cdefs = []
+            ci = 0
+            for i, c in enumerate(image.components):
+                if getattr(c, "alpha", False):
+                    cdefs.append((i, 1, 0))      # opacity, whole image
+                else:
+                    ci += 1
+                    cdefs.append((i, 0, ci))     # color, 1-based assoc
         cs = jp2.wrap_codestream(
             cs, image.xsiz, image.ysiz,
             [(c.prec, c.signed) for c in image.components],
             capture_resolution=_parse_res(args.capture_res),
-            display_resolution=_parse_res(args.display_res))
+            display_resolution=_parse_res(args.display_res),
+            channel_defs=cdefs)
     with open(args.out_file, "wb") as f:
         f.write(cs)
     if args.verbose:

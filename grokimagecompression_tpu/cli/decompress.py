@@ -76,7 +76,6 @@ def _force_precision(image, spec):
     grk_decompress.cpp precision option)."""
     import dataclasses
     import numpy as np
-    from ..core.image import Image
     plist = _parse_precision(spec)
     comps = []
     for ci, comp in enumerate(image.components):
@@ -156,6 +155,13 @@ def main(argv=None) -> int:
         hdr, _ = _jp2.read_jp2(data)
         cs = hdr.colourspace
         icc_profile = hdr.icc_profile
+        if hdr.channel_defs:
+            import dataclasses as _dc
+            comps = list(image.components)
+            for (cn, typ, asoc) in hdr.channel_defs:
+                if typ == 1 and cn < len(comps):
+                    comps[cn] = _dc.replace(comps[cn], alpha=True)
+            image = _dc.replace(image, components=comps)
     if icc_profile and not args.no_color:
         # Embedded ICC (JP2 colr meth=2): matrix-shaper profiles convert
         # to sRGB here (reference: color_apply_icc_profile via lcms);

@@ -20,6 +20,7 @@ JP2_SIGNATURE = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
 T_FTYP = b"ftyp"
 T_JP2H = b"jp2h"
 T_IHDR = b"ihdr"
+T_CDEF = b"cdef"
 T_BPCC = b"bpcc"
 T_COLR = b"colr"
 T_JP2C = b"jp2c"
@@ -49,6 +50,9 @@ class JP2Header:
     xml: List[bytes] = dataclasses.field(default_factory=list)
     uuids: List[Tuple[bytes, bytes]] = dataclasses.field(
         default_factory=list)  # (16-byte id, payload)
+    # cdef channel definitions: (channel, type, association); type 1 =
+    # opacity (reference: jp2.cpp jp2_read_cdef:190).
+    channel_defs: Optional[List[Tuple[int, int, int]]] = None
 
 
 def _box(btype: bytes, payload: bytes) -> bytes:
@@ -99,7 +103,8 @@ def wrap_codestream(codestream: bytes, width: int, height: int,
                     colourspace: Optional[int] = None,
                     capture_resolution=None, display_resolution=None,
                     xml: Optional[bytes] = None,
-                    icc_profile: Optional[bytes] = None) -> bytes:
+                    icc_profile: Optional[bytes] = None,
+                    channel_defs=None) -> bytes:
     """Wrap a raw J2K codestream in a JP2 file.
 
     `comps` is [(prec, signed), ...]; colourspace defaults to sRGB for 3+
@@ -126,6 +131,13 @@ def wrap_codestream(codestream: bytes, width: int, height: int,
         jp2h += _box(T_COLR, struct.pack(">BBB", 2, 0, 0) + icc_profile)
     else:
         jp2h += _box(T_COLR, struct.pack(">BBBI", 1, 0, 0, colourspace))
+    if channel_defs:
+        # cdef: (channel, type, association) triplets — type 1 marks
+        # opacity (reference: jp2.cpp jp2_write_cdef:1026).
+        payload = struct.pack(">H", len(channel_defs))
+        for (cn, typ, asoc) in channel_defs:
+            payload += struct.pack(">HHH", cn, typ, asoc)
+        jp2h += _box(T_CDEF, payload)
     if capture_resolution or display_resolution:
         res = b""
         if capture_resolution:
@@ -186,6 +198,7 @@ def read_jp2(data: bytes) -> Tuple[JP2Header, bytes]:
             colourspace = None
             icc = None
             capture_res = display_res = None
+            cdefs = None
             for ib, istart, iend in _iter_boxes(data, start, end):
                 p = data[istart:iend]
                 if ib == T_IHDR and len(p) >= 14:
@@ -199,6 +212,15 @@ def read_jp2(data: bytes) -> Tuple[JP2Header, bytes]:
                         colourspace = struct.unpack(">I", p[3:7])[0]
                     elif meth == 2:
                         icc = bytes(p[3:])
+                elif ib == T_CDEF and len(p) >= 2:
+                    ncd = struct.unpack(">H", p[:2])[0]
+                    cdefs = []
+                    for k in range(ncd):
+                        off = 2 + k * 6
+                        if off + 6 > len(p):
+                            break
+                        cdefs.append(struct.unpack(">HHH",
+                                                   p[off:off + 6]))
                 elif ib == T_RES:
                     for rb, rstart, rend in _iter_boxes(data, istart, iend):
                         rp = data[rstart:rend]
@@ -212,7 +234,8 @@ def read_jp2(data: bytes) -> Tuple[JP2Header, bytes]:
                             bpc=bpc, bpc_per_comp=bpcc,
                             colourspace=colourspace, icc_profile=icc,
                             capture_resolution=capture_res,
-                            display_resolution=display_res)
+                            display_resolution=display_res,
+                            channel_defs=cdefs)
         elif btype == T_JP2C:
             codestream = data[start:end]
             break

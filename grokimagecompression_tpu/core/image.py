@@ -23,6 +23,8 @@ class Component:
     dy: int = 1
     prec: int = 8
     signed: bool = False
+    # Channel semantics (JP2 cdef): True marks an opacity channel.
+    alpha: bool = False
 
     @property
     def w(self) -> int:

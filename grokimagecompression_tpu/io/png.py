@@ -174,10 +174,12 @@ def read_png(path: str) -> Image:
             alpha_lut[:len(trns)] = np.frombuffer(trns, np.uint8)
             comps.append(Component(data=alpha_lut[np.clip(
                 idx, 0, len(palette) - 1)].astype(np.int32), prec=8,
-                signed=False, dx=1, dy=1))
+                signed=False, dx=1, dy=1, alpha=True))
         return Image(xsiz=w, ysiz=h, components=comps)
+    has_alpha = color_type in (4, 6)
     comps = [Component(data=np.ascontiguousarray(px[:, :, c]), prec=prec,
-                       signed=False, dx=1, dy=1)
+                       signed=False, dx=1, dy=1,
+                       alpha=has_alpha and c == channels - 1)
              for c in range(channels)]
     return Image(xsiz=w, ysiz=h, components=comps)
 

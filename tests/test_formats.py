@@ -338,3 +338,33 @@ def test_tiff_deflate_roundtrip(tmp_path):
     f16 = tmp_path / "z16.tif"
     tiff.write_tiff(str(f16), img16, compression=8)
     assert np.array_equal(tiff.read_tiff(str(f16)).components[0].data, d16)
+
+
+def test_rgba_jp2_cdef_roundtrip(tmp_path):
+    """RGBA PNG -> JP2 with a cdef box marking the opacity channel ->
+    decode restores all four channels with the alpha flag set
+    (reference: jp2.cpp jp2_write_cdef/jp2_read_cdef)."""
+    import numpy as np
+    from grokimagecompression_tpu.cli import compress, decompress
+    from grokimagecompression_tpu.codestream import jp2
+    from grokimagecompression_tpu.io import png
+
+    rng = np.random.default_rng(17)
+    a = rng.integers(0, 256, (40, 56, 4), dtype=np.uint8)
+    src = tmp_path / "in.png"
+    try:
+        from PIL import Image as P
+        P.fromarray(a, "RGBA").save(str(src))
+    except ImportError:
+        import pytest
+        pytest.skip("Pillow unavailable")
+    img = png.read_png(str(src))
+    assert [c.alpha for c in img.components] == [False, False, False, True]
+    out = tmp_path / "x.jp2"
+    assert compress.main(["-i", str(src), "-o", str(out)]) == 0
+    hdr, _ = jp2.read_jp2(out.read_bytes())
+    assert (3, 1, 0) in hdr.channel_defs
+    dec = tmp_path / "out.png"
+    assert decompress.main(["-i", str(out), "-o", str(dec)]) == 0
+    b = np.asarray(__import__("PIL.Image", fromlist=["Image"]).open(str(dec)))
+    assert np.array_equal(a, b)
