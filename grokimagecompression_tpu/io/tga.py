@@ -61,7 +61,8 @@ def read_tga(path: str) -> Image:
         # BGR(A) order in the file
         order = [2, 1, 0] + ([3] if bytespp == 4 else [])
         comps = [Component(data=a[:, :, i].astype(np.int32), prec=8,
-                           signed=False, dx=1, dy=1) for i in order]
+                           signed=False, dx=1, dy=1, alpha=i == 3)
+                 for i in order]
     return Image(xsiz=w, ysiz=h, components=comps)
 
 
