@@ -599,11 +599,29 @@ static inline void load_quad(const Scratch& s, int qx, QuadInfo& q) {
 // Pack the 4 MagSgn contributions of one quad into a single bit push.
 static inline void ms_encode_quad(MsEnc& ms, const QuadInfo& q, int Uq,
                                   uint16_t t) {
+  int m0 = (q.rho >> 0) & 1 ? Uq - ((t >> 0) & 1) : 0;
+  int m1 = (q.rho >> 1) & 1 ? Uq - ((t >> 1) & 1) : 0;
+  int m2 = (q.rho >> 2) & 1 ? Uq - ((t >> 2) & 1) : 0;
+  int m3 = (q.rho >> 3) & 1 ? Uq - ((t >> 3) & 1) : 0;
+  int total = m0 + m1 + m2 + m3;
+  if (total <= 56) {  // common case: one branchless combined push
+    // 64-bit shifts keep m in [0, 56] well-defined.
+    uint64_t k0 = ((uint64_t)1 << m0) - 1, k1 = ((uint64_t)1 << m1) - 1;
+    uint64_t k2 = ((uint64_t)1 << m2) - 1, k3 = ((uint64_t)1 << m3) - 1;
+    uint64_t cw = (q.s[0] & k0);
+    cw |= (q.s[1] & k1) << m0;
+    cw |= (q.s[2] & k2) << (m0 + m1);
+    cw |= (q.s[3] & k3) << (m0 + m1 + m2);
+    ms.encode64(cw, total);
+    return;
+  }
+  // high-precision quads: per-sample with overflow flushes
+  const int mm[4] = {m0, m1, m2, m3};
   uint64_t cw = 0;
   int cl = 0;
   for (int n = 0; n < 4; n++) {
-    int m = (q.rho >> n) & 1 ? Uq - ((t >> n) & 1) : 0;
-    if (cl + m > 56) {  // high-precision quads: flush before overflow
+    int m = mm[n];
+    if (cl + m > 56) {
       ms.encode64(cw, cl);
       cw = 0;
       cl = 0;
