@@ -55,7 +55,7 @@ def main():
 
     # Best-of-N: the machine shares cores with harness processes, so the
     # minimum is the faithful throughput estimate.
-    iters = int(os.environ.get("BENCH_ITERS", "15"))
+    iters = int(os.environ.get("BENCH_ITERS", "40"))
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
