@@ -109,6 +109,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=[0, 1],
                    help="rate control: both map to feasible-truncation "
                         "bisection on the convex hull")
+    p.add_argument("-W", "--logfile", default=None,
+                   help="append warnings/errors to this file")
+    p.add_argument("-e", "--repetitions", type=int, default=1,
+                   help="encode this many times (0 = unlimited; for "
+                        "throughput measurement, like the reference -e)")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -241,7 +246,27 @@ def main(argv=None) -> int:
         import dataclasses as _dc
         from ..core.params import MCT as _MCT
         params = _dc.replace(params, mct=_MCT(args.mct))
+    if args.logfile:
+        class _Tee:
+            def __init__(self, path, orig):
+                self.f = open(path, "a")
+                self.orig = orig
+            def write(self, t):
+                self.f.write(t)
+                self.orig.write(t)
+            def flush(self):
+                self.f.flush()
+                self.orig.flush()
+        sys.stderr = _Tee(args.logfile, sys.stderr)
+    reps = args.repetitions if args.repetitions > 0 else (1 << 30)
     t0 = time.perf_counter()
+    for _rep in range(max(1, reps) - 1):
+        # extra repetitions: timing only, result discarded
+        if args.cinema2k or args.cinema4k or args.imf or args.broadcast:
+            break
+        encoder.encode(image, params, device=args.device, rsiz=args.rsiz)
+        if time.perf_counter() - t0 > 3600:
+            break
     if args.cinema2k or args.cinema4k or args.imf or args.broadcast:
         from ..codestream import profiles
         if args.cinema2k or args.cinema4k:
