@@ -363,19 +363,27 @@ struct BlockState {
   int w, h, orient, stride;
   bool vsc;
   std::vector<uint16_t> nbh;   // padded (h+2) x (w+2)
-  std::vector<uint8_t> sig, neg, visited, refined;  // w*h
+  // Per-sample state packed into one byte: 1 load on the pass skip
+  // tests instead of three separate arrays.
+  static constexpr uint8_t F_SIG = 1, F_VIS = 2, F_REF = 4;
+  std::vector<uint8_t> flags, neg;  // w*h
 
   BlockState(int w_, int h_, int orient_, bool vsc_ = false)
       : w(w_), h(h_), orient(orient_), stride(w_ + 2), vsc(vsc_),
         nbh((w_ + 2) * (h_ + 2), 0),
-        sig(w_ * h_, 0), neg(w_ * h_, 0), visited(w_ * h_, 0),
-        refined(w_ * h_, 0) {}
+        flags(w_ * h_, 0), neg(w_ * h_, 0) {}
+
+  inline void clear_visited() {
+    uint8_t* f = flags.data();
+    size_t n = flags.size();
+    for (size_t i = 0; i < n; i++) f[i] &= (uint8_t)~F_VIS;
+  }
 
   inline int idx(int x, int y) const { return y * w + x; }
   inline int pidx(int x, int y) const { return (y + 1) * stride + (x + 1); }
 
   inline void set_sig(int x, int y) {
-    sig[idx(x, y)] = 1;
+    flags[idx(x, y)] |= F_SIG;
     uint16_t* p = &nbh[pidx(x, y)];
     p[-1] += 1;            // left:   horizontal count
     p[+1] += 1;            // right
@@ -401,7 +409,7 @@ struct BlockState {
   inline void sc_ctx(int x, int y, int& cx, int& spb) const {
     auto contrib = [&](int xx, int yy) -> int {
       if (xx < 0 || xx >= w || yy < 0 || yy >= h) return 0;
-      if (!sig[idx(xx, yy)]) return 0;
+      if (!(flags[idx(xx, yy)] & F_SIG)) return 0;
       return neg[idx(xx, yy)] ? -1 : 1;
     };
     int hc = contrib(x - 1, y) + contrib(x + 1, y);
@@ -417,7 +425,7 @@ struct BlockState {
   }
 
   inline int mag_ctx(int x, int y) const {
-    if (refined[idx(x, y)]) return CTX_MAG + 2;
+    if (flags[idx(x, y)] & F_REF) return CTX_MAG + 2;
     return CTX_MAG + (has_sig_nbr(x, y) ? 1 : 0);
   }
 };
@@ -510,13 +518,13 @@ static int encode_cblk(const uint32_t* mag, const uint8_t* negp, int w, int h,
   };
 
   auto spp = [&](int plane, bool raw) {
-    std::fill(st.visited.begin(), st.visited.end(), 0);
+    st.clear_visited();
     for (int k = 0; k < h; k += 4) {
       int sh = (h - k < 4) ? h - k : 4;
       for (int x = 0; x < w; x++) {
         for (int y = k; y < k + sh; y++) {
           int i = st.idx(x, y);
-          if (st.sig[i]) continue;
+          if (st.flags[i] & BlockState::F_SIG) continue;
           if (!st.has_sig_nbr(x, y)) continue;
           int bit = bitof(x, y, plane);
           if (raw) raw_enc.encode(bit); else mq.encode(bit, st.zc_ctx(x, y));
@@ -525,7 +533,7 @@ static int encode_cblk(const uint32_t* mag, const uint8_t* negp, int w, int h,
             st.set_sig(x, y);
             total_dist += sig_dist(x, y, plane);
           }
-          st.visited[i] = 1;
+          st.flags[i] |= BlockState::F_VIS;
         }
       }
     }
@@ -537,11 +545,12 @@ static int encode_cblk(const uint32_t* mag, const uint8_t* negp, int w, int h,
       for (int x = 0; x < w; x++) {
         for (int y = k; y < k + sh; y++) {
           int i = st.idx(x, y);
-          if (!st.sig[i] || st.visited[i]) continue;
+          if ((st.flags[i] & (BlockState::F_SIG | BlockState::F_VIS))
+              != BlockState::F_SIG) continue;
           int bit = bitof(x, y, plane);
           if (raw) raw_enc.encode(bit); else mq.encode(bit, st.mag_ctx(x, y));
           total_dist += ref_dist(x, y, plane);
-          st.refined[i] = 1;
+          st.flags[i] |= BlockState::F_REF;
         }
       }
     }
@@ -556,7 +565,8 @@ static int encode_cblk(const uint32_t* mag, const uint8_t* negp, int w, int h,
           bool agg = true;
           for (int y = k; y < k + 4; y++) {
             int i = st.idx(x, y);
-            if (st.sig[i] || st.visited[i] || st.has_sig_nbr(x, y)) {
+            if ((st.flags[i] & (BlockState::F_SIG | BlockState::F_VIS))
+                || st.has_sig_nbr(x, y)) {
               agg = false;
               break;
             }
@@ -582,7 +592,8 @@ static int encode_cblk(const uint32_t* mag, const uint8_t* negp, int w, int h,
         }
         for (int y = k + start; y < k + sh; y++) {
           int i = st.idx(x, y);
-          if (st.sig[i] || st.visited[i]) continue;
+          if (st.flags[i] & (BlockState::F_SIG | BlockState::F_VIS))
+            continue;
           int bit = bitof(x, y, plane);
           mq.encode(bit, st.zc_ctx(x, y));
           if (bit) {
@@ -731,13 +742,13 @@ static void decode_cblk(const uint8_t* data, int len, const int32_t* seg_lens,
   };
 
   auto spp = [&](int plane, bool raw) {
-    std::fill(st.visited.begin(), st.visited.end(), 0);
+    st.clear_visited();
     for (int k = 0; k < h; k += 4) {
       int sh = (h - k < 4) ? h - k : 4;
       for (int x = 0; x < w; x++) {
         for (int y = k; y < k + sh; y++) {
           int i = st.idx(x, y);
-          if (st.sig[i]) continue;
+          if (st.flags[i] & BlockState::F_SIG) continue;
           if (!st.has_sig_nbr(x, y)) continue;
           int bit = raw ? rawd->decode() : mqd->decode(st.zc_ctx(x, y));
           if (bit) {
@@ -747,7 +758,7 @@ static void decode_cblk(const uint8_t* data, int len, const int32_t* seg_lens,
             neg[i] = (uint8_t)s;
             mag[i] |= (1u << plane);
           }
-          st.visited[i] = 1;
+          st.flags[i] |= BlockState::F_VIS;
         }
       }
     }
@@ -759,10 +770,11 @@ static void decode_cblk(const uint8_t* data, int len, const int32_t* seg_lens,
       for (int x = 0; x < w; x++) {
         for (int y = k; y < k + sh; y++) {
           int i = st.idx(x, y);
-          if (!st.sig[i] || st.visited[i]) continue;
+          if ((st.flags[i] & (BlockState::F_SIG | BlockState::F_VIS))
+              != BlockState::F_SIG) continue;
           int bit = raw ? rawd->decode() : mqd->decode(st.mag_ctx(x, y));
           if (bit) mag[i] |= (1u << plane);
-          st.refined[i] = 1;
+          st.flags[i] |= BlockState::F_REF;
         }
       }
     }
@@ -777,7 +789,8 @@ static void decode_cblk(const uint8_t* data, int len, const int32_t* seg_lens,
           bool agg = true;
           for (int y = k; y < k + 4; y++) {
             int i = st.idx(x, y);
-            if (st.sig[i] || st.visited[i] || st.has_sig_nbr(x, y)) {
+            if ((st.flags[i] & (BlockState::F_SIG | BlockState::F_VIS))
+                || st.has_sig_nbr(x, y)) {
               agg = false;
               break;
             }
@@ -797,7 +810,8 @@ static void decode_cblk(const uint8_t* data, int len, const int32_t* seg_lens,
         }
         for (int y = k + start; y < k + sh; y++) {
           int i = st.idx(x, y);
-          if (st.sig[i] || st.visited[i]) continue;
+          if (st.flags[i] & (BlockState::F_SIG | BlockState::F_VIS))
+            continue;
           int bit = mqd->decode(st.zc_ctx(x, y));
           if (bit) {
             int s = decode_sign(x, y, false);
