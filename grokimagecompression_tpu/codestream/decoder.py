@@ -339,7 +339,8 @@ def decode(data: bytes, params: Optional[DecoderParams] = None) -> Image:
     import os as _os
     tile_workers = int(_os.environ.get("GROK_TPU_TILE_THREADS", "0"))
     if tile_workers == 0:
-        tile_workers = min(len(tiles), _os.cpu_count() or 1)             if len(tiles) > 1 else 1
+        # Oversubscribed like the encoder: hides per-tile GIL stalls.
+        tile_workers = min(len(tiles), 3 * (_os.cpu_count() or 1))             if len(tiles) > 1 else 1
     if tile_workers > 1:
         import concurrent.futures as _cf
         from ..native import t1_native as _t1n
