@@ -143,7 +143,10 @@ def compress_batch(arrays: Sequence[np.ndarray], *,
     import os
     from concurrent.futures import ThreadPoolExecutor
     ncpu = os.cpu_count() or 1
-    nw = workers or min(len(arrays), ncpu)
+    # Oversubscribed ~3x: a worker stalled on Python glue frees its
+    # core for another image's native coding (same policy as the
+    # tile-parallel encoder).
+    nw = workers or min(len(arrays), 3 * ncpu)
     inner = max(1, ncpu // nw)
 
     def one(a):
@@ -176,7 +179,7 @@ def decompress_batch(streams: Sequence[bytes], *,
     import os
     from concurrent.futures import ThreadPoolExecutor
     ncpu = os.cpu_count() or 1
-    nw = workers or min(len(streams), ncpu)
+    nw = workers or min(len(streams), 3 * ncpu)
     inner = max(1, ncpu // nw)
 
     def one(d):
