@@ -176,7 +176,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="grk_dump",
         description="Dump JPEG 2000 codestream structure")
-    p.add_argument("-i", "--in-file", required=True)
+    p.add_argument("-i", "--in-file")
+    p.add_argument("-y", "--img-dir", default=None,
+                   help="dump every .j2k/.jp2 in this directory")
     p.add_argument("-o", "--out-file", default=None)
     p.add_argument("-m", "--markers", action="store_true",
                    help="dump the raw marker index")
@@ -187,6 +189,33 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.img_dir:
+        import os
+        rc = 0
+        base = list(argv if argv is not None else sys.argv[1:])
+        filtered = []
+        skip = False
+        for a in base:
+            if skip:
+                skip = False
+                continue
+            if a in ("-y", "--img-dir"):
+                skip = True
+                continue
+            filtered.append(a)
+        for name in sorted(os.listdir(args.img_dir)):
+            if not name.lower().endswith((".j2k", ".j2c", ".jp2", ".jph")):
+                continue
+            print(f"=== {name} ===")
+            try:
+                rc |= main(filtered + ["-i",
+                                       os.path.join(args.img_dir, name)])
+            except SystemExit:
+                rc = 1
+        return rc
+    if not args.in_file:
+        print("error: -i or -y required", file=sys.stderr)
+        return 1
     with open(args.in_file, "rb") as f:
         data = f.read()
     if data[:4] == b"\x00\x00\x00\x0c":
