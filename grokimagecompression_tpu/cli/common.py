@@ -13,8 +13,11 @@ from ..core.image import Image
 from ..io import pgx, pnm
 
 
-def read_image(path: str, raw_desc: str = None) -> Image:
-    ext = os.path.splitext(path)[1].lower()
+def read_image(path: str, raw_desc: str = None,
+               force_format: str = None) -> Image:
+    """`force_format` (reference -K/-InFor) overrides the extension."""
+    ext = ("." + force_format.lstrip(".").lower()) if force_format \
+        else os.path.splitext(path)[1].lower()
     if ext in (".pgm", ".ppm", ".pnm"):
         return pnm.read_pnm(path)
     if ext == ".pgx":

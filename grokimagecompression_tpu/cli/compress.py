@@ -202,7 +202,8 @@ def main(argv=None) -> int:
 
     if not args.in_file or not args.out_file:
         common.fail("-i and -o are required (or use -y directory mode)")
-    image = common.read_image(args.in_file, raw_desc=args.raw)
+    image = common.read_image(args.in_file, raw_desc=args.raw,
+                              force_format=args.in_format)
 
     rates = tuple(float(r) for r in args.compression_ratios.split(",")) \
         if args.compression_ratios else ()
