@@ -172,7 +172,11 @@ def main(argv=None) -> int:
             image = converted
     if args.upsample:
         image = _color.upsample(image)
-    if not args.no_color:
+    if cs == 14 and not args.no_color:
+        # CIELab (JP2 enumcs 14) -> sRGB
+        hdr3, _ = _jp2.read_jp2(data)
+        image = _color.cielab_to_rgb(image, hdr3.cielab)
+    elif not args.no_color:
         image = _color.apply_color(image, colourspace=cs,
                                    force_rgb=args.force_rgb)
     elif args.force_rgb and len(image.components) < 3:

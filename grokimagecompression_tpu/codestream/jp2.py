@@ -34,6 +34,7 @@ T_UUID = b"uuid"
 CS_SRGB = 16
 CS_GREYSCALE = 17
 CS_SYCC = 18
+CS_CIELAB = 14
 
 
 @dataclasses.dataclass
@@ -53,6 +54,10 @@ class JP2Header:
     # cdef channel definitions: (channel, type, association); type 1 =
     # opacity (reference: jp2.cpp jp2_read_cdef:190).
     channel_defs: Optional[List[Tuple[int, int, int]]] = None
+    # CIELab EP parameters from the colr box (enumcs 14): (variant, rL,
+    # oL, ra, oa, rb, ob, illuminant) — absent fields default per the
+    # standard Lab space (reference: color.cpp color_cielab_to_rgb:716).
+    cielab: Optional[Tuple[int, ...]] = None
 
 
 def _box(btype: bytes, payload: bytes) -> bytes:
@@ -199,6 +204,7 @@ def read_jp2(data: bytes) -> Tuple[JP2Header, bytes]:
             icc = None
             capture_res = display_res = None
             cdefs = None
+            cielab_p = None
             for ib, istart, iend in _iter_boxes(data, start, end):
                 p = data[istart:iend]
                 if ib == T_IHDR and len(p) >= 14:
@@ -210,6 +216,12 @@ def read_jp2(data: bytes) -> Tuple[JP2Header, bytes]:
                     meth = p[0]
                     if meth == 1 and len(p) >= 7:
                         colourspace = struct.unpack(">I", p[3:7])[0]
+                        if colourspace == CS_CIELAB and len(p) >= 11:
+                            rest = p[7:]
+                            vals = [struct.unpack(
+                                ">I", rest[k:k + 4])[0]
+                                for k in range(0, len(rest) - 3, 4)]
+                            cielab_p = tuple(vals)
                     elif meth == 2:
                         icc = bytes(p[3:])
                 elif ib == T_CDEF and len(p) >= 2:
@@ -235,7 +247,7 @@ def read_jp2(data: bytes) -> Tuple[JP2Header, bytes]:
                             colourspace=colourspace, icc_profile=icc,
                             capture_resolution=capture_res,
                             display_resolution=display_res,
-                            channel_defs=cdefs)
+                            channel_defs=cdefs, cielab=cielab_p)
         elif btype == T_JP2C:
             codestream = data[start:end]
             break

@@ -208,3 +208,64 @@ def apply_color(image: Image, colourspace: Optional[int] = None,
     if force_rgb and len(image.components) < 3:
         image = gray_to_rgb(image)
     return image
+
+
+def cielab_to_rgb(image, params=None):
+    """CIELab (JP2 colr enumcs 14) -> 16-bit sRGB.
+
+    `params`: EP field u32s (variant, rL, oL, ra, oa, rb, ob,
+    illuminant); None or short tuples fall back to the standard Lab
+    space defaults, illuminant D50 (the reference defaults unknown
+    illuminants to D50 too — color.cpp color_cielab_to_rgb:716).
+    Numpy analog of the reference's lcms pipeline: scaled Lab ->
+    XYZ(D50) -> Bradford D50->D65 -> linear sRGB -> gamma.
+    """
+    import dataclasses
+
+    import numpy as np
+
+    from ..core.image import Image
+    from .icc import _BRADFORD_D50_D65, _XYZ_TO_SRGB, _srgb_encode
+
+    if len(image.components) != 3:
+        return image
+    c0, c1, c2 = image.components[:3]
+    pl, pa, pb = c0.prec, c1.prec, c2.prec
+    default = not params or len(params) < 8 or params[0] != 0x00444546
+    if default:
+        r_l, o_l = 100.0, 0.0
+        r_a, o_a = 170.0, float(1 << (pa - 1))
+        r_b, o_b = 200.0, 3.0 * (1 << (pb - 3))
+    else:
+        r_l, o_l = float(params[1]), float(params[2])
+        r_a, o_a = float(params[3]), float(params[4])
+        r_b, o_b = float(params[5]), float(params[6])
+
+    def scale(q, prec, rng, off):
+        mn = -(rng * off) / ((1 << prec) - 1)
+        return mn + q.astype(np.float64) * rng / ((1 << prec) - 1)
+
+    L = scale(c0.data, pl, r_l, o_l)
+    a = scale(c1.data, pa, r_a, o_a)
+    b = scale(c2.data, pb, r_b, o_b)
+
+    # Lab -> XYZ, D50 reference white
+    fy = (L + 16.0) / 116.0
+    fx = fy + a / 500.0
+    fz = fy - b / 200.0
+    d = 6.0 / 29.0
+
+    def finv(t):
+        return np.where(t > d, t ** 3, 3.0 * d * d * (t - 4.0 / 29.0))
+
+    xn, yn, zn = 0.9642, 1.0, 0.8249   # D50
+    xyz = np.stack([finv(fx) * xn, finv(fy) * yn, finv(fz) * zn], 0)
+    sh = xyz.shape[1:]
+    xyz = xyz.reshape(3, -1)
+    lin = _XYZ_TO_SRGB @ (_BRADFORD_D50_D65 @ xyz)
+    srgb = _srgb_encode(np.clip(lin, 0.0, 1.0))
+    out16 = np.clip(srgb * 65535.0 + 0.5, 0, 65535).astype(np.int32)
+    comps = [dataclasses.replace(c0, data=out16[i].reshape(sh), prec=16,
+                                 signed=False)
+             for i in range(3)]
+    return dataclasses.replace(image, components=comps)

@@ -156,3 +156,41 @@ def test_sycc_interop_with_reference(tmp_path, sub):
     for c in range(3):
         np.testing.assert_array_equal(ours.components[c].data,
                                       ref_img.components[c].data)
+
+
+def test_cielab_jp2_to_srgb(tmp_path):
+    """JP2 with colr enumcs 14 (CIELab): decompress converts to 16-bit
+    sRGB via D50 Lab -> Bradford -> sRGB (reference: color.cpp
+    color_cielab_to_rgb:716 via lcms). Neutral L*=50 must land on
+    mid-gray; encoded sRGB primaries must roundtrip."""
+    import numpy as np
+    from grokimagecompression_tpu.cli import decompress
+    from grokimagecompression_tpu.codestream import encoder, jp2
+    from grokimagecompression_tpu.core.image import Component, Image
+    from grokimagecompression_tpu.core.params import EncoderParams
+    from grokimagecompression_tpu.io import color as colormod
+    from grokimagecompression_tpu.io.tiff import read_tiff
+
+    # default Lab space code values for L=50, a=0, b=0 at 8 bits
+    img = Image(xsiz=4, ysiz=4, components=[
+        Component(data=np.full((4, 4), v, np.int32), prec=8,
+                  signed=False, dx=1, dy=1) for v in (128, 128, 96)])
+    cs = encoder.encode(img, EncoderParams(mct=0), device=False)
+    boxed = jp2.wrap_codestream(cs, 4, 4, [(8, False)] * 3,
+                                colourspace=14)
+    src = tmp_path / "lab.jp2"
+    src.write_bytes(boxed)
+    out = tmp_path / "out.tif"
+    assert decompress.main(["-i", str(src), "-o", str(out)]) == 0
+    rec = read_tiff(str(out))
+    got = [int(c.data[0, 0]) >> 8 for c in rec.components]
+    assert got == [119, 119, 119], got
+
+    # direct conversion API: gray stays gray at every L level
+    for lq, want in ((0, 0), (255, 255)):
+        im2 = Image(xsiz=1, ysiz=1, components=[
+            Component(data=np.array([[q]], np.int32), prec=8,
+                      signed=False, dx=1, dy=1)
+            for q in (lq, 128, 96)])
+        o = colormod.cielab_to_rgb(im2)
+        assert [int(c.data[0, 0]) >> 8 for c in o.components] == [want] * 3
