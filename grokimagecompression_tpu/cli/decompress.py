@@ -155,6 +155,8 @@ def main(argv=None) -> int:
         hdr, _ = _jp2.read_jp2(data)
         cs = hdr.colourspace
         icc_profile = hdr.icc_profile
+        if hdr.palette is not None and not args.no_color:
+            image = _jp2.apply_palette(image, hdr)
         if hdr.channel_defs:
             import dataclasses as _dc
             comps = list(image.components)

@@ -21,6 +21,8 @@ T_FTYP = b"ftyp"
 T_JP2H = b"jp2h"
 T_IHDR = b"ihdr"
 T_CDEF = b"cdef"
+T_PCLR = b"pclr"
+T_CMAP = b"cmap"
 T_BPCC = b"bpcc"
 T_COLR = b"colr"
 T_JP2C = b"jp2c"
@@ -58,6 +60,12 @@ class JP2Header:
     # oL, ra, oa, rb, ob, illuminant) — absent fields default per the
     # standard Lab space (reference: color.cpp color_cielab_to_rgb:716).
     cielab: Optional[Tuple[int, ...]] = None
+    # Palette (pclr) and component mapping (cmap) boxes (reference:
+    # jp2.cpp jp2_read_pclr/jp2_read_cmap/jp2_apply_pclr:307):
+    # palette: (entries int32[NE, NPC], depths, signs); cmap rows
+    # (cmp, mtyp, pcol).
+    palette: Optional[tuple] = None
+    cmap: Optional[List[Tuple[int, int, int]]] = None
 
 
 def _box(btype: bytes, payload: bytes) -> bytes:
@@ -205,6 +213,8 @@ def read_jp2(data: bytes) -> Tuple[JP2Header, bytes]:
             capture_res = display_res = None
             cdefs = None
             cielab_p = None
+            pclr = None
+            cmap_rows = None
             for ib, istart, iend in _iter_boxes(data, start, end):
                 p = data[istart:iend]
                 if ib == T_IHDR and len(p) >= 14:
@@ -224,6 +234,36 @@ def read_jp2(data: bytes) -> Tuple[JP2Header, bytes]:
                             cielab_p = tuple(vals)
                     elif meth == 2:
                         icc = bytes(p[3:])
+                elif ib == T_PCLR and len(p) >= 3:
+                    import numpy as _np
+                    ne = struct.unpack(">H", p[:2])[0]
+                    npc = p[2]
+                    depths = [(p[3 + k] & 0x7F) + 1 for k in range(npc)]
+                    signs = [bool(p[3 + k] & 0x80) for k in range(npc)]
+                    pos2 = 3 + npc
+                    ent = _np.zeros((ne, npc), _np.int32)
+                    ok = True
+                    for e in range(ne):
+                        for k in range(npc):
+                            nb = (depths[k] + 7) // 8
+                            if pos2 + nb > len(p):
+                                ok = False
+                                break
+                            v = int.from_bytes(p[pos2:pos2 + nb], "big")
+                            if signs[k] and v >= (1 << (depths[k] - 1)):
+                                v -= 1 << depths[k]
+                            ent[e, k] = v
+                            pos2 += nb
+                        if not ok:
+                            break
+                    if ok:
+                        pclr = (ent, depths, signs)
+                elif ib == T_CMAP and len(p) >= 4:
+                    cmap_rows = []
+                    for k in range(len(p) // 4):
+                        cmp_, mtyp, pcol = struct.unpack(
+                            ">HBB", p[k * 4:k * 4 + 4])
+                        cmap_rows.append((cmp_, mtyp, pcol))
                 elif ib == T_CDEF and len(p) >= 2:
                     ncd = struct.unpack(">H", p[:2])[0]
                     cdefs = []
@@ -247,7 +287,8 @@ def read_jp2(data: bytes) -> Tuple[JP2Header, bytes]:
                             colourspace=colourspace, icc_profile=icc,
                             capture_resolution=capture_res,
                             display_resolution=display_res,
-                            channel_defs=cdefs, cielab=cielab_p)
+                            channel_defs=cdefs, cielab=cielab_p,
+                            palette=pclr, cmap=cmap_rows)
         elif btype == T_JP2C:
             codestream = data[start:end]
             break
@@ -258,6 +299,38 @@ def read_jp2(data: bytes) -> Tuple[JP2Header, bytes]:
     hdr.xml = xml_boxes
     hdr.uuids = uuids
     return hdr, codestream
+
+
+def apply_palette(image, hdr):
+    """Expand pclr/cmap channels (reference: jp2_apply_pclr:307):
+    mtyp 0 copies the source component, mtyp 1 looks indices up in the
+    palette column `pcol` (indices clamped to the entry count)."""
+    import dataclasses
+
+    import numpy as np
+
+    if hdr.palette is None:
+        return image
+    entries, depths, signs = hdr.palette
+    cmap = hdr.cmap
+    if cmap is None:
+        # Default identity mapping: channel k <- comp 0 via column k.
+        cmap = [(0, 1, k) for k in range(entries.shape[1])]
+    comps = []
+    for i, (cmp_, mtyp, pcol) in enumerate(cmap):
+        if cmp_ >= len(image.components):
+            return image
+        src = image.components[cmp_]
+        if mtyp == 0:
+            comps.append(src)
+            continue
+        if pcol >= entries.shape[1]:
+            return image
+        idx = np.clip(src.data, 0, entries.shape[0] - 1)
+        comps.append(dataclasses.replace(
+            src, data=entries[idx, pcol].astype(np.int32),
+            prec=depths[pcol], signed=signs[pcol]))
+    return dataclasses.replace(image, components=comps)
 
 
 def extract_codestream(data: bytes) -> bytes:

@@ -368,3 +368,53 @@ def test_rgba_jp2_cdef_roundtrip(tmp_path):
     assert decompress.main(["-i", str(out), "-o", str(dec)]) == 0
     b = np.asarray(__import__("PIL.Image", fromlist=["Image"]).open(str(dec)))
     assert np.array_equal(a, b)
+
+
+def test_palette_jp2_pclr_cmap(tmp_path):
+    """JP2 pclr/cmap: a single index component expands through the
+    palette into RGB on decode (reference: jp2.cpp jp2_apply_pclr:307)."""
+    import struct
+
+    import numpy as np
+    from grokimagecompression_tpu.cli import decompress
+    from grokimagecompression_tpu.codestream import encoder, jp2
+    from grokimagecompression_tpu.core.image import Component, Image
+    from grokimagecompression_tpu.core.params import EncoderParams
+    from grokimagecompression_tpu.io.pnm import read_pnm
+
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255],
+                        [255, 255, 0]], np.int32)
+    rng = np.random.default_rng(4)
+    idx = rng.integers(0, 4, (16, 16)).astype(np.int32)
+    img = Image(xsiz=16, ysiz=16, components=[
+        Component(data=idx, prec=8, signed=False, dx=1, dy=1)])
+    cs = encoder.encode(img, EncoderParams(), device=False)
+
+    def box(t, payload):
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    ihdr = struct.pack(">IIHBBBB", 16, 16, 1, 7, 7, 0, 0)
+    pclr = struct.pack(">HB", 4, 3) + bytes([7, 7, 7])
+    for e in range(4):
+        for k in range(3):
+            pclr += bytes([int(palette[e, k])])
+    cmap = b"".join(struct.pack(">HBB", 0, 1, k) for k in range(3))
+    colr = struct.pack(">BBBI", 1, 0, 0, 16)
+    jp2h = box(b"ihdr", ihdr) + box(b"colr", colr) \
+        + box(b"pclr", pclr) + box(b"cmap", cmap)
+    data = (b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+            + box(b"ftyp", b"jp2 " + struct.pack(">I", 0) + b"jp2 ")
+            + box(b"jp2h", jp2h) + box(b"jp2c", cs))
+    src = tmp_path / "pal.jp2"
+    src.write_bytes(data)
+
+    hdr, _ = jp2.read_jp2(data)
+    assert hdr.palette is not None and len(hdr.cmap) == 3
+
+    out = tmp_path / "out.ppm"
+    assert decompress.main(["-i", str(src), "-o", str(out)]) == 0
+    rec = read_pnm(str(out))
+    assert len(rec.components) == 3
+    expect = palette[idx]
+    for c in range(3):
+        assert np.array_equal(rec.components[c].data, expect[:, :, c])
