@@ -106,7 +106,7 @@ def extract_tile_comps(image: Image, siz: SizInfo, t: int) -> List[np.ndarray]:
 
 
 def _encode_ht_rate_controlled(image: Image, params: EncoderParams,
-                               device, rsiz: int) -> bytes:
+                               device, rsiz: int, mesh=None) -> bytes:
     """HT + byte-rate targeting: bisection over the 9/7 base
     quantization step (bytes decrease monotonically in the step)."""
     if params.transform != Transform.DWT_97:
@@ -124,7 +124,7 @@ def _encode_ht_rate_controlled(image: Image, params: EncoderParams,
 
     def attempt(step: float) -> bytes:
         p = dataclasses.replace(params, rates=(), base_step=step)
-        return encode(image, p, device=device, rsiz=rsiz)
+        return encode(image, p, device=device, rsiz=rsiz, mesh=mesh)
 
     lo, hi = 0.25, 1.0          # step bracket (bytes(lo) >= bytes(hi))
     cs_hi = attempt(hi)
@@ -156,11 +156,17 @@ def _encode_ht_rate_controlled(image: Image, params: EncoderParams,
 
 def encode(image: Image, params: Optional[EncoderParams] = None,
            layer_alloc=None, device: Optional[bool] = None,
-           rsiz: int = 0) -> bytes:
+           rsiz: int = 0, mesh=None) -> bytes:
     """Encode an Image to a raw J2K codestream.
 
     `device=True` runs the tile transform pipeline (DC shift/MCT/DWT) on the
     JAX device (TPU); default is host numpy unless GROK_TPU_DEVICE=1.
+    `mesh` (a jax.sharding.Mesh) shards the tile-batch transform over the
+    mesh devices; every other stage (markers, HT/CAP, POC, tile-parts,
+    packed headers, rate control) is this same single code path, so the
+    sharded bytes are identical to the sequential ones by construction
+    (reference contrast: src/lib/jp2/codestream/j2k.cpp:2088 sequential
+    tile loop).
     """
     import os
     if device is None:
@@ -193,7 +199,8 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
             # quantizer: search the base step for the byte target — a
             # capability the reference lacks entirely (it disables rate
             # control for HT).
-            return _encode_ht_rate_controlled(image, params, device, rsiz)
+            return _encode_ht_rate_controlled(image, params, device, rsiz,
+                                              mesh=mesh)
 
     # Per-component COD overrides (COC markers).
     cod_comp = None
@@ -278,12 +285,25 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
     numtiles = ntx * nty
     split = params.ppt_markers or params.ppm_markers
 
+    # Mesh-sharded transform: batch same-geometry tiles and run the fused
+    # DC-shift/MCT/DWT over the device mesh up front; the per-tile encode
+    # below consumes the precomputed bands. Custom-matrix MCT stays on the
+    # host (the device pipeline implements RCT/ICT only).
+    mesh_coeff = {}
+    mesh_comps = {}
+    if mesh is not None and custom_coding_matrix is None:
+        from ..parallel.sharding import transform_tiles_on_mesh
+        mesh_coeff, mesh_comps = transform_tiles_on_mesh(
+            image, siz, cod, mesh)
+
     def _encode_one(t: int) -> TileEncResult:
         tr = tile_rect(t, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
                        siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
-        comps = extract_tile_comps(image, siz, t)
-        coeff_bands = None
-        if device:
+        comps = mesh_comps.get(t)
+        if comps is None:
+            comps = extract_tile_comps(image, siz, t)
+        coeff_bands = mesh_coeff.get(t)
+        if coeff_bands is None and device and custom_coding_matrix is None:
             from ..models import pipeline as device_pipeline
             cfg = device_pipeline.config_for_tile(siz, cod, tr)
             coeff_bands = device_pipeline.device_fwd_bands(comps, cfg)

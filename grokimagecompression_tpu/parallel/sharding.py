@@ -23,14 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..codestream import markers
-from ..codestream.encoder import (
-    build_cod,
-    build_siz,
-    extract_tile_comps,
-)
-from ..codestream.markers import SotInfo
-from ..codestream.tile import TileEncResult, default_qcd, encode_tile
+from ..codestream.encoder import extract_tile_comps
 from ..core.geometry import Rect, tile_grid_size, tile_rect
 from ..core.image import Image
 from ..core.params import EncoderParams
@@ -101,70 +94,53 @@ def _transform_tile_group(
     return out
 
 
-def encode_sharded(image: Image, params: Optional[EncoderParams] = None,
-                   mesh: Optional[Mesh] = None) -> bytes:
-    """Encode with the tile batch sharded over the mesh.
+def transform_tiles_on_mesh(
+    image: Image, siz, cod, mesh: Mesh,
+) -> Tuple[Dict[int, List[Dict[Tuple[int, int], np.ndarray]]],
+           Dict[int, List[np.ndarray]]]:
+    """Run the fused tile transform for every tile over the mesh.
 
-    Byte-identical to codestream.encoder.encode (the packet layout is a
-    pure function of the tile plan; only the transform execution moves to
-    the mesh).
+    Returns ({tile_index: coeff_bands}, {tile_index: comps}); tiles whose
+    geometry cannot batch (mixed per-component shapes from subsampling)
+    are absent from the first dict and fall back to the host transform in
+    the caller. The comps dict lets the caller skip re-extracting tile
+    planes (each extraction is a copy).
     """
-    params = params or EncoderParams()
-    mesh = mesh or default_mesh()
-    siz = build_siz(image, params)
-    cod = build_cod(image, params)
-    qcd = default_qcd(siz, cod, params.num_guard_bits, params.base_step)
-
     ntx, nty = tile_grid_size(siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
                               siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
     numtiles = ntx * nty
-
     # Group tiles by transform geometry (uniform interior tiles compile
     # once; edge tiles form their own groups).
     groups: Dict[TileTransformConfig,
                  List[Tuple[int, Rect, List[np.ndarray]]]] = {}
-    rects: Dict[int, Rect] = {}
+    comps_by_tile: Dict[int, List[np.ndarray]] = {}
     for t in range(numtiles):
         tr = tile_rect(t, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
                        siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
-        rects[t] = tr
         comps = extract_tile_comps(image, siz, t)
+        comps_by_tile[t] = comps
         cfg = config_for_tile(siz, cod, tr)
         groups.setdefault(cfg, []).append((t, tr, comps))
 
     coeff: Dict[int, List[Dict[Tuple[int, int], np.ndarray]]] = {}
     for cfg, tiles in groups.items():
-        # The batched device path needs equal per-component shapes; mixed
-        # subsampling falls back to per-tile host transform (coeff=None).
         if len(set(r.w for r in cfg.tc_rects)) == 1 and \
                 len(set(r.h for r in cfg.tc_rects)) == 1:
             coeff.update(_transform_tile_group(tiles, cfg, mesh))
+    return coeff, comps_by_tile
 
-    layer_alloc = None
-    needs_rc = bool(params.rates and any(r > 0 for r in params.rates)) \
-        or bool(params.quality_psnr)
-    if needs_rc:
-        from ..codestream.pcrd import make_layer_alloc
-        layer_alloc = make_layer_alloc(image, params)
 
-    out = bytearray()
-    out += markers.write_soc()
-    out += markers.write_siz(siz)
-    out += markers.write_cod(cod)
-    out += markers.write_qcd(qcd)
-    if params.comment:
-        out += markers.write_com(params.comment)
-    for t in range(numtiles):
-        comps = extract_tile_comps(image, siz, t)
-        res: TileEncResult = encode_tile(
-            comps, siz, cod, qcd, rects[t], layer_alloc=layer_alloc,
-            coeff_bands=coeff.get(t))
-        psot = 12 + 2 + len(res.body)
-        out += markers.write_sot(SotInfo(tile_index=t, psot=psot))
-        out += markers.write_sod()
-        out += res.body
-    out += markers.write_eoc()
-    return bytes(out)
+def encode_sharded(image: Image, params: Optional[EncoderParams] = None,
+                   mesh: Optional[Mesh] = None) -> bytes:
+    """Encode with the tile-batch transform sharded over the mesh.
+
+    Thin wrapper over codestream.encoder.encode(mesh=...): markers, HT/CAP
+    signalling, POC, tile-parts, packed headers, and rate control all run
+    through the single encoder code path, so sharded output is
+    byte-identical to sequential output for every parameter combination.
+    """
+    from ..codestream import encoder as _encoder
+    return _encoder.encode(image, params, mesh=mesh or default_mesh())
 
 
 def pcrd_global_stats(stats: jnp.ndarray) -> jnp.ndarray:

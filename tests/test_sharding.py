@@ -60,3 +60,40 @@ def test_sharded_single_tile(mesh8):
     seq = encoder.encode(img, params, device=False)
     par = sharding.encode_sharded(img, params, mesh=mesh8)
     assert seq == par
+
+
+def test_sharded_matches_sequential_ht(mesh8):
+    # HT (Part 15): CAP marker, JPH rsiz, 1 guard bit must match the
+    # sequential encoder exactly (round-1 divergence regression test).
+    img = _image(256, 192, seed=5)
+    params = EncoderParams(numresolutions=4, tile_size=(128, 128),
+                           cblk_style=0x40)
+    seq = encoder.encode(img, params, device=False)
+    par = sharding.encode_sharded(img, params, mesh=mesh8)
+    assert seq == par
+    out = decoder.decode(par)
+    np.testing.assert_array_equal(out.components[0].data,
+                                  img.components[0].data)
+
+
+def test_sharded_matches_sequential_poc_tileparts_plt(mesh8):
+    from grokimagecompression_tpu.core.params import Progression
+    img = _image(256, 256, ncomps=3, seed=6)
+    params = EncoderParams(numresolutions=3, tile_size=(128, 128),
+                           numlayers=2, rates=(8.0, 4.0),
+                           transform=Transform.DWT_97,
+                           progression=Progression.RLCP,
+                           tp_flag="R", plt_markers=True,
+                           tlm_markers=True)
+    seq = encoder.encode(img, params, device=False)
+    par = sharding.encode_sharded(img, params, mesh=mesh8)
+    assert seq == par
+
+
+def test_sharded_matches_sequential_ppm(mesh8):
+    img = _image(200, 160, seed=7)
+    params = EncoderParams(numresolutions=3, tile_size=(96, 96),
+                           ppm_markers=True)
+    seq = encoder.encode(img, params, device=False)
+    par = sharding.encode_sharded(img, params, mesh=mesh8)
+    assert seq == par
