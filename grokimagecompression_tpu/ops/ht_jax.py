@@ -1,0 +1,678 @@
+"""Device (TPU) HTJ2K cleanup-pass encoder.
+
+The FBCOT cleanup pass re-formulated for a vector machine instead of the
+reference's per-block scalar loop (reference:
+src/lib/jp2/t1/t1_ht/coding/ojph_block_encoder.cpp:465):
+
+- All context modelling is *embarrassingly parallel* over the quad grid:
+  the VLC context c_q, the exponent predictor kappa and the unsigned
+  residual u_q of every quad depend only on the PREVIOUS quad-row's raw
+  significance/exponent data and the left quad's rho — so significance
+  patterns, EMB patterns, CxtVLC/UVLC codewords and MagSgn bit counts for
+  every quad of every code-block are computed in one fused XLA program on
+  the (B, qh, qw) grid (VPU work, no scan).
+- Only the three bit-serial stream coders (MEL, VLC, MagSgn) are
+  sequential *per block* — they run as lane-parallel scans: the batch of
+  code-blocks rides the 8x128 vector lanes while the scan dimension walks
+  the per-block append-op sequence. Every append is <= 16 bits so all
+  stream state fits int32 lanes.
+- A final host pass compacts the densely-emitted bytes and applies the
+  termination/fuse rules; output is byte-identical to the host coder
+  (native/src/ht.cpp) — enforced by tests/test_ht_device.py.
+
+Blocks are grouped by (w, h) per launch; Mb may vary per block (it only
+gates the magnitude mask — the cleanup stream content is otherwise
+Mb-independent).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import re
+from typing import List, Tuple
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Normative CxtVLC tables (shared source with the native coder)
+# ---------------------------------------------------------------------------
+
+
+def _load_vlc_sources() -> Tuple[np.ndarray, np.ndarray]:
+    """Parse HT_VLC_SRC0/1 out of native/src/ht_tables.inc (the packed
+    ISO/IEC 15444-15 CxtVLC septuples; see native/src/gen_ht_tables.py)."""
+    path = os.path.join(os.path.dirname(__file__), "..", "native", "src",
+                        "ht_tables.inc")
+    text = open(path).read()
+    out = []
+    for name in ("HT_VLC_SRC0", "HT_VLC_SRC1"):
+        m = re.search(name + r"\[\d+\] = \{(.*?)\};", text, re.S)
+        words = [int(w, 16) for w in re.findall(r"0x[0-9a-fA-F]+",
+                                                m.group(1))]
+        out.append(np.asarray(words, np.uint32))
+    return out[0], out[1]
+
+
+def _build_enc_table(src: np.ndarray) -> np.ndarray:
+    """Encode LUT: [(c_q<<8)|(rho<<4)|emb] -> (cwd<<8)|(len<<4)|e_k
+    (same derivation as the native coder's build_tables)."""
+    c_q = ((src >> 28) & 0xF).astype(np.int64)
+    rho = ((src >> 24) & 0xF).astype(np.int64)
+    u_off = ((src >> 23) & 1).astype(np.int64)
+    e_k = ((src >> 19) & 0xF).astype(np.int64)
+    e_1 = ((src >> 15) & 0xF).astype(np.int64)
+    cwd = ((src >> 7) & 0xFF).astype(np.int64)
+    ln = (src & 0x7F).astype(np.int64)
+    ones = np.asarray([bin(int(v)).count("1") for v in e_k], np.int64)
+    n = len(src)
+    i = np.arange(2048)[:, None]                       # (2048, 1)
+    cq_i = i >> 8
+    rho_i = (i >> 4) & 0xF
+    emb_i = i & 0xF
+    valid_i = ((emb_i & rho_i) == emb_i) & ~((rho_i == 0) & (cq_i == 0))
+    match = (c_q[None] == cq_i) & (rho[None] == rho_i)
+    # emb != 0: best = matching (u_off==1, (emb & e_k) == e_1) entry with
+    # the max popcount(e_k), ties broken by the LAST index (>= in the
+    # scalar loop); emb == 0: FIRST matching entry with u_off == 0.
+    m_emb = match & (u_off[None] == 1) & ((emb_i & e_k[None]) == e_1[None])
+    score = np.where(m_emb, ones[None] * n + np.arange(n)[None], -1)
+    best_emb = np.argmax(score, axis=1)
+    has_emb = score.max(axis=1) >= 0
+    m_z = match & (u_off[None] == 0)
+    best_z = np.argmax(m_z, axis=1)                    # first True
+    has_z = m_z.any(axis=1)
+    use_emb = emb_i[:, 0] != 0
+    best = np.where(use_emb, best_emb, best_z)
+    has = valid_i[:, 0] & np.where(use_emb, has_emb, has_z)
+    enc = np.where(has, (cwd[best] << 8) | (ln[best] << 4) | e_k[best], 0)
+    return enc.astype(np.uint16)
+
+
+def _build_uvlc() -> Tuple[np.ndarray, ...]:
+    pre = np.zeros(33, np.int32)
+    pre_len = np.zeros(33, np.int32)
+    suf = np.zeros(33, np.int32)
+    suf_len = np.zeros(33, np.int32)
+    pre[:5] = [0, 1, 2, 4, 4]
+    pre_len[:5] = [0, 1, 2, 3, 3]
+    suf[:5] = [0, 0, 0, 0, 1]
+    suf_len[:5] = [0, 0, 0, 1, 1]
+    for i in range(5, 33):
+        pre[i] = 0
+        pre_len[i] = 3
+        suf[i] = i - 5
+        suf_len[i] = 5
+    return pre, pre_len, suf, suf_len
+
+
+@functools.lru_cache(maxsize=1)
+def _tables():
+    src0, src1 = _load_vlc_sources()
+    enc0 = _build_enc_table(src0)
+    enc1 = _build_enc_table(src1)
+    return (enc0, enc1) + _build_uvlc()
+
+
+MEL_EXP = np.asarray([0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 4, 5], np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Device program
+# ---------------------------------------------------------------------------
+
+
+def _quad_stage(jnp, mag, neg, mbs):
+    """(B, 2qh, 2qw) arrays -> per-quad dict of (B, qh, qw) arrays."""
+    import jax
+    B, H, W = mag.shape
+    qh, qw = H // 2, W // 2
+    mask = jnp.where(mbs >= 31, jnp.uint32(0xFFFFFFFF),
+                     (jnp.uint32(1) << (mbs + 1).astype(jnp.uint32)) - 1)
+    v = (mag & mask[:, None, None]) << 1
+    sig = v != 0
+    e = jnp.where(sig, 32 - jax.lax.clz(v - 1), 0).astype(jnp.int32)
+    s = v - 2 + neg.astype(jnp.uint32)
+
+    def qview(a):
+        a = a.reshape(B, qh, 2, qw, 2)
+        return (a[:, :, 0, :, 0], a[:, :, 1, :, 0],
+                a[:, :, 0, :, 1], a[:, :, 1, :, 1])
+
+    s0, s1, s2, s3 = qview(s)
+    e0, e1, e2, e3 = qview(e)
+    g0, g1, g2, g3 = qview(sig)
+    rho = (g0.astype(jnp.int32) | (g1 << 1) | (g2 << 2) | (g3 << 3))
+    emax = jnp.maximum(jnp.maximum(e0, e1), jnp.maximum(e2, e3))
+    eps = ((e0 == emax).astype(jnp.int32)
+           | ((e1 == emax).astype(jnp.int32) << 1)
+           | ((e2 == emax).astype(jnp.int32) << 2)
+           | ((e3 == emax).astype(jnp.int32) << 3))
+    return dict(rho=rho, emax=emax, eps=eps,
+                e1=e1, e3=e3, s=(s0, s1, s2, s3),
+                ebl=e1, ebr=e3)
+
+
+def _context_stage(jnp, q):
+    """Vectorized c_q / kappa / Uq / u_q over the whole quad grid."""
+    import jax
+    rho, emax, eps = q["rho"], q["emax"], q["eps"]
+    e1p, e3p = q["e1"], q["e3"]
+    B, qh, qw = rho.shape
+
+    def shift_right(a, fill=0):
+        # a[..., j] -> a[..., j-1] (left neighbour), fill at j=0
+        return jnp.concatenate(
+            [jnp.full(a.shape[:-1] + (1,), fill, a.dtype), a[..., :-1]],
+            axis=-1)
+
+    rho_l = shift_right(rho)
+    # --- initial row context ---
+    cq0 = (rho_l[:, 0] >> 1) | (rho_l[:, 0] & 1)
+
+    # --- non-initial rows: line state from the previous quad row ---
+    # ev[j] = max(e3_prev[j-1], e1_prev[j]); ev[qw] = e3_prev[qw-1]
+    rp_e1 = e1p[:, :-1]                       # rows 0..qh-2 feed rows 1..qh-1
+    rp_e3 = e3p[:, :-1]
+    rp_rho = rho[:, :-1]
+    ev = jnp.maximum(shift_right(rp_e3), rp_e1)          # (B, qh-1, qw)
+    ev_full = jnp.concatenate([ev, rp_e3[..., -1:]], axis=-1)  # j=0..qw
+    max_e = jnp.maximum(ev_full[..., :-1], ev_full[..., 1:]) - 1
+    # cx[j] = ((rho_prev[j] >> 1) & 1) | ((rho_prev[j-1] >> 3) & 1)
+    cx = ((rp_rho >> 1) & 1) | ((shift_right(rp_rho) >> 3) & 1)
+    cx_full = jnp.concatenate(
+        [cx, (rp_rho[..., -1:] >> 3) & 1], axis=-1)      # j=0..qw
+    cq_rest = cx_full[..., :-1] | (cx_full[..., 1:] << 2)
+    rho_l_rest = rho_l[:, 1:]
+    left_bits = ((rho_l_rest >> 1) & 2) | ((rho_l_rest >> 2) & 2)
+    colidx = jax.lax.broadcasted_iota(jnp.int32, (B, qh - 1, qw), 2)
+    cq_rest = cq_rest | jnp.where(colidx > 0, left_bits, 0)
+
+    cq = jnp.concatenate([cq0[:, None], cq_rest], axis=1)
+
+    two_sig = jax.lax.population_count(rho.astype(jnp.uint32)) >= 2
+    kappa_rest = jnp.where(two_sig[:, 1:],
+                           jnp.maximum(max_e, 1), 1)
+    kappa = jnp.concatenate(
+        [jnp.ones((B, 1, qw), jnp.int32), kappa_rest], axis=1)
+    Uq = jnp.maximum(emax, kappa)
+    u = Uq - kappa
+    eps_used = jnp.where(u > 0, eps, 0)
+    return cq, kappa, Uq, u, eps_used
+
+
+def _vlc_uvlc_stage(jnp, q, cq, Uq, u, eps_used, enc0, enc1,
+                    upre, upre_len, usuf, usuf_len):
+    """CxtVLC + UVLC codewords per quad pair -> (val, len) append ops."""
+    import jax
+    rho = q["rho"]
+    B, qh, qw = rho.shape
+    npairs = (qw + 1) // 2
+
+    idx = (cq << 8) | (rho << 4) | eps_used
+    t_init = jnp.take(enc0, idx[:, 0].astype(jnp.int32), axis=0)
+    t_rest = jnp.take(enc1, idx[:, 1:].reshape(B, -1).astype(jnp.int32),
+                      axis=0).reshape(B, qh - 1, qw)
+    t = jnp.concatenate([t_init[:, None], t_rest], axis=1).astype(jnp.int32)
+
+    # pad the quad axis to an even count so pairs slice cleanly
+    def pair_view(a):
+        if qw % 2:
+            a = jnp.concatenate(
+                [a, jnp.zeros(a.shape[:-1] + (1,), a.dtype)], axis=-1)
+        return a[..., 0::2], a[..., 1::2]
+
+    t0, t1 = pair_view(t)
+    u0, u1 = pair_view(u)
+    rho0, rho1 = pair_view(rho)
+    cq0, cq1 = pair_view(cq)
+    # q1 exists when its quad column is inside the grid
+    has_q1 = (jax.lax.broadcasted_iota(
+        jnp.int32, (B, qh, npairs), 2) * 2 + 1) < qw
+    u1 = jnp.where(has_q1, u1, 0)
+    t1 = jnp.where(has_q1, t1, 0)
+
+    v0 = (t0 >> 8) & 0xFF
+    l0 = (t0 >> 4) & 7
+    v1 = (t1 >> 8) & 0xFF
+    l1 = jnp.where(has_q1, (t1 >> 4) & 7, 0)
+
+    # ---- UVLC ----
+    def takes(tbl, i):
+        return jnp.take(tbl, i.reshape(B, -1), axis=0).reshape(i.shape)
+
+    rowidx = jax.lax.broadcasted_iota(jnp.int32, (B, qh, npairs), 1)
+    init = rowidx == 0
+    both_gt2 = init & (u0 > 2) & (u1 > 2)
+    special = init & (u0 > 2) & (u1 > 0) & ~both_gt2
+
+    # default joint form (non-initial, and initial "else" branch)
+    p0 = takes(upre, u0)
+    pl0 = takes(upre_len, u0)
+    s0v = takes(usuf, u0)
+    sl0 = takes(usuf_len, u0)
+    p1 = takes(upre, u1)
+    pl1 = takes(upre_len, u1)
+    s1v = takes(usuf, u1)
+    sl1 = takes(usuf_len, u1)
+    w_def = (p0 | (p1 << pl0) | (s0v << (pl0 + pl1))
+             | (s1v << (pl0 + pl1 + sl0)))
+    l_def = pl0 + pl1 + sl0 + sl1
+
+    # initial row, both u > 2: offset-by-2 joint form
+    a0 = jnp.clip(u0 - 2, 0, 32)
+    a1 = jnp.clip(u1 - 2, 0, 32)
+    bp0 = takes(upre, a0)
+    bpl0 = takes(upre_len, a0)
+    bs0 = takes(usuf, a0)
+    bsl0 = takes(usuf_len, a0)
+    bp1 = takes(upre, a1)
+    bpl1 = takes(upre_len, a1)
+    bs1 = takes(usuf, a1)
+    bsl1 = takes(usuf_len, a1)
+    w_b = (bp0 | (bp1 << bpl0) | (bs0 << (bpl0 + bpl1))
+           | (bs1 << (bpl0 + bpl1 + bsl0)))
+    l_b = bpl0 + bpl1 + bsl0 + bsl1
+
+    # initial row, u0 > 2 and u1 in {1, 2}: one-bit u1
+    w_s = (p0 | (jnp.clip(u1 - 1, 0, 1) << pl0) | (s0v << (pl0 + 1)))
+    l_s = pl0 + 1 + sl0
+
+    uvlc_w = jnp.where(both_gt2, w_b, jnp.where(special, w_s, w_def))
+    uvlc_l = jnp.where(both_gt2, l_b, jnp.where(special, l_s, l_def))
+
+    pair_w = (v0.astype(jnp.uint32)
+              | (v1.astype(jnp.uint32) << l0)
+              | (uvlc_w.astype(jnp.uint32) << (l0 + l1)))
+    pair_l = l0 + l1 + uvlc_l
+
+    # MEL event slots per pair: [q0-sig, q1-sig, u-event]
+    mel_valid = jnp.stack([
+        cq0 == 0,
+        has_q1 & (cq1 == 0),
+        init & (u0 > 0) & (u1 > 0),
+    ], axis=-1)
+    mel_bit = jnp.stack([
+        rho0 != 0,
+        rho1 != 0,
+        jnp.minimum(u0, u1) > 2,
+    ], axis=-1)
+    return pair_w, pair_l, mel_valid, mel_bit, t0, t1, has_q1
+
+
+def _magsgn_ops(jnp, q, Uq, t, qsel):
+    """MagSgn append ops for quad column parity `qsel` (0: even, 1: odd):
+    returns (B, qh, npairs, 4, 2) value/len arrays (2 halves per sample)."""
+    rho = q["rho"]
+    B, qh, qw = rho.shape
+
+    def sel(a):
+        if qw % 2:
+            a = jnp.concatenate(
+                [a, jnp.zeros(a.shape[:-1] + (1,), a.dtype)], axis=-1)
+        return a[..., qsel::2]
+
+    vals = []
+    lens = []
+    rho_s = sel(rho)
+    Uq_s = sel(Uq)
+    for n in range(4):
+        s_n = sel(q["s"][n]).astype(jnp.uint32)
+        sig_n = (rho_s >> n) & 1
+        m_n = jnp.where(sig_n == 1, Uq_s - ((t >> n) & 1), 0)
+        mask = jnp.where(
+            m_n >= 32, jnp.uint32(0xFFFFFFFF),
+            (jnp.uint32(1) << jnp.clip(m_n, 0, 31).astype(jnp.uint32)) - 1)
+        val = s_n & mask
+        vals.append(val & 0xFFFF)
+        lens.append(jnp.minimum(m_n, 16))
+        vals.append(val >> 16)
+        lens.append(jnp.maximum(m_n - 16, 0))
+    v = jnp.stack(vals, axis=-1).reshape(B, qh, -1, 4, 2)
+    ln = jnp.stack(lens, axis=-1).reshape(B, qh, -1, 4, 2)
+    return v, ln
+
+
+# ---------------------------------------------------------------------------
+# Lane-parallel stream scans
+# ---------------------------------------------------------------------------
+
+
+def _mel_scan(jnp, lax, valid, bit, B):
+    """valid/bit: (T, B) -> bytes (T, B), bytemask (T, B), final state."""
+    mel_exp = jnp.asarray(MEL_EXP)
+
+    def step(carry, xs):
+        tmp, nbits, cap, run, k = carry
+        val, b = xs
+        eval_ = jnp.take(mel_exp, k)
+        threshold = jnp.int32(1) << eval_
+        # bit == 0 path
+        run0 = run + 1
+        hit = run0 >= threshold
+        # emitted bits (MSB-first): bit==0 & hit -> '1' (1 bit);
+        # bit==1 -> '0' + eval_ bits of run
+        ebits_0 = jnp.int32(1)
+        ecnt_0 = jnp.where(hit, 1, 0)
+        ebits_1 = run & ((jnp.int32(1) << eval_) - 1)   # low eval_ bits
+        ecnt_1 = 1 + eval_
+        ebits = jnp.where(b == 1, ebits_1, ebits_0)
+        ecnt = jnp.where(b == 1, ecnt_1, ecnt_0)
+        ecnt = jnp.where(val == 1, ecnt, 0)
+        # mask the emitted bits to their count (a 0-bit emission must not
+        # touch the accumulator)
+        ebits = ebits & ((jnp.int32(1) << ecnt) - 1)
+        new_run = jnp.where(val == 1,
+                            jnp.where(b == 1, 0, jnp.where(hit, 0, run0)),
+                            run)
+        new_k = jnp.where(
+            val == 1,
+            jnp.where(b == 1, jnp.maximum(k - 1, 0),
+                      jnp.where(hit, jnp.minimum(k + 1, 12), k)),
+            k)
+        # push ecnt bits (MSB-first) into the byte accumulator
+        combined = (tmp << ecnt) | ebits
+        nb = nbits + ecnt
+        full = nb >= cap
+        out_byte = jnp.where(full, combined >> (nb - cap), 0)
+        rem = jnp.where(full, nb - cap, nb)
+        new_tmp = jnp.where(
+            full, combined & ((jnp.int32(1) << (nb - cap)) - 1), combined)
+        new_cap = jnp.where(full,
+                            jnp.where(out_byte == 0xFF, 7, 8), cap)
+        return ((new_tmp, rem, new_cap, new_run, new_k),
+                (out_byte.astype(jnp.uint8), full))
+
+    init = tuple(jnp.full((B,), v, jnp.int32) for v in (0, 0, 8, 0, 0))
+    carry, (bytes_, mask) = lax.scan(step, init, (valid, bit), unroll=1)
+    return bytes_, mask, carry
+
+
+def _vlc_scan(jnp, lax, vals, lens, B):
+    """VLC backward-writer emulation. vals/lens: (T, B) append ops
+    (LSB-first, <= 16 bits). Returns bytes (T, 3, B), mask, final state."""
+
+    def step(carry, xs):
+        tmp, used, lg8f = carry
+        q, qbits = xs
+        out_b = []
+        out_m = []
+        for _ in range(7):
+            active = qbits > 0
+            avail = 8 - lg8f - used
+            t = jnp.clip(jnp.minimum(avail, qbits), 0, 8)
+            t = jnp.where(active, t, 0)
+            tmp = tmp | ((q & ((jnp.int32(1) << t) - 1)) << used)
+            used = used + t
+            q = jnp.where(active, q >> t, q)
+            qbits = qbits - t
+            boundary = active & (used == (8 - lg8f))
+            retry = boundary & (lg8f == 1) & (tmp != 0x7F)
+            emit = boundary & ~retry
+            out_b.append(jnp.where(emit, tmp, 0).astype(jnp.uint8))
+            out_m.append(emit)
+            lg8f = jnp.where(retry, 0,
+                             jnp.where(emit, (tmp > 0x8F).astype(jnp.int32),
+                                       lg8f))
+            tmp = jnp.where(emit, 0, tmp)
+            used = jnp.where(emit, 0, used)
+        return ((tmp, used, lg8f),
+                (jnp.stack(out_b), jnp.stack(out_m)))
+
+    init = (jnp.full((B,), 0xF, jnp.int32), jnp.full((B,), 4, jnp.int32),
+            jnp.full((B,), 1, jnp.int32))
+    carry, (bytes_, mask) = lax.scan(
+        step, init, (vals.astype(jnp.int32), lens), unroll=1)
+    return bytes_, mask, carry
+
+
+def _ms_scan(jnp, lax, vals, lens, B):
+    """MagSgn forward-writer emulation. vals/lens: (T, B) append ops
+    (<= 16 bits). Returns bytes (T, 3, B), mask, final state."""
+
+    def step(carry, xs):
+        q, qbits, maxb = carry
+        v, ln = xs
+        q = q | (v << qbits)
+        qbits = qbits + ln
+        out_b = []
+        out_m = []
+        for _ in range(3):
+            emit = qbits >= maxb
+            byte = jnp.where(emit, q & ((jnp.int32(1) << maxb) - 1), 0)
+            q = jnp.where(emit, q >> maxb, q)
+            qbits = jnp.where(emit, qbits - maxb, qbits)
+            maxb = jnp.where(emit & (byte == 0xFF), 7,
+                             jnp.where(emit, 8, maxb))
+            out_b.append(byte.astype(jnp.uint8))
+            out_m.append(emit)
+        return ((q, qbits, maxb), (jnp.stack(out_b), jnp.stack(out_m)))
+
+    init = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+            jnp.full((B,), 8, jnp.int32))
+    carry, (bytes_, mask) = lax.scan(
+        step, init, (vals.astype(jnp.int32), lens), unroll=1)
+    return bytes_, mask, carry
+
+
+# ---------------------------------------------------------------------------
+# Jitted launch (per block geometry)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_encode(qh: int, qw: int):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    enc0_np, enc1_np, upre_np, uprel_np, usuf_np, usufl_np = _tables()
+
+    def run(mag, neg, mbs):
+        B = mag.shape[0]
+        enc0 = jnp.asarray(enc0_np.astype(np.int32))
+        enc1 = jnp.asarray(enc1_np.astype(np.int32))
+        upre = jnp.asarray(upre_np)
+        uprel = jnp.asarray(uprel_np)
+        usuf = jnp.asarray(usuf_np)
+        usufl = jnp.asarray(usufl_np)
+
+        q = _quad_stage(jnp, mag, neg, mbs)
+        cq, kappa, Uq, u, eps_used = _context_stage(jnp, q)
+        (pair_w, pair_l, mel_valid, mel_bit,
+         t0, t1, has_q1) = _vlc_uvlc_stage(
+            jnp, q, cq, Uq, u, eps_used, enc0, enc1,
+            upre, uprel, usuf, usufl)
+
+        npairs = (qw + 1) // 2
+        # ---- MEL ops: (B, qh, npairs, 3) -> (T, B)
+        mv = mel_valid.astype(jnp.int32).reshape(B, -1).T
+        mb = mel_bit.astype(jnp.int32).reshape(B, -1).T
+
+        # ---- VLC ops: two 16-bit halves per pair -> (T, B)
+        v_lo = (pair_w & 0xFFFF).astype(jnp.int32)
+        v_hi = (pair_w >> 16).astype(jnp.int32)
+        l_lo = jnp.minimum(pair_l, 16)
+        l_hi = jnp.maximum(pair_l - 16, 0)
+        vv = jnp.stack([v_lo, v_hi], axis=-1).reshape(B, -1).T
+        vl = jnp.stack([l_lo, l_hi], axis=-1).reshape(B, -1).T
+
+        # ---- MagSgn ops: quad pair order (q0 samples, then q1) ----
+        v0, l0v = _magsgn_ops(jnp, q, Uq, t0, 0)
+        v1, l1v = _magsgn_ops(jnp, q, Uq, t1, 1)
+        msv = jnp.stack([v0, v1], axis=3)    # (B, qh, npairs, 2, 4, 2)
+        msl = jnp.stack([l0v, l1v], axis=3)
+        msv = msv.astype(jnp.int32).reshape(B, -1).T
+        msl = msl.reshape(B, -1).T
+
+        # Materialize the op streams before the scans: without this
+        # barrier XLA re-fuses the gather-heavy context stage into every
+        # unrolled scan step (observed 1000x slowdowns on the CPU
+        # backend).
+        (mv, mb, vv, vl, msv, msl) = jax.lax.optimization_barrier(
+            (mv, mb, vv, vl, msv, msl))
+
+        mel_bytes, mel_mask, mel_state = _mel_scan(jnp, lax, mv, mb, B)
+        vlc_bytes, vlc_mask, vlc_state = _vlc_scan(jnp, lax, vv, vl, B)
+        ms_bytes, ms_mask, ms_state = _ms_scan(jnp, lax, msv, msl, B)
+
+        return (mel_bytes, mel_mask, mel_state,
+                vlc_bytes, vlc_mask, vlc_state,
+                ms_bytes, ms_mask, ms_state)
+
+    return jax.jit(run)
+
+
+# ---------------------------------------------------------------------------
+# Host finalization
+# ---------------------------------------------------------------------------
+
+
+def _compact(bytes_np: np.ndarray, mask_np: np.ndarray) -> List[np.ndarray]:
+    """(T[, K], B) dense bytes + mask -> per-block ordered byte arrays."""
+    if bytes_np.ndim == 3:
+        T, K, B = bytes_np.shape
+        flat_b = bytes_np.reshape(T * K, B)
+        flat_m = mask_np.reshape(T * K, B)
+    else:
+        flat_b = bytes_np
+        flat_m = mask_np
+    fm = flat_m.astype(bool)
+    counts = fm.sum(axis=0)
+    vals = flat_b.T[fm.T]          # block-major concatenation, in order
+    splits = np.cumsum(counts)[:-1]
+    return np.split(vals, splits)
+
+
+def _mel_tail(state, bi) -> Tuple[List[int], int, int]:
+    """Apply `if (run > 0) emit_bit(1)` + final alignment for one block.
+    Returns (extra whole bytes, final tmp byte (aligned), mel_mask)."""
+    tmp = int(state[0][bi])
+    nbits = int(state[1][bi])
+    cap = int(state[2][bi])
+    run = int(state[3][bi])
+    extra = []
+    if run > 0:
+        tmp = (tmp << 1) | 1
+        nbits += 1
+        if nbits >= cap:
+            byte = tmp >> (nbits - cap)
+            extra.append(byte)
+            tmp &= (1 << (nbits - cap)) - 1
+            nbits -= cap
+            cap = 7 if byte == 0xFF else 8
+    remaining = cap - nbits
+    tmp_final = (tmp << remaining) & 0xFF
+    mel_mask = (0xFF << remaining) & 0xFF
+    return extra, tmp_final, mel_mask
+
+
+def finalize_blocks(results, B) -> List[bytes]:
+    """Device outputs -> per-block HT cleanup segments (byte-exact with
+    native ht_encode: MagSgn || MEL || reverse(VLC), Scup in last 2
+    bytes, MEL/VLC fuse + MagSgn termination rules)."""
+    (mel_bytes, mel_mask, mel_state,
+     vlc_bytes, vlc_mask, vlc_state,
+     ms_bytes, ms_mask, ms_state) = [
+        np.asarray(r) if not isinstance(r, tuple) else r for r in results]
+    mel_state = tuple(np.asarray(a) for a in mel_state)
+    vlc_state = tuple(np.asarray(a) for a in vlc_state)
+    ms_state = tuple(np.asarray(a) for a in ms_state)
+
+    mel_lists = _compact(np.asarray(mel_bytes), np.asarray(mel_mask))
+    vlc_lists = _compact(np.asarray(vlc_bytes), np.asarray(vlc_mask))
+    ms_lists = _compact(np.asarray(ms_bytes), np.asarray(ms_mask))
+
+    out = []
+    for bi in range(B):
+        mel = bytearray(mel_lists[bi].tobytes())
+        extra, mel_tmp, mel_maskv = _mel_tail(mel_state, bi)
+        mel.extend(extra)
+        # VLC buffer in reversed (write) order; [0] is the final byte
+        vlcr = bytearray(b"\xff" + vlc_lists[bi].tobytes())
+        vtmp = int(vlc_state[0][bi])
+        vused = int(vlc_state[1][bi])
+        vlc_maskv = 0xFF >> (8 - vused) if vused else 0
+        # fuse rule (terminate_mel_vlc)
+        if (mel_maskv | vlc_maskv) != 0:
+            fuse = mel_tmp | vtmp
+            if ((((fuse ^ mel_tmp) & mel_maskv)
+                 | ((fuse ^ vtmp) & vlc_maskv)) == 0
+                    and fuse != 0xFF and len(vlcr) > 1):
+                mel.append(fuse)
+            else:
+                mel.append(mel_tmp)
+                vlcr.append(vtmp)
+        ms = bytearray(ms_lists[bi].tobytes())
+        # MagSgn termination
+        q = int(ms_state[0][bi])
+        qbits = int(ms_state[1][bi])
+        maxb = int(ms_state[2][bi])
+        if qbits:
+            byte = (q | (0xFF << qbits)) & ((1 << maxb) - 1)
+            if byte != 0xFF:
+                ms.append(byte)
+        elif maxb == 7:
+            ms.pop()
+        seg = bytes(ms) + bytes(mel) + bytes(vlcr[::-1])
+        scup = len(mel) + len(vlcr)
+        seg = bytearray(seg)
+        seg[-1] = (scup >> 4) & 0xFF
+        seg[-2] = (seg[-2] & 0xF0) | (scup & 0xF)
+        out.append(bytes(seg))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def ht_encode_blocks(blocks) -> List[bytes]:
+    """blocks: [(mag uint32 (h,w), neg uint8 (h,w), Mb int), ...] ->
+    per-block HT cleanup segments, grouping same-shape blocks into one
+    device launch each."""
+    import jax.numpy as jnp
+
+    groups = {}
+    for i, (mag, neg, mb) in enumerate(blocks):
+        groups.setdefault(mag.shape, []).append(i)
+    out: List[bytes] = [b""] * len(blocks)
+    for (h, w), idxs in groups.items():
+        qh, qw = (h + 1) // 2, (w + 1) // 2
+        B = len(idxs)
+        mags = np.zeros((B, qh * 2, qw * 2), np.uint32)
+        negs = np.zeros((B, qh * 2, qw * 2), np.uint8)
+        mbs = np.zeros((B,), np.int32)
+        for k, i in enumerate(idxs):
+            mags[k, :h, :w] = blocks[i][0]
+            negs[k, :h, :w] = blocks[i][1]
+            mbs[k] = blocks[i][2]
+        fn = _jitted_encode(qh, qw)
+        res = fn(jnp.asarray(mags), jnp.asarray(negs), jnp.asarray(mbs))
+        segs = finalize_blocks(res, B)
+        for k, i in enumerate(idxs):
+            out[i] = segs[k]
+    return out
+
+
+def ht_encode_cblk_batch_bands(bands, descs, kmaxs,
+                               stepsizes=None) -> List[bytes]:
+    """Device HT encode straight from band planes: same contract as
+    t1_native.ht_encode_cblk_batch_bands (descs rows are
+    (band_idx, x0, y0, w, h); float32 bands quantize with the per-band
+    deadzone stepsize in double precision, like the native gather)."""
+    blocks = []
+    for i in range(len(descs)):
+        bi, x0, y0, w, h = (int(v) for v in descs[i])
+        a = bands[bi][y0:y0 + h, x0:x0 + w]
+        if stepsizes is not None and a.dtype == np.float32:
+            m = (np.abs(a.astype(np.float64))
+                 / float(stepsizes[bi])).astype(np.uint32)
+            neg = (a < 0).astype(np.uint8)
+        else:
+            aa = np.asarray(a, np.int64)
+            m = np.abs(aa).astype(np.uint32)
+            neg = (aa < 0).astype(np.uint8)
+        blocks.append((m, neg, int(kmaxs[i])))
+    return ht_encode_blocks(blocks)

@@ -57,6 +57,13 @@ def decode_cblk(data: bytes, seg_lengths: Optional[List[int]], w: int, h: int,
 CBLKSTY_HT = 0x40
 
 
+def _use_device_t1() -> bool:
+    """Route HT block coding through the device (TPU) coder
+    (ops/ht_jax.py) when GROK_TPU_T1=device. Byte-identical to the
+    native backend (tests/test_ht_device.py)."""
+    return os.environ.get("GROK_TPU_T1", "") == "device"
+
+
 def encode_cblk_batch(blocks, cblk_style: int = 0):
     """Batch encode: blocks = [(mag, neg, orient[, kmax]), ...] ->
     [(data, numbps, numpasses, passes), ...]. Uses native worker threads
@@ -94,6 +101,13 @@ def encode_cblk_batch_bands(bands, descs, orients, kmaxs,
     n = len(descs)
     if n == 0:
         return []
+    if cblk_style & CBLKSTY_HT and _use_device_t1():
+        from ..ops import ht_jax
+        datas = ht_jax.ht_encode_cblk_batch_bands(
+            bands, descs, kmaxs, stepsizes=stepsizes)
+        return [(d, 1, 1, [t1_np.PassInfo(rate=len(d), distortion=0.0,
+                                          terminated=True)])
+                for d in datas]
     if nat is not None:
         if cblk_style & CBLKSTY_HT:
             datas = nat.ht_encode_cblk_batch_bands(
