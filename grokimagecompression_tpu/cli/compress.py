@@ -79,10 +79,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Digital Cinema 2K profile at the given fps")
     p.add_argument("--cinema4k", action="store_true",
                    help="Digital Cinema 4K profile (24 fps)")
-    p.add_argument("--imf", choices=["2k", "4k", "8k"], default=None,
-                   help="IMF profile variant")
-    p.add_argument("--broadcast", type=int, default=None, metavar="LEVEL",
-                   help="Broadcast profile (single tile) at the given level")
+    p.add_argument("--imf", default=None, metavar="SPEC",
+                   help="IMF profile: 2k/4k/8k/2k_r/4k_r/8k_r"
+                        "[,mainlevel=X][,sublevel=Y][,framerate=FPS] "
+                        "(reference -z)")
+    p.add_argument("--broadcast", default=None, metavar="SPEC",
+                   help="Broadcast profile: LEVEL[,multi|,multi_r]"
+                        "[,framerate=FPS] (reference -U)")
     p.add_argument("-Q", "--capture-res", default=None, metavar="X,Y",
                    help="capture resolution in pixels/metre (JP2 resc)")
     p.add_argument("--display-res", default=None, metavar="X,Y",
@@ -275,10 +278,24 @@ def main(argv=None) -> int:
                                          fps=args.cinema2k or 24,
                                          four_k=args.cinema4k)
         elif args.imf:
-            prof = profiles.apply_imf(params, image, args.imf)
+            parts = args.imf.split(",")
+            kw = {"variant": parts[0]}
+            for t in parts[1:]:
+                k, _, v = t.partition("=")
+                if k in ("mainlevel", "sublevel", "framerate"):
+                    kw[k] = int(v)
+            prof = profiles.apply_imf(params, image, **kw)
         else:
-            prof = profiles.apply_broadcast(params, image,
-                                            level=args.broadcast)
+            parts = str(args.broadcast).split(",")
+            kw = {"level": int(parts[0])}
+            for t in parts[1:]:
+                if t == "multi":
+                    kw["multi"] = True
+                elif t == "multi_r":
+                    kw["reversible_multi"] = True
+                elif t.startswith("framerate="):
+                    kw["framerate"] = int(t.split("=")[1])
+            prof = profiles.apply_broadcast(params, image, **kw)
         for w in prof.warnings:
             print(f"warning: {w}", file=sys.stderr)
         cs = profiles.encode_with_profile(image, prof)

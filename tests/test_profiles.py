@@ -65,15 +65,82 @@ def test_cinema48_cap():
 
 
 def test_imf_profile():
+    # IMF 2K forces the 9/7 irreversible transform (reference:
+    # j2kprofile.cpp:432 "IMF 2K/4K/8K profiles require 9-7") -> lossy.
     img = _image(320, 180)
     prof = profiles.apply_imf(EncoderParams(numresolutions=9), img, "2k",
                               mainlevel=2, sublevel=1)
     assert prof.params.numresolutions == 6
     assert (prof.rsiz & 0xFF00) == profiles.PROFILE_IMF_2K
+    assert prof.warnings == ()
+    cs = profiles.encode_with_profile(img, prof)
+    out = decoder.decode(cs)
+    err = out.components[0].data.astype(np.int64) - \
+        img.components[0].data.astype(np.int64)
+    assert float(np.sqrt((err ** 2).mean())) < 2.5
+
+
+def test_imf_reversible_profile_lossless():
+    img = _image(320, 180)
+    prof = profiles.apply_imf(EncoderParams(numresolutions=9), img,
+                              "2k_r", mainlevel=2, sublevel=1)
+    assert (prof.rsiz & 0xFF00) == profiles.PROFILE_IMF_2K_R
+    assert prof.warnings == ()
     cs = profiles.encode_with_profile(img, prof)
     out = decoder.decode(cs)
     np.testing.assert_array_equal(out.components[0].data,
                                   img.components[0].data)
+
+
+def test_imf_noncompliant_strips_rsiz():
+    # 17-bit input violates the 8-16-bit IMF precision rule -> rsiz is
+    # stripped, warnings reported, encode still succeeds (reference:
+    # j2k.cpp:1718 "Non-IMF codestream will be generated").
+    rng = np.random.default_rng(0)
+    from grokimagecompression_tpu.core.image import Component, Image
+    data = rng.integers(0, 1 << 17, (64, 64)).astype(np.int32)
+    img = Image(xsiz=64, ysiz=64, components=[
+        Component(data=data, prec=17, signed=False, dx=1, dy=1)])
+    prof = profiles.apply_imf(EncoderParams(), img, "2k")
+    assert prof.rsiz == profiles.PROFILE_NONE
+    assert any("8-16 bit" in wmsg for wmsg in prof.warnings)
+
+
+def test_imf_sublevel_vs_mainlevel_rule():
+    img = _image(128, 128)
+    prof = profiles.apply_imf(EncoderParams(), img, "2k", mainlevel=1,
+                              sublevel=5)
+    assert prof.rsiz == profiles.PROFILE_NONE
+    assert any("sublevel" in wmsg for wmsg in prof.warnings)
+
+
+def test_imf_framerate_rate_cap():
+    # sublevel 1 = 200 Mbit/s; at 25 fps the frame cap is 1 MB and the
+    # codestream must stay under it.
+    img = _image(1024, 512)
+    prof = profiles.apply_imf(EncoderParams(), img, "2k", mainlevel=3,
+                              sublevel=1, framerate=25)
+    assert prof.max_cs_bytes == profiles.imf_max_cs_bytes(1, 25)
+    cs = profiles.encode_with_profile(img, prof)
+    assert len(cs) <= prof.max_cs_bytes
+
+
+def test_broadcast_msamples_ceiling():
+    # Level 1 allows 64 Msamples/s; a 4K@60 stream exceeds it.
+    img = _image(512, 512)
+    ok, warns = profiles.is_broadcast_compliant(
+        profiles.apply_broadcast(EncoderParams(), img, level=1).params,
+        img, profiles.PROFILE_BC_SINGLE | 1, framerate=600)
+    assert not ok
+    assert any("Msamples" in wmsg for wmsg in warns)
+
+
+def test_broadcast_tile_layout_rule():
+    img = _image(256, 256)
+    prof = profiles.apply_broadcast(
+        EncoderParams(tile_size=(86, 86)), img, level=2, multi=True)
+    assert prof.rsiz == profiles.PROFILE_NONE
+    assert any("tile layout" in wmsg for wmsg in prof.warnings)
 
 
 def test_broadcast_profile():
