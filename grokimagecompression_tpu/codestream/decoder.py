@@ -221,8 +221,14 @@ def iter_tile_parts(data: bytes, start: int):
         pos = pos + psot if sot.psot else tp_end
 
 
-def decode(data: bytes, params: Optional[DecoderParams] = None) -> Image:
-    """Decode a raw J2K codestream (or JP2 file) into an Image."""
+def decode(data: bytes, params: Optional[DecoderParams] = None,
+           device: Optional[bool] = None) -> Image:
+    """Decode a raw J2K codestream (or JP2 file) into an Image.
+
+    `device=True` runs the inverse transform pipeline (inverse DWT,
+    inverse MCT, DC unshift) on the JAX device; default is host numpy
+    unless GROK_TPU_DEVICE=1.
+    """
     params = params or DecoderParams()
     from . import jp2
     if jp2.is_jp2(data):
@@ -332,7 +338,7 @@ def decode(data: bytes, params: Optional[DecoderParams] = None) -> Image:
                            cod_comp=cod_comp, qcd_comp=qcd_comp,
                            pocs=pocs, roishifts=hdr.roishifts,
                            custom_mct=hdr.custom_mct,
-                           packed_headers=packed)
+                           packed_headers=packed, device=device)
 
     # Host tile parallelism (decode mirror of the encoder's tile fan-out;
     # each tile writes a disjoint region of the output planes).

@@ -638,6 +638,7 @@ def decode_tile(
     roishifts: Optional[List[int]] = None,
     custom_mct=None,
     packed_headers: Optional[bytes] = None,
+    device: Optional[bool] = None,
 ) -> List[np.ndarray]:
     """Decode one tile's packet body back to component sample arrays.
 
@@ -866,6 +867,24 @@ def decode_tile(
                     t1_jobs, t1_job_slots, cods)
         decoded = {id(slot[2]): mn
                    for slot, mn in zip(t1_job_slots, t1_out)}
+
+    # Device inverse path: inverse DWT + inverse MCT + DC unshift as one
+    # jitted program on the accelerator (reference decode hot loops:
+    # src/lib/jp2/transform/dwt.cpp:1208/2154 decode_53/decode_97,
+    # TileProcessor.cpp:1303 mct_decode). Falls back to the host for
+    # windowed/reduced/custom-MCT/mixed-style decodes.
+    use_device = device
+    if use_device is None:
+        use_device = os.environ.get("GROK_TPU_DEVICE", "") == "1"
+    if (use_device and _fused_bands is not None and window is None
+            and reduce == 0 and not cod_comp and cod.mct != 2):
+        from ..models import pipeline as device_pipeline
+        cfg = device_pipeline.config_for_tile(siz, cod, tile)
+        comps_dev = device_pipeline.device_inv_comps(
+            [_fused_bands[c] for c in range(ncomps)], cfg)
+        origins = [(plans[c].layout.tc_rect.x0,
+                    plans[c].layout.tc_rect.y0) for c in range(ncomps)]
+        return list(zip(comps_dev, origins))
 
     out = []
     origins = []

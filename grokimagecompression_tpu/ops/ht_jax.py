@@ -300,9 +300,11 @@ def _vlc_uvlc_stage(jnp, q, cq, Uq, u, eps_used, enc0, enc1,
     return pair_w, pair_l, mel_valid, mel_bit, t0, t1, has_q1
 
 
-def _magsgn_ops(jnp, q, Uq, t, qsel):
+def _magsgn_ops(jnp, q, Uq, t, qsel, halves=2):
     """MagSgn append ops for quad column parity `qsel` (0: even, 1: odd):
-    returns (B, qh, npairs, 4, 2) value/len arrays (2 halves per sample)."""
+    returns (B, qh, npairs, 4, halves) value/len arrays. `halves=1` when
+    every m_n provably fits 16 bits (Mb <= 14) — halves the scan
+    length."""
     rho = q["rho"]
     B, qh, qw = rho.shape
 
@@ -324,12 +326,16 @@ def _magsgn_ops(jnp, q, Uq, t, qsel):
             m_n >= 32, jnp.uint32(0xFFFFFFFF),
             (jnp.uint32(1) << jnp.clip(m_n, 0, 31).astype(jnp.uint32)) - 1)
         val = s_n & mask
-        vals.append(val & 0xFFFF)
-        lens.append(jnp.minimum(m_n, 16))
-        vals.append(val >> 16)
-        lens.append(jnp.maximum(m_n - 16, 0))
-    v = jnp.stack(vals, axis=-1).reshape(B, qh, -1, 4, 2)
-    ln = jnp.stack(lens, axis=-1).reshape(B, qh, -1, 4, 2)
+        if halves == 1:
+            vals.append(val & 0xFFFF)
+            lens.append(m_n)
+        else:
+            vals.append(val & 0xFFFF)
+            lens.append(jnp.minimum(m_n, 16))
+            vals.append(val >> 16)
+            lens.append(jnp.maximum(m_n - 16, 0))
+    v = jnp.stack(vals, axis=-1).reshape(B, qh, -1, 4, halves)
+    ln = jnp.stack(lens, axis=-1).reshape(B, qh, -1, 4, halves)
     return v, ln
 
 
@@ -456,171 +462,243 @@ def _ms_scan(jnp, lax, vals, lens, B):
 
 
 # ---------------------------------------------------------------------------
-# Jitted launch (per block geometry)
+# Device termination + segment assembly
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=64)
-def _jitted_encode(qh: int, qw: int):
+def _bounds(qh: int, qw: int, mbb: int) -> Tuple[int, int, int]:
+    """Static per-block byte bounds (MagSgn, MEL, VLC) for a quad grid and
+    a bucketed max Mb. MagSgn bits <= 4*quads*(Mb+1); all streams pay the
+    8->7 stuffing factor."""
+    npairs = (qw + 1) // 2
+    t_mel = qh * npairs * 3
+    t_vlc = qh * npairs * 2
+    ms_bound = (4 * qh * qw * (mbb + 1)) // 7 + 3
+    mel_bound = t_mel + 3
+    vlc_bound = (16 * t_vlc) // 7 + 4
+    return ms_bound, mel_bound, vlc_bound
+
+
+def _seg_metrics(jnp, B, mel_state, vlc_state, ms_state,
+                 mel_mask, vlc_mask, ms_mask):
+    """Per-block termination metrics (stream tail bytes, fuse decision,
+    final stream lengths) -- everything the scatter phase needs besides
+    the dense bytes themselves."""
+    ms_len = ms_mask.reshape(-1, B).astype(jnp.int32).sum(axis=0)
+    mel_scan_len = mel_mask.reshape(-1, B).astype(jnp.int32).sum(axis=0)
+    vlc_scan_len = vlc_mask.reshape(-1, B).astype(jnp.int32).sum(axis=0)
+
+    # ---- MagSgn termination (MsEnc::terminate) ----
+    msq, msqb, msmaxb = ms_state
+    ms_tail = (msq | (0xFF << msqb)) & ((jnp.int32(1) << msmaxb) - 1)
+    ms_append = (msqb > 0) & (ms_tail != 0xFF)
+    ms_drop = (msqb == 0) & (msmaxb == 7)
+    ms_len_f = ms_len + ms_append.astype(jnp.int32) \
+        - ms_drop.astype(jnp.int32)
+
+    # ---- MEL tail: pending run bit + byte alignment ----
+    mtmp, mnbits, mcap, mrun, _ = mel_state
+    has_run = mrun > 0
+    t2 = jnp.where(has_run, (mtmp << 1) | 1, mtmp)
+    nb2 = mnbits + has_run.astype(jnp.int32)
+    mext = nb2 >= mcap
+    ext_byte = jnp.where(mext, t2 >> (nb2 - mcap), 0)
+    t3 = jnp.where(mext, t2 & ((jnp.int32(1) << (nb2 - mcap)) - 1), t2)
+    nb3 = jnp.where(mext, nb2 - mcap, nb2)
+    cap3 = jnp.where(mext, jnp.where(ext_byte == 0xFF, 7, 8), mcap)
+    remaining = cap3 - nb3
+    mel_tmp = (t3 << remaining) & 0xFF
+    mel_maskv = (0xFF << remaining) & 0xFF
+
+    # ---- VLC pending byte + fuse rule (terminate_mel_vlc) ----
+    vtmp, vused, _ = vlc_state
+    vlc_maskv = jnp.where(vused > 0, 0xFF >> jnp.maximum(8 - vused, 0), 0)
+    vlc_n = 1 + vlc_scan_len            # includes the leading 0xFF byte
+    nonzero = (mel_maskv | vlc_maskv) != 0
+    fuse = mel_tmp | vtmp
+    fuse_ok = nonzero \
+        & (((((fuse ^ mel_tmp) & mel_maskv)
+             | ((fuse ^ vtmp) & vlc_maskv)) == 0)
+           & (fuse != 0xFF) & (vlc_n > 1))
+    mel_tail_byte = jnp.where(fuse_ok, fuse, mel_tmp)
+    mel_len_f = mel_scan_len + mext.astype(jnp.int32) \
+        + nonzero.astype(jnp.int32)
+    vlc_n_f = vlc_n + (nonzero & ~fuse_ok).astype(jnp.int32)
+    seg_len = ms_len_f + mel_len_f + vlc_n_f
+    return dict(ms_len=ms_len, ms_len_f=ms_len_f, ms_tail=ms_tail,
+                ms_append=ms_append, mel_scan_len=mel_scan_len,
+                mext=mext, ext_byte=ext_byte, mel_tail_byte=mel_tail_byte,
+                nonzero=nonzero, fuse_ok=fuse_ok, vtmp=vtmp,
+                mel_len_f=mel_len_f, vlc_n=vlc_n, vlc_n_f=vlc_n_f,
+                seg_len=seg_len)
+
+
+def _assemble_scatter(jnp, jax, B, out, start, m,
+                      mel_bytes, mel_mask, vlc_bytes, vlc_mask,
+                      ms_bytes, ms_mask):
+    """Scatter one group's final segments (MagSgn || MEL || reverse(VLC),
+    Scup patched into the last two bytes) into the global byte buffer at
+    the given per-block start offsets. out[-1] is the drop bin."""
+    DROP = out.shape[0] - 1
+
+    def flat_idx(mask):
+        mm = mask.reshape(-1, B).astype(jnp.int32)
+        return mm, jnp.cumsum(mm, axis=0) - 1
+
+    ms_m, ms_idx = flat_idx(ms_mask)
+    mel_m, mel_idx = flat_idx(mel_mask)
+    vlc_m, vlc_idx = flat_idx(vlc_mask)
+    ms_flat = ms_bytes.reshape(-1, B).astype(jnp.int32)
+    mel_flat = mel_bytes.reshape(-1, B).astype(jnp.int32)
+    vlc_flat = vlc_bytes.reshape(-1, B).astype(jnp.int32)
+
+    def scat(out, pos, val, cond):
+        pos = jnp.where(cond, pos, DROP)
+        return out.at[pos.reshape(-1)].set(
+            val.astype(jnp.uint8).reshape(-1), mode="drop")
+
+    seg_len = m["seg_len"]
+    # MagSgn bytes (skipping a dropped trailing byte) + tail byte
+    out = scat(out, start[None, :] + ms_idx, ms_flat,
+               (ms_m > 0) & (ms_idx < m["ms_len_f"][None, :]))
+    out = scat(out, start + m["ms_len"], m["ms_tail"], m["ms_append"])
+    # MEL: scan bytes, run-extra byte, tail byte
+    mel0 = start + m["ms_len_f"]
+    out = scat(out, mel0[None, :] + mel_idx, mel_flat, mel_m > 0)
+    out = scat(out, mel0 + m["mel_scan_len"], m["ext_byte"], m["mext"])
+    out = scat(out, mel0 + m["mel_scan_len"] + m["mext"].astype(jnp.int32),
+               m["mel_tail_byte"], m["nonzero"])
+    # VLC in reversed write order: j -> start + seg_len - 1 - j
+    end1 = start + seg_len - 1
+    out = scat(out, end1, jnp.full((B,), 0xFF, jnp.int32),
+               jnp.full((B,), True))                     # j = 0
+    out = scat(out, end1[None, :] - 1 - vlc_idx, vlc_flat, vlc_m > 0)
+    out = scat(out, end1 - m["vlc_n"], m["vtmp"],
+               m["nonzero"] & ~m["fuse_ok"])
+    # Scup patch: seg[-1] = scup>>4; seg[-2] = (seg[-2]&0xF0)|(scup&0xF)
+    scup = m["mel_len_f"] + m["vlc_n_f"]
+    p2 = end1 - 1
+    cur = out[p2].astype(jnp.int32)
+    out = out.at[p2].set(((cur & 0xF0) | (scup & 0xF)).astype(jnp.uint8))
+    out = out.at[end1].set((scup >> 4).astype(jnp.uint8))
+    return out
+
+
+def _use_pallas_scans() -> bool:
+    import jax
+    return (os.environ.get("GROK_TPU_HT_PALLAS", "1") != "0"
+            and jax.default_backend() != "cpu")
+
+
+def _encode_streams(jnp, jax, lax, mag, neg, mbs, tables, mbb=32):
+    """Quad stage through the three stream scans for one shape group.
+    `mbb`: static per-launch Mb bound (bucketed) — when <= 14 every
+    MagSgn push fits 16 bits so the op stream halves."""
+    enc0_np, enc1_np, upre_np, uprel_np, usuf_np, usufl_np = tables
+    B = mag.shape[0]
+    enc0 = jnp.asarray(enc0_np.astype(np.int32))
+    enc1 = jnp.asarray(enc1_np.astype(np.int32))
+
+    q = _quad_stage(jnp, mag, neg, mbs)
+    cq, kappa, Uq, u, eps_used = _context_stage(jnp, q)
+    (pair_w, pair_l, mel_valid, mel_bit,
+     t0, t1, has_q1) = _vlc_uvlc_stage(
+        jnp, q, cq, Uq, u, eps_used, enc0, enc1,
+        jnp.asarray(upre_np), jnp.asarray(uprel_np),
+        jnp.asarray(usuf_np), jnp.asarray(usufl_np))
+
+    mv = mel_valid.astype(jnp.int32).reshape(B, -1).T
+    mb = mel_bit.astype(jnp.int32).reshape(B, -1).T
+    v_lo = (pair_w & 0xFFFF).astype(jnp.int32)
+    v_hi = (pair_w >> 16).astype(jnp.int32)
+    l_lo = jnp.minimum(pair_l, 16)
+    l_hi = jnp.maximum(pair_l - 16, 0)
+    vv = jnp.stack([v_lo, v_hi], axis=-1).reshape(B, -1).T
+    vl = jnp.stack([l_lo, l_hi], axis=-1).reshape(B, -1).T
+    halves = 1 if mbb <= 14 else 2
+    v0, l0v = _magsgn_ops(jnp, q, Uq, t0, 0, halves)
+    v1, l1v = _magsgn_ops(jnp, q, Uq, t1, 1, halves)
+    msv = jnp.stack([v0, v1], axis=3).astype(jnp.int32).reshape(B, -1).T
+    msl = jnp.stack([l0v, l1v], axis=3).reshape(B, -1).T
+
+    # Materialize the op streams before the scans: without this barrier
+    # XLA re-fuses the gather-heavy context stage into every scan step
+    # (observed 1000x slowdowns on the CPU backend).
+    (mv, mb, vv, vl, msv, msl) = jax.lax.optimization_barrier(
+        (mv, mb, vv, vl, msv, msl))
+
+    if _use_pallas_scans():
+        from . import ht_scan_pallas as hsp
+        mel = hsp.mel_scan(mv, mb)
+        vlc = hsp.vlc_scan(vv, vl)
+        ms = hsp.ms_scan(msv, msl)
+    else:
+        mel = _mel_scan(jnp, lax, mv, mb, B)
+        vlc = _vlc_scan(jnp, lax, vv, vl, B)
+        ms = _ms_scan(jnp, lax, msv, msl, B)
+    return mel, vlc, ms
+
+
+# ---------------------------------------------------------------------------
+# Jitted launch: all shape groups of a batch in ONE dispatch
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=256)
+def _jitted_encode_multi(groups_key: Tuple[Tuple[int, int, int, int], ...]):
+    """groups_key: ((qh, qw, B, mb_bucket), ...). Returns a jitted fn
+    taking (mag, neg, mbs) per group and returning (packed segment
+    buffer, per-block segment lengths): every block's final segment is
+    packed contiguously (dynamic offsets), so the host fetches only
+    ~actual compressed bytes."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    enc0_np, enc1_np, upre_np, uprel_np, usuf_np, usufl_np = _tables()
+    tables = _tables()
+    total_bound = 0
+    for (qh, qw, B, mbb) in groups_key:
+        total_bound += sum(_bounds(qh, qw, mbb)) * B
 
-    def run(mag, neg, mbs):
-        B = mag.shape[0]
-        enc0 = jnp.asarray(enc0_np.astype(np.int32))
-        enc1 = jnp.asarray(enc1_np.astype(np.int32))
-        upre = jnp.asarray(upre_np)
-        uprel = jnp.asarray(uprel_np)
-        usuf = jnp.asarray(usuf_np)
-        usufl = jnp.asarray(usufl_np)
+    def run(*args):
+        streams = []
+        mets = []
+        for gi, (qh, qw, B, mbb) in enumerate(groups_key):
+            mag, neg, mbs = args[3 * gi:3 * gi + 3]
+            mel, vlc, ms = _encode_streams(jnp, jax, lax, mag, neg, mbs,
+                                           tables, mbb)
+            streams.append((mel, vlc, ms))
+            mets.append(_seg_metrics(jnp, B, mel[2], vlc[2], ms[2],
+                                     mel[1], vlc[1], ms[1]))
+        seg_all = jnp.concatenate([m["seg_len"] for m in mets])
+        starts_all = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(seg_all)[:-1].astype(jnp.int32)])
+        out = jnp.zeros((total_bound + 1,), jnp.uint8)
+        pos = 0
+        for gi, (qh, qw, B, mbb) in enumerate(groups_key):
+            (mel, vlc, ms) = streams[gi]
+            start = lax.dynamic_slice(starts_all, (pos,), (B,))
+            out = _assemble_scatter(
+                jnp, jax, B, out, start, mets[gi],
+                mel[0], mel[1], vlc[0], vlc[1], ms[0], ms[1])
+            pos += B
+        return out, seg_all
 
-        q = _quad_stage(jnp, mag, neg, mbs)
-        cq, kappa, Uq, u, eps_used = _context_stage(jnp, q)
-        (pair_w, pair_l, mel_valid, mel_bit,
-         t0, t1, has_q1) = _vlc_uvlc_stage(
-            jnp, q, cq, Uq, u, eps_used, enc0, enc1,
-            upre, uprel, usuf, usufl)
-
-        npairs = (qw + 1) // 2
-        # ---- MEL ops: (B, qh, npairs, 3) -> (T, B)
-        mv = mel_valid.astype(jnp.int32).reshape(B, -1).T
-        mb = mel_bit.astype(jnp.int32).reshape(B, -1).T
-
-        # ---- VLC ops: two 16-bit halves per pair -> (T, B)
-        v_lo = (pair_w & 0xFFFF).astype(jnp.int32)
-        v_hi = (pair_w >> 16).astype(jnp.int32)
-        l_lo = jnp.minimum(pair_l, 16)
-        l_hi = jnp.maximum(pair_l - 16, 0)
-        vv = jnp.stack([v_lo, v_hi], axis=-1).reshape(B, -1).T
-        vl = jnp.stack([l_lo, l_hi], axis=-1).reshape(B, -1).T
-
-        # ---- MagSgn ops: quad pair order (q0 samples, then q1) ----
-        v0, l0v = _magsgn_ops(jnp, q, Uq, t0, 0)
-        v1, l1v = _magsgn_ops(jnp, q, Uq, t1, 1)
-        msv = jnp.stack([v0, v1], axis=3)    # (B, qh, npairs, 2, 4, 2)
-        msl = jnp.stack([l0v, l1v], axis=3)
-        msv = msv.astype(jnp.int32).reshape(B, -1).T
-        msl = msl.reshape(B, -1).T
-
-        # Materialize the op streams before the scans: without this
-        # barrier XLA re-fuses the gather-heavy context stage into every
-        # unrolled scan step (observed 1000x slowdowns on the CPU
-        # backend).
-        (mv, mb, vv, vl, msv, msl) = jax.lax.optimization_barrier(
-            (mv, mb, vv, vl, msv, msl))
-
-        mel_bytes, mel_mask, mel_state = _mel_scan(jnp, lax, mv, mb, B)
-        vlc_bytes, vlc_mask, vlc_state = _vlc_scan(jnp, lax, vv, vl, B)
-        ms_bytes, ms_mask, ms_state = _ms_scan(jnp, lax, msv, msl, B)
-
-        return (mel_bytes, mel_mask, mel_state,
-                vlc_bytes, vlc_mask, vlc_state,
-                ms_bytes, ms_mask, ms_state)
-
-    return jax.jit(run)
+    return jax.jit(run), total_bound
 
 
-# ---------------------------------------------------------------------------
-# Host finalization
-# ---------------------------------------------------------------------------
+def _pad_batch(n: int) -> int:
+    """Pad group batch sizes to power-of-two buckets to bound
+    recompilation."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
 
 
-def _compact(bytes_np: np.ndarray, mask_np: np.ndarray) -> List[np.ndarray]:
-    """(T[, K], B) dense bytes + mask -> per-block ordered byte arrays."""
-    if bytes_np.ndim == 3:
-        T, K, B = bytes_np.shape
-        flat_b = bytes_np.reshape(T * K, B)
-        flat_m = mask_np.reshape(T * K, B)
-    else:
-        flat_b = bytes_np
-        flat_m = mask_np
-    fm = flat_m.astype(bool)
-    counts = fm.sum(axis=0)
-    vals = flat_b.T[fm.T]          # block-major concatenation, in order
-    splits = np.cumsum(counts)[:-1]
-    return np.split(vals, splits)
-
-
-def _mel_tail(state, bi) -> Tuple[List[int], int, int]:
-    """Apply `if (run > 0) emit_bit(1)` + final alignment for one block.
-    Returns (extra whole bytes, final tmp byte (aligned), mel_mask)."""
-    tmp = int(state[0][bi])
-    nbits = int(state[1][bi])
-    cap = int(state[2][bi])
-    run = int(state[3][bi])
-    extra = []
-    if run > 0:
-        tmp = (tmp << 1) | 1
-        nbits += 1
-        if nbits >= cap:
-            byte = tmp >> (nbits - cap)
-            extra.append(byte)
-            tmp &= (1 << (nbits - cap)) - 1
-            nbits -= cap
-            cap = 7 if byte == 0xFF else 8
-    remaining = cap - nbits
-    tmp_final = (tmp << remaining) & 0xFF
-    mel_mask = (0xFF << remaining) & 0xFF
-    return extra, tmp_final, mel_mask
-
-
-def finalize_blocks(results, B) -> List[bytes]:
-    """Device outputs -> per-block HT cleanup segments (byte-exact with
-    native ht_encode: MagSgn || MEL || reverse(VLC), Scup in last 2
-    bytes, MEL/VLC fuse + MagSgn termination rules)."""
-    (mel_bytes, mel_mask, mel_state,
-     vlc_bytes, vlc_mask, vlc_state,
-     ms_bytes, ms_mask, ms_state) = [
-        np.asarray(r) if not isinstance(r, tuple) else r for r in results]
-    mel_state = tuple(np.asarray(a) for a in mel_state)
-    vlc_state = tuple(np.asarray(a) for a in vlc_state)
-    ms_state = tuple(np.asarray(a) for a in ms_state)
-
-    mel_lists = _compact(np.asarray(mel_bytes), np.asarray(mel_mask))
-    vlc_lists = _compact(np.asarray(vlc_bytes), np.asarray(vlc_mask))
-    ms_lists = _compact(np.asarray(ms_bytes), np.asarray(ms_mask))
-
-    out = []
-    for bi in range(B):
-        mel = bytearray(mel_lists[bi].tobytes())
-        extra, mel_tmp, mel_maskv = _mel_tail(mel_state, bi)
-        mel.extend(extra)
-        # VLC buffer in reversed (write) order; [0] is the final byte
-        vlcr = bytearray(b"\xff" + vlc_lists[bi].tobytes())
-        vtmp = int(vlc_state[0][bi])
-        vused = int(vlc_state[1][bi])
-        vlc_maskv = 0xFF >> (8 - vused) if vused else 0
-        # fuse rule (terminate_mel_vlc)
-        if (mel_maskv | vlc_maskv) != 0:
-            fuse = mel_tmp | vtmp
-            if ((((fuse ^ mel_tmp) & mel_maskv)
-                 | ((fuse ^ vtmp) & vlc_maskv)) == 0
-                    and fuse != 0xFF and len(vlcr) > 1):
-                mel.append(fuse)
-            else:
-                mel.append(mel_tmp)
-                vlcr.append(vtmp)
-        ms = bytearray(ms_lists[bi].tobytes())
-        # MagSgn termination
-        q = int(ms_state[0][bi])
-        qbits = int(ms_state[1][bi])
-        maxb = int(ms_state[2][bi])
-        if qbits:
-            byte = (q | (0xFF << qbits)) & ((1 << maxb) - 1)
-            if byte != 0xFF:
-                ms.append(byte)
-        elif maxb == 7:
-            ms.pop()
-        seg = bytes(ms) + bytes(mel) + bytes(vlcr[::-1])
-        scup = len(mel) + len(vlcr)
-        seg = bytearray(seg)
-        seg[-1] = (scup >> 4) & 0xFF
-        seg[-2] = (seg[-2] & 0xF0) | (scup & 0xF)
-        out.append(bytes(seg))
-    return out
+def _mb_bucket(mb: int) -> int:
+    return min(((mb + 4) // 4) * 4, 32)
 
 
 # ---------------------------------------------------------------------------
@@ -630,30 +708,89 @@ def finalize_blocks(results, B) -> List[bytes]:
 
 def ht_encode_blocks(blocks) -> List[bytes]:
     """blocks: [(mag uint32 (h,w), neg uint8 (h,w), Mb int), ...] ->
-    per-block HT cleanup segments, grouping same-shape blocks into one
-    device launch each."""
+    per-block HT cleanup segments. All shape groups are encoded in a
+    single device dispatch; final segments come back packed contiguously
+    (lengths + one bucketed byte-buffer fetch)."""
+    return ht_encode_blocks_collect(*ht_encode_blocks_submit(blocks))
+
+
+def ht_encode_blocks_submit(blocks):
+    """Async first half of ht_encode_blocks: dispatches the device work
+    and starts the length copy; returns a handle for
+    ht_encode_blocks_collect. Use to overlap device encode with host
+    work (double buffering)."""
+    import jax
     import jax.numpy as jnp
 
     groups = {}
-    for i, (mag, neg, mb) in enumerate(blocks):
-        groups.setdefault(mag.shape, []).append(i)
-    out: List[bytes] = [b""] * len(blocks)
-    for (h, w), idxs in groups.items():
-        qh, qw = (h + 1) // 2, (w + 1) // 2
-        B = len(idxs)
+    for i, (mag, neg, mbv) in enumerate(blocks):
+        qh, qw = (mag.shape[0] + 1) // 2, (mag.shape[1] + 1) // 2
+        groups.setdefault((qh, qw), []).append(i)
+    order = sorted(groups.keys())
+    key = []
+    args = []
+    metas = []
+    for (qh, qw) in order:
+        idxs = groups[(qh, qw)]
+        B = _pad_batch(len(idxs))
+        mbb = _mb_bucket(max(blocks[i][2] for i in idxs))
+        key.append((qh, qw, B, mbb))
         mags = np.zeros((B, qh * 2, qw * 2), np.uint32)
         negs = np.zeros((B, qh * 2, qw * 2), np.uint8)
         mbs = np.zeros((B,), np.int32)
         for k, i in enumerate(idxs):
+            h, w = blocks[i][0].shape
             mags[k, :h, :w] = blocks[i][0]
             negs[k, :h, :w] = blocks[i][1]
             mbs[k] = blocks[i][2]
-        fn = _jitted_encode(qh, qw)
-        res = fn(jnp.asarray(mags), jnp.asarray(negs), jnp.asarray(mbs))
-        segs = finalize_blocks(res, B)
+        args += [jnp.asarray(mags), jnp.asarray(negs), jnp.asarray(mbs)]
+        metas.append((qh, qw, B, idxs))
+    fn, total_bound = _jitted_encode_multi(tuple(key))
+    out, seg_all = fn(*args)
+    # Prefetch with a predicted bucket so BOTH device->host copies are in
+    # flight before collect: per-fetch latency on a tunneled device is
+    # tens of ms but concurrent async copies overlap almost perfectly.
+    kt = tuple(key)
+    hint = _bucket_hints.get(kt, max(total_bound // 8, 256))
+    bucket = 256
+    while bucket < hint and bucket < total_bound:
+        bucket *= 2
+    bucket = min(bucket, total_bound)
+    pre = out[:bucket]
+    try:
+        seg_all.copy_to_host_async()
+        pre.copy_to_host_async()
+    except Exception:
+        pass
+    return out, seg_all, metas, (len(blocks), kt, pre, bucket)
+
+
+_bucket_hints: dict = {}
+
+
+def ht_encode_blocks_collect(out, seg_all, metas, ninfo) -> List[bytes]:
+    n, kt, pre, bucket = ninfo
+    lens = np.asarray(seg_all)
+    total = int(lens.sum())
+    _bucket_hints[kt] = max(total + total // 4,
+                            (_bucket_hints.get(kt, 0) * 3) // 4)
+    cap = out.shape[0]
+    if total <= bucket:
+        out_np = np.asarray(pre)
+    else:
+        fetch = bucket
+        while fetch < total and fetch < cap:
+            fetch *= 2
+        out_np = np.asarray(out[:min(fetch, cap)])
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    res: List[bytes] = [b""] * n
+    pos = 0
+    for (qh, qw, B, idxs) in metas:
         for k, i in enumerate(idxs):
-            out[i] = segs[k]
-    return out
+            s = int(starts[pos + k])
+            res[i] = out_np[s:s + int(lens[pos + k])].tobytes()
+        pos += B
+    return res
 
 
 def ht_encode_cblk_batch_bands(bands, descs, kmaxs,

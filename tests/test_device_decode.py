@@ -1,0 +1,65 @@
+"""Device (JAX) decode path: inverse DWT + MCT + DC unshift on device.
+
+Reversible decode must be bit-exact with the host path; irreversible is
+allowed float op-order differences within the conformance tolerance
+(reference anchors: dwt.cpp:1208/2154, TileProcessor.cpp:1303).
+"""
+
+import numpy as np
+
+from grokimagecompression_tpu.codestream import decoder, encoder
+from grokimagecompression_tpu.core.image import Component, Image
+from grokimagecompression_tpu.core.params import EncoderParams, Transform
+
+
+def _img(w, h, ncomps=1, seed=0):
+    rng = np.random.default_rng(seed)
+    comps = [Component(data=rng.integers(0, 256, (h, w)).astype(np.int32),
+                       prec=8, signed=False, dx=1, dy=1)
+             for _ in range(ncomps)]
+    return Image(xsiz=w, ysiz=h, components=comps)
+
+
+def test_device_decode_reversible_bit_exact():
+    img = _img(250, 180, 3, seed=1)
+    cs = encoder.encode(img, EncoderParams(numresolutions=4,
+                                           tile_size=(128, 128)))
+    host = decoder.decode(cs, device=False)
+    dev = decoder.decode(cs, device=True)
+    for c in range(3):
+        np.testing.assert_array_equal(host.components[c].data,
+                                      dev.components[c].data)
+        np.testing.assert_array_equal(dev.components[c].data,
+                                      img.components[c].data)
+
+
+def test_device_decode_irreversible_tolerance():
+    img = _img(192, 160, 3, seed=2)
+    cs = encoder.encode(img, EncoderParams(numresolutions=4,
+                                           transform=Transform.DWT_97))
+    host = decoder.decode(cs, device=False)
+    dev = decoder.decode(cs, device=True)
+    for c in range(3):
+        d = np.abs(host.components[c].data.astype(np.int64)
+                   - dev.components[c].data)
+        assert d.max() <= 1
+
+
+def test_device_decode_ht():
+    img = _img(200, 120, seed=3)
+    cs = encoder.encode(img, EncoderParams(cblk_style=0x40))
+    dev = decoder.decode(cs, device=True)
+    np.testing.assert_array_equal(dev.components[0].data,
+                                  img.components[0].data)
+
+
+def test_device_decode_falls_back_for_window_and_reduce():
+    from grokimagecompression_tpu.core.params import DecoderParams
+    img = _img(256, 256, seed=4)
+    cs = encoder.encode(img, EncoderParams(numresolutions=5))
+    red = decoder.decode(cs, DecoderParams(reduce=1), device=True)
+    assert red.components[0].data.shape == (128, 128)
+    win = decoder.decode(cs, DecoderParams(window=(32, 32, 96, 96)),
+                         device=True)
+    np.testing.assert_array_equal(
+        win.components[0].data, img.components[0].data[32:96, 32:96])
