@@ -156,7 +156,8 @@ def _encode_ht_rate_controlled(image: Image, params: EncoderParams,
 
 def encode(image: Image, params: Optional[EncoderParams] = None,
            layer_alloc=None, device: Optional[bool] = None,
-           rsiz: int = 0, mesh=None) -> bytes:
+           rsiz: int = 0, mesh=None,
+           _t1_segments_by_tile=None) -> bytes:
     """Encode an Image to a raw J2K codestream.
 
     `device=True` runs the tile transform pipeline (DC shift/MCT/DWT) on the
@@ -296,17 +297,50 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
         mesh_coeff, mesh_comps = transform_tiles_on_mesh(
             image, siz, cod, mesh)
 
+    # Fully-fused device encode (HT reversible): DC shift -> MCT -> DWT ->
+    # block gather -> HT coding -> packed segments, one dispatch + one
+    # async fetch per tile, all tiles submitted before any is collected so
+    # device work and host packetization pipeline (the tunnel round-trip
+    # hides behind the previous tile's T2).
+    fused_handles = {}
+    fused_mod = None
+    if (device and is_ht and custom_coding_matrix is None
+            and mesh is None and roishifts is None
+            and _t1_segments_by_tile is None
+            and cod.transform == Transform.DWT_53):
+        from ..models import fused_encode as fused_mod
+        for t in range(numtiles):
+            tr = tile_rect(t, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
+                           siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
+            plan = fused_mod.build_plan(siz, cod, qcd, tr,
+                                        cod_comp=cod_comp)
+            if plan is None:
+                fused_handles.clear()
+                break
+            comps = extract_tile_comps(image, siz, t)
+            fused_handles[t] = (
+                comps, fused_mod.encode_tile_submit(comps, plan))
+
     def _encode_one(t: int) -> TileEncResult:
         tr = tile_rect(t, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
                        siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
-        comps = mesh_comps.get(t)
-        if comps is None:
-            comps = extract_tile_comps(image, siz, t)
-        coeff_bands = mesh_coeff.get(t)
-        if coeff_bands is None and device and custom_coding_matrix is None:
-            from ..models import pipeline as device_pipeline
-            cfg = device_pipeline.config_for_tile(siz, cod, tr)
-            coeff_bands = device_pipeline.device_fwd_bands(comps, cfg)
+        t1_segments = None
+        if _t1_segments_by_tile is not None:
+            t1_segments = _t1_segments_by_tile.get(t)
+        if t in fused_handles:
+            comps, handle = fused_handles[t]
+            t1_segments = fused_mod.encode_tile_collect(handle)[0]
+            coeff_bands = None
+        else:
+            comps = mesh_comps.get(t)
+            if comps is None:
+                comps = extract_tile_comps(image, siz, t)
+            coeff_bands = mesh_coeff.get(t)
+            if (coeff_bands is None and device and t1_segments is None
+                    and custom_coding_matrix is None):
+                from ..models import pipeline as device_pipeline
+                cfg = device_pipeline.config_for_tile(siz, cod, tr)
+                coeff_bands = device_pipeline.device_fwd_bands(comps, cfg)
         return encode_tile(comps, siz, cod, qcd, tr,
                            layer_alloc=layer_alloc,
                            coeff_bands=coeff_bands,
@@ -316,7 +350,8 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
                            custom_mct_matrix=custom_coding_matrix,
                            split_headers=split,
                            want_packet_lengths=params.plt_markers
-                           or params.tp_flag is not None)
+                           or params.tp_flag is not None,
+                           t1_segments=t1_segments)
 
     # Host tile parallelism (absent in the reference, which encodes
     # tiles sequentially — SURVEY §2.4): tiles fan out over a thread
@@ -405,3 +440,118 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
     out += tile_parts
     out += markers.write_eoc()
     return bytes(out)
+
+
+def encode_batch(images: List[Image], params: Optional[EncoderParams] = None,
+                 device: Optional[bool] = None, rsiz: int = 0,
+                 chunk: int = 8) -> List[bytes]:
+    """Encode a batch of images; the production serving entry point.
+
+    When the fused device path applies (HT, reversible, shared geometry),
+    frames are stacked on a leading batch axis and coded `chunk` frames
+    per device dispatch: ONE upload and ONE async fetch pair per chunk,
+    with host packetization of earlier chunks overlapping device coding
+    of later ones. This amortizes device-link latency across the batch —
+    the throughput mode a serving deployment runs in. Falls back to
+    per-image `encode` otherwise (which may still use the per-tile fused
+    path).
+
+    The reference encodes files strictly one at a time (reference:
+    src/bin/jp2/grk_compress.cpp batch dir mode is a sequential loop).
+    """
+    import os
+    if device is None:
+        device = os.environ.get("GROK_TPU_DEVICE", "") == "1"
+    params = params or EncoderParams()
+    if not images:
+        return []
+
+    def _geom(img: Image):
+        return tuple((c.data.shape, c.prec, c.signed, c.dx, c.dy)
+                     for c in img.components) + (img.xsiz, img.ysiz)
+
+    is_ht = bool(params.cblk_style & 0x40)
+    same_geom = all(_geom(im) == _geom(images[0]) for im in images)
+    fusable = (device and is_ht and same_geom and len(images) > 1
+               and params.transform == Transform.DWT_53
+               and not params.rates and not params.quality_psnr
+               and params.custom_mct is None
+               and (params.roi_comp is None or params.roi_shift == 0))
+    if not fusable:
+        return [encode(im, params, device=device, rsiz=rsiz)
+                for im in images]
+
+    # Mirror encode()'s parameter derivation for the plan inputs.
+    _nl = max(params.numlayers, len(params.rates), len(params.quality_psnr))
+    p = params if _nl == params.numlayers else dataclasses.replace(
+        params, numlayers=_nl)
+    siz = build_siz(images[0], p)
+    cod = build_cod(images[0], p)
+    qcd = default_qcd(siz, cod, 1, p.base_step)
+    cod_comp = None
+    if p.comp_cblk_exps:
+        cod_comp = [None] * len(siz.comps)
+        for compno, (we, he) in p.comp_cblk_exps.items():
+            cod_comp[compno] = dataclasses.replace(
+                cod, cblk_w_exp=we, cblk_h_exp=he)
+    ntx, nty = tile_grid_size(siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
+                              siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
+    numtiles = ntx * nty
+
+    from ..models import fused_encode
+    plans = {}
+    for t in range(numtiles):
+        tr = tile_rect(t, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
+                       siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
+        plans[t] = fused_encode.build_plan(siz, cod, qcd, tr,
+                                           cod_comp=cod_comp)
+        if plans[t] is None:
+            return [encode(im, params, device=device, rsiz=rsiz)
+                    for im in images]
+
+    n = len(images)
+    chunk = max(1, min(chunk, n))
+    # Submit every chunk for every tile before collecting anything: the
+    # device queue runs ahead while the host packetizes.
+    handles = []  # (frame_lo, frame_hi, {t: handle})
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        per_tile = {}
+        for t in range(numtiles):
+            stacks = None
+            for f in range(lo, hi):
+                comps = extract_tile_comps(images[f], siz, t)
+                if stacks is None:
+                    stacks = [[] for _ in comps]
+                for ci, a in enumerate(comps):
+                    stacks[ci].append(a)
+            # pad the trailing partial chunk so the jit signature stays
+            # (plan, chunk) — padded frames are discarded at collect
+            nf = hi - lo
+            if nf < chunk and n > chunk:
+                for ci in range(len(stacks)):
+                    stacks[ci] += [stacks[ci][-1]] * (chunk - nf)
+            batched = [np.stack(s) for s in stacks]
+            per_tile[t] = fused_encode.encode_tile_submit(
+                batched, plans[t])
+        handles.append((lo, hi, per_tile))
+
+    results: List[Optional[bytes]] = [None] * n
+    import concurrent.futures as _cf
+    t2_pool = _cf.ThreadPoolExecutor(
+        max_workers=min(4, os.cpu_count() or 1))
+    futures = []
+    for (lo, hi, per_tile) in handles:
+        segs_by_tile_frame = {
+            t: fused_encode.encode_tile_collect(h)
+            for t, h in per_tile.items()}
+        for f in range(lo, hi):
+            by_tile = {t: segs_by_tile_frame[t][f - lo]
+                       for t in range(numtiles)}
+            futures.append((f, t2_pool.submit(
+                encode, images[f], params, device=False, rsiz=rsiz,
+                _t1_segments_by_tile=by_tile)))
+    for f, fut in futures:
+        results[f] = fut.result()
+    t2_pool.shutdown()
+    return results  # type: ignore[return-value]

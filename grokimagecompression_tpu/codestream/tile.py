@@ -218,6 +218,7 @@ def encode_tile(
     custom_mct_matrix=None,
     split_headers: bool = False,
     want_packet_lengths: bool = False,
+    t1_segments: Optional[List[bytes]] = None,
 ) -> TileEncResult:
     """Encode one tile to its packet body bytes.
 
@@ -232,6 +233,9 @@ def encode_tile(
     component (e.g. from the JAX device pipeline), skipping the host DWT.
     `image_samples` overrides the whole-image sample count used to scale
     per-tile byte budgets.
+    `t1_segments` supplies precoded HT cleanup segments in t1-desc order
+    (from the fused device encoder, models/fused_encode.py); transform
+    and T1 are skipped entirely — only packetization runs here.
     """
     ncomps = len(comps_data)
     cods = [cod_comp[c] if cod_comp and cod_comp[c] else cod
@@ -243,7 +247,7 @@ def encode_tile(
              for c in range(ncomps)]
     reversible = cod.transform == Transform.DWT_53
 
-    if coeff_bands is None:
+    if coeff_bands is None and t1_segments is None:
         with trace.stage("enc.dc_mct"):
             data = _apply_fwd_transforms(comps_data, plans, cod,
                                          custom_mct_matrix)
@@ -277,18 +281,21 @@ def encode_tile(
         for res in plan.layout.resolutions:
             for band in res.bands:
                 bp = plan.bands[(res.r, band.orient)]
-                arr = coeff_bands[c][(res.r, band.orient)]
-                if rev_c:
-                    plane = np.ascontiguousarray(arr, dtype=np.int32)
-                    t1_steps.append(1.0)
+                if t1_segments is None:
+                    arr = coeff_bands[c][(res.r, band.orient)]
+                    if rev_c:
+                        plane = np.ascontiguousarray(arr, dtype=np.int32)
+                        t1_steps.append(1.0)
+                    else:
+                        # float plane; quantization fuses into the native
+                        # block gather (stepsize per band)
+                        plane = np.ascontiguousarray(arr, dtype=np.float32)
+                        t1_steps.append(bp.stepsize)
+                        any_irrev = True
+                    bi = len(t1_bands)
+                    t1_bands.append(plane)
                 else:
-                    # float plane; quantization fuses into the native
-                    # block gather (stepsize per band)
-                    plane = np.ascontiguousarray(arr, dtype=np.float32)
-                    t1_steps.append(bp.stepsize)
-                    any_irrev = True
-                bi = len(t1_bands)
-                t1_bands.append(plane)
+                    bi = 0
                 for pi, prc in enumerate(band.precincts):
                     for cb in prc.cblks:
                         x0 = cb.rect.x0 - band.rect.x0
@@ -298,17 +305,25 @@ def encode_tile(
                         t1_kmaxs.append(bp.kmax)
                         t1_slots.append((c, (res.r, band.orient), pi, cb, bp))
 
-    if any_irrev and not all(
-            b.dtype == np.float32 for b in t1_bands):
-        # mixed per-component transforms: promote int planes to float
-        # (stepsize 1.0 reproduces the abs/sign split exactly for the
-        # magnitudes in range)
-        t1_bands = [b.astype(np.float32) if b.dtype != np.float32 else b
-                    for b in t1_bands]
-    with trace.stage("enc.t1", sum(d[3] * d[4] * 4 for d in t1_descs)):
-        t1_results = t1_backend.encode_cblk_batch_bands(
-            t1_bands, t1_descs, t1_orients, t1_kmaxs, cod.cblk_style,
-            stepsizes=t1_steps if any_irrev else None)
+    if t1_segments is not None:
+        # Segments precoded on device (fused pipeline): T1 is done.
+        from ..t1.t1_np import PassInfo
+        t1_results = [
+            (d, 1, 1, [PassInfo(rate=len(d), distortion=0.0,
+                                terminated=True)])
+            for d in t1_segments]
+    else:
+        if any_irrev and not all(
+                b.dtype == np.float32 for b in t1_bands):
+            # mixed per-component transforms: promote int planes to float
+            # (stepsize 1.0 reproduces the abs/sign split exactly for the
+            # magnitudes in range)
+            t1_bands = [b.astype(np.float32) if b.dtype != np.float32
+                        else b for b in t1_bands]
+        with trace.stage("enc.t1", sum(d[3] * d[4] * 4 for d in t1_descs)):
+            t1_results = t1_backend.encode_cblk_batch_bands(
+                t1_bands, t1_descs, t1_orients, t1_kmaxs, cod.cblk_style,
+                stepsizes=t1_steps if any_irrev else None)
 
     all_cblks: List[CblkEnc] = []
     prec_enc: List[Dict[Tuple[int, int], List[PrecEnc]]] = [

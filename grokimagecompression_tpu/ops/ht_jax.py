@@ -340,129 +340,61 @@ def _magsgn_ops(jnp, q, Uq, t, qsel, halves=2):
 
 
 # ---------------------------------------------------------------------------
-# Lane-parallel stream scans
+# Lane-parallel stream scans (word-emitting; lax.scan fallback for hosts
+# without a Pallas backend — identical semantics to ops/ht_scan_pallas.py,
+# whose step bodies these reuse)
 # ---------------------------------------------------------------------------
 
 
-def _mel_scan(jnp, lax, valid, bit, B):
-    """valid/bit: (T, B) -> bytes (T, B), bytemask (T, B), final state."""
-    mel_exp = jnp.asarray(MEL_EXP)
+def _mel_scan_w(jnp, lax, valid, bit, B):
+    """valid/bit: (T, B), T % 4 == 0 -> words (T//4, B), mask, state (7,)."""
+    from . import ht_scan_pallas as hsp
+    T = valid.shape[0]
+    v4 = valid.reshape(T // 4, 4, B)
+    b4 = bit.reshape(T // 4, 4, B)
 
     def step(carry, xs):
-        tmp, nbits, cap, run, k = carry
-        val, b = xs
-        eval_ = jnp.take(mel_exp, k)
-        threshold = jnp.int32(1) << eval_
-        # bit == 0 path
-        run0 = run + 1
-        hit = run0 >= threshold
-        # emitted bits (MSB-first): bit==0 & hit -> '1' (1 bit);
-        # bit==1 -> '0' + eval_ bits of run
-        ebits_0 = jnp.int32(1)
-        ecnt_0 = jnp.where(hit, 1, 0)
-        ebits_1 = run & ((jnp.int32(1) << eval_) - 1)   # low eval_ bits
-        ecnt_1 = 1 + eval_
-        ebits = jnp.where(b == 1, ebits_1, ebits_0)
-        ecnt = jnp.where(b == 1, ecnt_1, ecnt_0)
-        ecnt = jnp.where(val == 1, ecnt, 0)
-        # mask the emitted bits to their count (a 0-bit emission must not
-        # touch the accumulator)
-        ebits = ebits & ((jnp.int32(1) << ecnt) - 1)
-        new_run = jnp.where(val == 1,
-                            jnp.where(b == 1, 0, jnp.where(hit, 0, run0)),
-                            run)
-        new_k = jnp.where(
-            val == 1,
-            jnp.where(b == 1, jnp.maximum(k - 1, 0),
-                      jnp.where(hit, jnp.minimum(k + 1, 12), k)),
-            k)
-        # push ecnt bits (MSB-first) into the byte accumulator
-        combined = (tmp << ecnt) | ebits
-        nb = nbits + ecnt
-        full = nb >= cap
-        out_byte = jnp.where(full, combined >> (nb - cap), 0)
-        rem = jnp.where(full, nb - cap, nb)
-        new_tmp = jnp.where(
-            full, combined & ((jnp.int32(1) << (nb - cap)) - 1), combined)
-        new_cap = jnp.where(full,
-                            jnp.where(out_byte == 0xFF, 7, 8), cap)
-        return ((new_tmp, rem, new_cap, new_run, new_k),
-                (out_byte.astype(jnp.uint8), full))
+        v, b = xs
+        carry, word, full = hsp.mel_super_step(
+            jnp, carry, [v[j] for j in range(4)], [b[j] for j in range(4)])
+        return carry, (word, full)
+
+    init = tuple(jnp.full((B,), v, jnp.int32)
+                 for v in (0, 0, 8, 0, 0, 0, 0))
+    carry, (words, mask) = lax.scan(step, init, (v4, b4), unroll=1)
+    return words, mask, carry
+
+
+def _vlc_scan_w(jnp, lax, vals, lens, B):
+    from . import ht_scan_pallas as hsp
+
+    def step(carry, xs):
+        q, qbits = xs
+        carry, word, full = hsp.vlc_step(jnp, carry, q, qbits)
+        return carry, (word, full)
+
+    init = tuple(jnp.full((B,), v, jnp.int32) for v in (0xF, 4, 1, 0, 0))
+    carry, (words, mask) = lax.scan(
+        step, init, (vals.astype(jnp.int32), lens), unroll=1)
+    return words, mask, carry
+
+
+def _ms_scan_w(jnp, lax, vals, lens, B):
+    from . import ht_scan_pallas as hsp
+
+    def step(carry, xs):
+        v, ln = xs
+        carry, word, full = hsp.ms_step(jnp, carry, v, ln)
+        return carry, (word, full)
 
     init = tuple(jnp.full((B,), v, jnp.int32) for v in (0, 0, 8, 0, 0))
-    carry, (bytes_, mask) = lax.scan(step, init, (valid, bit), unroll=1)
-    return bytes_, mask, carry
-
-
-def _vlc_scan(jnp, lax, vals, lens, B):
-    """VLC backward-writer emulation. vals/lens: (T, B) append ops
-    (LSB-first, <= 16 bits). Returns bytes (T, 3, B), mask, final state."""
-
-    def step(carry, xs):
-        tmp, used, lg8f = carry
-        q, qbits = xs
-        out_b = []
-        out_m = []
-        for _ in range(7):
-            active = qbits > 0
-            avail = 8 - lg8f - used
-            t = jnp.clip(jnp.minimum(avail, qbits), 0, 8)
-            t = jnp.where(active, t, 0)
-            tmp = tmp | ((q & ((jnp.int32(1) << t) - 1)) << used)
-            used = used + t
-            q = jnp.where(active, q >> t, q)
-            qbits = qbits - t
-            boundary = active & (used == (8 - lg8f))
-            retry = boundary & (lg8f == 1) & (tmp != 0x7F)
-            emit = boundary & ~retry
-            out_b.append(jnp.where(emit, tmp, 0).astype(jnp.uint8))
-            out_m.append(emit)
-            lg8f = jnp.where(retry, 0,
-                             jnp.where(emit, (tmp > 0x8F).astype(jnp.int32),
-                                       lg8f))
-            tmp = jnp.where(emit, 0, tmp)
-            used = jnp.where(emit, 0, used)
-        return ((tmp, used, lg8f),
-                (jnp.stack(out_b), jnp.stack(out_m)))
-
-    init = (jnp.full((B,), 0xF, jnp.int32), jnp.full((B,), 4, jnp.int32),
-            jnp.full((B,), 1, jnp.int32))
-    carry, (bytes_, mask) = lax.scan(
+    carry, (words, mask) = lax.scan(
         step, init, (vals.astype(jnp.int32), lens), unroll=1)
-    return bytes_, mask, carry
-
-
-def _ms_scan(jnp, lax, vals, lens, B):
-    """MagSgn forward-writer emulation. vals/lens: (T, B) append ops
-    (<= 16 bits). Returns bytes (T, 3, B), mask, final state."""
-
-    def step(carry, xs):
-        q, qbits, maxb = carry
-        v, ln = xs
-        q = q | (v << qbits)
-        qbits = qbits + ln
-        out_b = []
-        out_m = []
-        for _ in range(3):
-            emit = qbits >= maxb
-            byte = jnp.where(emit, q & ((jnp.int32(1) << maxb) - 1), 0)
-            q = jnp.where(emit, q >> maxb, q)
-            qbits = jnp.where(emit, qbits - maxb, qbits)
-            maxb = jnp.where(emit & (byte == 0xFF), 7,
-                             jnp.where(emit, 8, maxb))
-            out_b.append(byte.astype(jnp.uint8))
-            out_m.append(emit)
-        return ((q, qbits, maxb), (jnp.stack(out_b), jnp.stack(out_m)))
-
-    init = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
-            jnp.full((B,), 8, jnp.int32))
-    carry, (bytes_, mask) = lax.scan(
-        step, init, (vals.astype(jnp.int32), lens), unroll=1)
-    return bytes_, mask, carry
+    return words, mask, carry
 
 
 # ---------------------------------------------------------------------------
-# Device termination + segment assembly
+# Device termination metrics + packed word assembly
 # ---------------------------------------------------------------------------
 
 
@@ -479,25 +411,41 @@ def _bounds(qh: int, qw: int, mbb: int) -> Tuple[int, int, int]:
     return ms_bound, mel_bound, vlc_bound
 
 
-def _seg_metrics(jnp, B, mel_state, vlc_state, ms_state,
-                 mel_mask, vlc_mask, ms_mask):
-    """Per-block termination metrics (stream tail bytes, fuse decision,
-    final stream lengths) -- everything the scatter phase needs besides
-    the dense bytes themselves."""
-    ms_len = ms_mask.reshape(-1, B).astype(jnp.int32).sum(axis=0)
-    mel_scan_len = mel_mask.reshape(-1, B).astype(jnp.int32).sum(axis=0)
-    vlc_scan_len = vlc_mask.reshape(-1, B).astype(jnp.int32).sum(axis=0)
+NMETRICS = 15  # columns of the per-block metrics array
+
+
+def _group_metrics(jnp, B, mel, vlc, ms):
+    """Per-block termination metrics from the word-scan outputs. Returns
+    (metrics (B, NMETRICS) int32, per-lane full-word counts (B, 3)).
+
+    Metrics columns: 0 ms_len, 1 mel_len, 2 vlc_len (scan-emitted byte
+    counts), 3 ms_tail, 4 ms_append, 5 ms_drop, 6 mext, 7 ext_byte,
+    8 mel_tail_byte, 9 nonzero, 10 fuse_ok, 11 vtmp, 12..14 partial-word
+    accumulators (ms, mel, vlc). Everything else the host assembler
+    needs (word layout, final lengths, scup) derives from these.
+    """
+    mel_words, mel_wv, mel_st = mel
+    vlc_words, vlc_wv, vlc_st = vlc
+    ms_words, ms_wv, ms_st = ms
+
+    def wcount(wv):
+        return wv.reshape(-1, B).astype(jnp.int32).sum(axis=0)
+
+    ms_wc = wcount(ms_wv)
+    mel_wc = wcount(mel_wv)
+    vlc_wc = wcount(vlc_wv)
+    ms_len = 4 * ms_wc + ms_st[4]
+    mel_len = 4 * mel_wc + mel_st[6]
+    vlc_len = 4 * vlc_wc + vlc_st[4]
 
     # ---- MagSgn termination (MsEnc::terminate) ----
-    msq, msqb, msmaxb = ms_state
+    msq, msqb, msmaxb = ms_st[0], ms_st[1], ms_st[2]
     ms_tail = (msq | (0xFF << msqb)) & ((jnp.int32(1) << msmaxb) - 1)
     ms_append = (msqb > 0) & (ms_tail != 0xFF)
     ms_drop = (msqb == 0) & (msmaxb == 7)
-    ms_len_f = ms_len + ms_append.astype(jnp.int32) \
-        - ms_drop.astype(jnp.int32)
 
     # ---- MEL tail: pending run bit + byte alignment ----
-    mtmp, mnbits, mcap, mrun, _ = mel_state
+    mtmp, mnbits, mcap, mrun = mel_st[0], mel_st[1], mel_st[2], mel_st[3]
     has_run = mrun > 0
     t2 = jnp.where(has_run, (mtmp << 1) | 1, mtmp)
     nb2 = mnbits + has_run.astype(jnp.int32)
@@ -511,9 +459,9 @@ def _seg_metrics(jnp, B, mel_state, vlc_state, ms_state,
     mel_maskv = (0xFF << remaining) & 0xFF
 
     # ---- VLC pending byte + fuse rule (terminate_mel_vlc) ----
-    vtmp, vused, _ = vlc_state
+    vtmp, vused = vlc_st[0], vlc_st[1]
     vlc_maskv = jnp.where(vused > 0, 0xFF >> jnp.maximum(8 - vused, 0), 0)
-    vlc_n = 1 + vlc_scan_len            # includes the leading 0xFF byte
+    vlc_n = 1 + vlc_len            # includes the leading 0xFF byte
     nonzero = (mel_maskv | vlc_maskv) != 0
     fuse = mel_tmp | vtmp
     fuse_ok = nonzero \
@@ -521,66 +469,35 @@ def _seg_metrics(jnp, B, mel_state, vlc_state, ms_state,
              | ((fuse ^ vtmp) & vlc_maskv)) == 0)
            & (fuse != 0xFF) & (vlc_n > 1))
     mel_tail_byte = jnp.where(fuse_ok, fuse, mel_tmp)
-    mel_len_f = mel_scan_len + mext.astype(jnp.int32) \
-        + nonzero.astype(jnp.int32)
-    vlc_n_f = vlc_n + (nonzero & ~fuse_ok).astype(jnp.int32)
-    seg_len = ms_len_f + mel_len_f + vlc_n_f
-    return dict(ms_len=ms_len, ms_len_f=ms_len_f, ms_tail=ms_tail,
-                ms_append=ms_append, mel_scan_len=mel_scan_len,
-                mext=mext, ext_byte=ext_byte, mel_tail_byte=mel_tail_byte,
-                nonzero=nonzero, fuse_ok=fuse_ok, vtmp=vtmp,
-                mel_len_f=mel_len_f, vlc_n=vlc_n, vlc_n_f=vlc_n_f,
-                seg_len=seg_len)
+
+    metrics = jnp.stack([
+        ms_len, mel_len, vlc_len,
+        ms_tail, ms_append.astype(jnp.int32), ms_drop.astype(jnp.int32),
+        mext.astype(jnp.int32), ext_byte, mel_tail_byte,
+        nonzero.astype(jnp.int32), fuse_ok.astype(jnp.int32), vtmp,
+        ms_st[3], mel_st[5], vlc_st[3],
+    ], axis=-1)
+    wcs = jnp.stack([ms_wc, mel_wc, vlc_wc], axis=-1)
+    return metrics, wcs
 
 
-def _assemble_scatter(jnp, jax, B, out, start, m,
-                      mel_bytes, mel_mask, vlc_bytes, vlc_mask,
-                      ms_bytes, ms_mask):
-    """Scatter one group's final segments (MagSgn || MEL || reverse(VLC),
-    Scup patched into the last two bytes) into the global byte buffer at
-    the given per-block start offsets. out[-1] is the drop bin."""
+def _scatter_group_words(jnp, out, base, wcs, mel, vlc, ms):
+    """Scatter one group's stream words into the global packed word
+    buffer at per-lane base offsets. Per-lane layout: [MS words][MEL
+    words][VLC words]. out[-1] is the drop bin."""
     DROP = out.shape[0] - 1
+    B = base.shape[0]
 
-    def flat_idx(mask):
-        mm = mask.reshape(-1, B).astype(jnp.int32)
-        return mm, jnp.cumsum(mm, axis=0) - 1
-
-    ms_m, ms_idx = flat_idx(ms_mask)
-    mel_m, mel_idx = flat_idx(mel_mask)
-    vlc_m, vlc_idx = flat_idx(vlc_mask)
-    ms_flat = ms_bytes.reshape(-1, B).astype(jnp.int32)
-    mel_flat = mel_bytes.reshape(-1, B).astype(jnp.int32)
-    vlc_flat = vlc_bytes.reshape(-1, B).astype(jnp.int32)
-
-    def scat(out, pos, val, cond):
-        pos = jnp.where(cond, pos, DROP)
+    def scat(out, words, wv, off):
+        wvm = wv.reshape(-1, B).astype(jnp.int32)
+        idx = jnp.cumsum(wvm, axis=0) - 1
+        pos = jnp.where(wvm > 0, off[None, :] + idx, DROP)
         return out.at[pos.reshape(-1)].set(
-            val.astype(jnp.uint8).reshape(-1), mode="drop")
+            words.reshape(-1, B).reshape(-1), mode="drop")
 
-    seg_len = m["seg_len"]
-    # MagSgn bytes (skipping a dropped trailing byte) + tail byte
-    out = scat(out, start[None, :] + ms_idx, ms_flat,
-               (ms_m > 0) & (ms_idx < m["ms_len_f"][None, :]))
-    out = scat(out, start + m["ms_len"], m["ms_tail"], m["ms_append"])
-    # MEL: scan bytes, run-extra byte, tail byte
-    mel0 = start + m["ms_len_f"]
-    out = scat(out, mel0[None, :] + mel_idx, mel_flat, mel_m > 0)
-    out = scat(out, mel0 + m["mel_scan_len"], m["ext_byte"], m["mext"])
-    out = scat(out, mel0 + m["mel_scan_len"] + m["mext"].astype(jnp.int32),
-               m["mel_tail_byte"], m["nonzero"])
-    # VLC in reversed write order: j -> start + seg_len - 1 - j
-    end1 = start + seg_len - 1
-    out = scat(out, end1, jnp.full((B,), 0xFF, jnp.int32),
-               jnp.full((B,), True))                     # j = 0
-    out = scat(out, end1[None, :] - 1 - vlc_idx, vlc_flat, vlc_m > 0)
-    out = scat(out, end1 - m["vlc_n"], m["vtmp"],
-               m["nonzero"] & ~m["fuse_ok"])
-    # Scup patch: seg[-1] = scup>>4; seg[-2] = (seg[-2]&0xF0)|(scup&0xF)
-    scup = m["mel_len_f"] + m["vlc_n_f"]
-    p2 = end1 - 1
-    cur = out[p2].astype(jnp.int32)
-    out = out.at[p2].set(((cur & 0xF0) | (scup & 0xF)).astype(jnp.uint8))
-    out = out.at[end1].set((scup >> 4).astype(jnp.uint8))
+    out = scat(out, ms[0], ms[1], base)
+    out = scat(out, mel[0], mel[1], base + wcs[:, 0])
+    out = scat(out, vlc[0], vlc[1], base + wcs[:, 0] + wcs[:, 1])
     return out
 
 
@@ -591,9 +508,9 @@ def _use_pallas_scans() -> bool:
 
 
 def _encode_streams(jnp, jax, lax, mag, neg, mbs, tables, mbb=32):
-    """Quad stage through the three stream scans for one shape group.
-    `mbb`: static per-launch Mb bound (bucketed) — when <= 14 every
-    MagSgn push fits 16 bits so the op stream halves."""
+    """Quad stage through the three word-emitting stream scans for one
+    shape group. `mbb`: static per-launch Mb bound (bucketed) — when
+    <= 14 every MagSgn push fits 16 bits so the op stream halves."""
     enc0_np, enc1_np, upre_np, uprel_np, usuf_np, usufl_np = tables
     B = mag.shape[0]
     enc0 = jnp.asarray(enc0_np.astype(np.int32))
@@ -609,6 +526,10 @@ def _encode_streams(jnp, jax, lax, mag, neg, mbs, tables, mbb=32):
 
     mv = mel_valid.astype(jnp.int32).reshape(B, -1).T
     mb = mel_bit.astype(jnp.int32).reshape(B, -1).T
+    if mv.shape[0] % 4:
+        pad = 4 - mv.shape[0] % 4
+        mv = jnp.pad(mv, ((0, pad), (0, 0)))
+        mb = jnp.pad(mb, ((0, pad), (0, 0)))
     v_lo = (pair_w & 0xFFFF).astype(jnp.int32)
     v_hi = (pair_w >> 16).astype(jnp.int32)
     l_lo = jnp.minimum(pair_l, 16)
@@ -633,10 +554,80 @@ def _encode_streams(jnp, jax, lax, mag, neg, mbs, tables, mbb=32):
         vlc = hsp.vlc_scan(vv, vl)
         ms = hsp.ms_scan(msv, msl)
     else:
-        mel = _mel_scan(jnp, lax, mv, mb, B)
-        vlc = _vlc_scan(jnp, lax, vv, vl, B)
-        ms = _ms_scan(jnp, lax, msv, msl, B)
+        mel = _mel_scan_w(jnp, lax, mv, mb, B)
+        vlc = _vlc_scan_w(jnp, lax, vv, vl, B)
+        ms = _ms_scan_w(jnp, lax, msv, msl, B)
     return mel, vlc, ms
+
+
+# ---------------------------------------------------------------------------
+# Host-side segment assembly (bytes from packed words + metrics)
+# ---------------------------------------------------------------------------
+
+
+def assemble_segments_host(words_np: np.ndarray,
+                           metrics_np: np.ndarray) -> List[bytes]:
+    """Rebuild final HT segments from the packed word buffer and the
+    per-block metrics. Lane i's words live at [starts[i], starts[i] +
+    wc[i]); byte semantics mirror the device scatter rules of the native
+    coder (native/src/ht.cpp terminate/fuse; reference semantics:
+    ojph_block_encoder.cpp ms/mel/vlc terminate)."""
+    m = metrics_np
+    n = m.shape[0]
+    lens3 = m[:, 0:3]
+    wc3 = lens3 >> 2
+    rem3 = lens3 & 3
+    wctot = wc3.sum(axis=1)
+    starts = np.zeros(n, np.int64)
+    np.cumsum(wctot[:-1], out=starts[1:])
+    bytes_all = words_np.astype("<u4").view(np.uint8)
+    partials = np.ascontiguousarray(
+        m[:, 12:15].astype("<i4")).view(np.uint8).reshape(n, 3, 4)
+
+    out: List[bytes] = []
+    for i in range(n):
+        p = int(starts[i]) * 4
+        ms_w, mel_w, vlc_w = (int(v) * 4 for v in wc3[i])
+        ms = bytearray(bytes_all[p:p + ms_w])
+        ms += partials[i, 0, :rem3[i, 0]].tobytes()
+        p += ms_w
+        mel = bytearray(bytes_all[p:p + mel_w])
+        mel += partials[i, 1, :rem3[i, 1]].tobytes()
+        p += mel_w
+        vlc = bytearray(bytes_all[p:p + vlc_w])
+        vlc += partials[i, 2, :rem3[i, 2]].tobytes()
+
+        (ms_tail, ms_append, ms_drop, mext, ext_byte, mel_tail_byte,
+         nonzero, fuse_ok, vtmp) = (int(v) for v in m[i, 3:12])
+        if ms_drop:
+            del ms[-1]
+        if ms_append:
+            ms.append(ms_tail)
+        if mext:
+            mel.append(ext_byte)
+        if nonzero:
+            mel.append(mel_tail_byte)
+        seg = ms + mel
+        if nonzero and not fuse_ok:
+            seg.append(vtmp)
+        seg += vlc[::-1]
+        seg.append(0xFF)
+        scup = (len(mel) + 1 + len(vlc)
+                + (1 if (nonzero and not fuse_ok) else 0))
+        seg[-1] = scup >> 4
+        seg[-2] = (seg[-2] & 0xF0) | (scup & 0xF)
+        out.append(bytes(seg))
+    return out
+
+
+def seg_byte_lengths(metrics_np: np.ndarray) -> np.ndarray:
+    """Final segment byte length per block (for rate accounting without
+    assembling)."""
+    m = metrics_np.astype(np.int64)
+    ms_len_f = m[:, 0] + m[:, 4] - m[:, 5]
+    mel_len_f = m[:, 1] + m[:, 6] + m[:, 9]
+    vlc_n_f = 1 + m[:, 2] + (m[:, 9] & ~m[:, 10] & 1)
+    return ms_len_f + mel_len_f + vlc_n_f
 
 
 # ---------------------------------------------------------------------------
@@ -646,11 +637,12 @@ def _encode_streams(jnp, jax, lax, mag, neg, mbs, tables, mbb=32):
 
 @functools.lru_cache(maxsize=256)
 def _jitted_encode_multi(groups_key: Tuple[Tuple[int, int, int, int], ...]):
-    """groups_key: ((qh, qw, B, mb_bucket), ...). Returns a jitted fn
-    taking (mag, neg, mbs) per group and returning (packed segment
-    buffer, per-block segment lengths): every block's final segment is
-    packed contiguously (dynamic offsets), so the host fetches only
-    ~actual compressed bytes."""
+    """groups_key: ((qh, qw, B, mb_bucket), ...). Returns (jitted fn,
+    total word bound). The fn takes (mag, neg, mbs) per group and
+    returns (packed word buffer, (B_total, NMETRICS) metrics): every
+    block's stream words are packed contiguously so the host fetches
+    only ~actual compressed bytes; final byte splicing (tails, fuse,
+    VLC reversal, Scup) happens on the host from the tiny metrics."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -658,32 +650,33 @@ def _jitted_encode_multi(groups_key: Tuple[Tuple[int, int, int, int], ...]):
     tables = _tables()
     total_bound = 0
     for (qh, qw, B, mbb) in groups_key:
-        total_bound += sum(_bounds(qh, qw, mbb)) * B
+        total_bound += (sum(_bounds(qh, qw, mbb)) // 4 + 3) * B
 
     def run(*args):
         streams = []
         mets = []
+        wcs_l = []
         for gi, (qh, qw, B, mbb) in enumerate(groups_key):
             mag, neg, mbs = args[3 * gi:3 * gi + 3]
             mel, vlc, ms = _encode_streams(jnp, jax, lax, mag, neg, mbs,
                                            tables, mbb)
             streams.append((mel, vlc, ms))
-            mets.append(_seg_metrics(jnp, B, mel[2], vlc[2], ms[2],
-                                     mel[1], vlc[1], ms[1]))
-        seg_all = jnp.concatenate([m["seg_len"] for m in mets])
-        starts_all = jnp.concatenate(
+            metrics, wcs = _group_metrics(jnp, B, mel, vlc, ms)
+            mets.append(metrics)
+            wcs_l.append(wcs)
+        wctot = jnp.concatenate([w.sum(axis=-1) for w in wcs_l])
+        base_all = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32),
-             jnp.cumsum(seg_all)[:-1].astype(jnp.int32)])
-        out = jnp.zeros((total_bound + 1,), jnp.uint8)
+             jnp.cumsum(wctot)[:-1].astype(jnp.int32)])
+        out = jnp.zeros((total_bound + 1,), jnp.int32)
         pos = 0
         for gi, (qh, qw, B, mbb) in enumerate(groups_key):
             (mel, vlc, ms) = streams[gi]
-            start = lax.dynamic_slice(starts_all, (pos,), (B,))
-            out = _assemble_scatter(
-                jnp, jax, B, out, start, mets[gi],
-                mel[0], mel[1], vlc[0], vlc[1], ms[0], ms[1])
+            base = lax.dynamic_slice(base_all, (pos,), (B,))
+            out = _scatter_group_words(jnp, out, base, wcs_l[gi],
+                                       mel, vlc, ms)
             pos += B
-        return out, seg_all
+        return out, jnp.concatenate(mets, axis=0)
 
     return jax.jit(run), total_bound
 
@@ -709,14 +702,14 @@ def _mb_bucket(mb: int) -> int:
 def ht_encode_blocks(blocks) -> List[bytes]:
     """blocks: [(mag uint32 (h,w), neg uint8 (h,w), Mb int), ...] ->
     per-block HT cleanup segments. All shape groups are encoded in a
-    single device dispatch; final segments come back packed contiguously
-    (lengths + one bucketed byte-buffer fetch)."""
+    single device dispatch; stream words come back packed contiguously
+    (metrics + one bucketed word-buffer fetch)."""
     return ht_encode_blocks_collect(*ht_encode_blocks_submit(blocks))
 
 
 def ht_encode_blocks_submit(blocks):
     """Async first half of ht_encode_blocks: dispatches the device work
-    and starts the length copy; returns a handle for
+    and starts the metrics copy; returns a handle for
     ht_encode_blocks_collect. Use to overlap device encode with host
     work (double buffering)."""
     import jax
@@ -746,7 +739,7 @@ def ht_encode_blocks_submit(blocks):
         args += [jnp.asarray(mags), jnp.asarray(negs), jnp.asarray(mbs)]
         metas.append((qh, qw, B, idxs))
     fn, total_bound = _jitted_encode_multi(tuple(key))
-    out, seg_all = fn(*args)
+    out, metrics = fn(*args)
     # Prefetch with a predicted bucket so BOTH device->host copies are in
     # flight before collect: per-fetch latency on a tunneled device is
     # tens of ms but concurrent async copies overlap almost perfectly.
@@ -758,20 +751,21 @@ def ht_encode_blocks_submit(blocks):
     bucket = min(bucket, total_bound)
     pre = out[:bucket]
     try:
-        seg_all.copy_to_host_async()
+        metrics.copy_to_host_async()
         pre.copy_to_host_async()
     except Exception:
         pass
-    return out, seg_all, metas, (len(blocks), kt, pre, bucket)
+    return out, metrics, metas, (len(blocks), kt, pre, bucket)
 
 
 _bucket_hints: dict = {}
 
 
-def ht_encode_blocks_collect(out, seg_all, metas, ninfo) -> List[bytes]:
+def ht_encode_blocks_collect(out, metrics, metas, ninfo) -> List[bytes]:
     n, kt, pre, bucket = ninfo
-    lens = np.asarray(seg_all)
-    total = int(lens.sum())
+    metrics_np = np.asarray(metrics)
+    wctot = (metrics_np[:, 0:3] >> 2).sum(axis=1, dtype=np.int64)
+    total = int(wctot.sum())
     _bucket_hints[kt] = max(total + total // 4,
                             (_bucket_hints.get(kt, 0) * 3) // 4)
     cap = out.shape[0]
@@ -782,13 +776,12 @@ def ht_encode_blocks_collect(out, seg_all, metas, ninfo) -> List[bytes]:
         while fetch < total and fetch < cap:
             fetch *= 2
         out_np = np.asarray(out[:min(fetch, cap)])
-    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    segs = assemble_segments_host(out_np[:total], metrics_np)
     res: List[bytes] = [b""] * n
     pos = 0
     for (qh, qw, B, idxs) in metas:
         for k, i in enumerate(idxs):
-            s = int(starts[pos + k])
-            res[i] = out_np[s:s + int(lens[pos + k])].tobytes()
+            res[i] = segs[pos + k]
         pos += B
     return res
 

@@ -1,19 +1,25 @@
 """Pallas TPU kernels for the HT stream coders (MEL / VLC / MagSgn).
 
 The lax.scan formulation in ht_jax.py is correct everywhere but pays
-~1-2us of while-loop overhead per step on TPU (HBM dynamic-slice per
-iteration). These kernels keep the op streams and the coder state in
-VMEM and walk the sequence with an in-kernel fori_loop, so a step is
-just a handful of VPU instructions on a (1, B) row.
+while-loop overhead per step on TPU; these kernels keep the op streams
+and the coder state in VMEM and walk the sequence with an in-kernel
+fori_loop, so a step is a handful of VPU instructions on a (1, B) row.
+
+Output contract (shared with the ht_jax lax.scan fallbacks): the coders
+emit WORDS, not bytes — each lane packs its emitted bytes into a 32-bit
+little-endian accumulator and flushes one word per 4 bytes. Per scan
+step at most one word can complete (every byte carries >= 7 payload
+bits, and a step pushes <= 23 bits), so the dense output is (T, B)
+int32 words + a (T, B) valid mask — 4x denser than per-byte emission,
+which quarters the cost of the packed-segment scatter that follows
+(XLA lowers HBM scatter element-serially; slots are what it pays for).
+MEL processes 4 run events per step (4 x <= 1 byte -> still <= 1 word),
+shrinking its op stream another 4x.
 
 Layout: ops are (T, B) int32 with the block batch B in the lane
-dimension (padded to a multiple of 128 by the caller); the grid walks
-T in chunks with the lane-parallel coder state carried in VMEM scratch
-across grid steps (TPU grid cells execute sequentially).
-
-Semantics are identical to ht_jax._mel_scan/_vlc_scan/_ms_scan — the
-step bodies are shared; only the iteration machinery differs. Outputs
-are the same dense (T[, K], B) byte/mask arrays plus the final state.
+dimension (padded to a multiple of 128); the grid walks T in chunks
+with the lane-parallel coder state carried in VMEM scratch across grid
+steps (TPU grid cells execute sequentially).
 """
 
 from __future__ import annotations
@@ -27,13 +33,25 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import ht_jax as _hj
-
 _CHUNK = 256
 
 
-def _mel_step(jnp, carry, val, b):
-    """One MEL event on lane vectors; mirrors ht_jax._mel_scan's body.
+def word_push(jnp, wacc, wcnt, byte, emit):
+    """Push `byte` into the little-endian word accumulator where `emit`;
+    returns (wacc', wcnt', word_out, word_full). At most one flush per
+    call chain of <= 4 pushed bytes."""
+    e = emit.astype(jnp.int32)
+    wacc = wacc | jnp.where(e == 1, byte << (8 * wcnt), 0)
+    wcnt = wcnt + e
+    full = wcnt >= 4
+    word = jnp.where(full, wacc, 0)
+    wacc = jnp.where(full, 0, wacc)
+    wcnt = jnp.where(full, 0, wcnt)
+    return wacc, wcnt, word, full
+
+
+def mel_step(jnp, carry, val, b):
+    """One MEL event on lane vectors (bit-accumulator part only).
     MEL_EXP = [0,0,0,1,1,1,2,2,2,3,3,4,5] computed arithmetically (a
     captured constant array cannot enter a Pallas kernel)."""
     tmp, nbits, cap, run, k = carry
@@ -67,10 +85,27 @@ def _mel_step(jnp, carry, val, b):
     return (new_tmp, rem, new_cap, new_run, new_k), out_byte, full
 
 
-def _vlc_step(jnp, carry, q, qbits):
-    tmp, used, lg8f = carry
-    out_b = []
-    out_m = []
+def mel_super_step(jnp, carry, vals4, bits4):
+    """4 MEL events -> <= 4 bytes -> <= 1 word. carry: 7 lane vectors
+    (tmp, nbits, cap, run, k, wacc, wcnt)."""
+    tmp, nbits, cap, run, k, wacc, wcnt = carry
+    core = (tmp, nbits, cap, run, k)
+    word_o = None
+    full_o = None
+    for j in range(4):
+        core, byte, full = mel_step(jnp, core, vals4[j], bits4[j])
+        wacc, wcnt, w, wf = word_push(jnp, wacc, wcnt, byte, full)
+        word_o = w if word_o is None else (word_o | w)
+        full_o = wf if full_o is None else (full_o | wf)
+    return core + (wacc, wcnt), word_o, full_o
+
+
+def vlc_step(jnp, carry, q, qbits):
+    """One VLC append (<= 16 bits) -> <= 3 bytes -> <= 1 word. carry: 5
+    lane vectors (tmp, used, lg8f, wacc, wcnt)."""
+    tmp, used, lg8f, wacc, wcnt = carry
+    word_o = None
+    full_o = None
     for _ in range(7):
         active = qbits > 0
         avail = 8 - lg8f - used
@@ -83,22 +118,26 @@ def _vlc_step(jnp, carry, q, qbits):
         boundary = active & (used == (8 - lg8f))
         retry = boundary & (lg8f == 1) & (tmp != 0x7F)
         emit = boundary & ~retry
-        out_b.append(jnp.where(emit, tmp, 0))
-        out_m.append(emit)
+        wacc, wcnt, w, wf = word_push(
+            jnp, wacc, wcnt, jnp.where(emit, tmp, 0), emit)
+        word_o = w if word_o is None else (word_o | w)
+        full_o = wf if full_o is None else (full_o | wf)
         lg8f = jnp.where(retry, 0,
                          jnp.where(emit, (tmp > 0x8F).astype(jnp.int32),
                                    lg8f))
         tmp = jnp.where(emit, 0, tmp)
         used = jnp.where(emit, 0, used)
-    return (tmp, used, lg8f), out_b, out_m
+    return (tmp, used, lg8f, wacc, wcnt), word_o, full_o
 
 
-def _ms_step(jnp, carry, v, ln):
-    q, qbits, maxb = carry
+def ms_step(jnp, carry, v, ln):
+    """One MagSgn push (<= 16 bits) -> <= 3 bytes -> <= 1 word. carry: 5
+    lane vectors (q, qbits, maxb, wacc, wcnt)."""
+    q, qbits, maxb, wacc, wcnt = carry
     q = q | (v << qbits)
     qbits = qbits + ln
-    out_b = []
-    out_m = []
+    word_o = None
+    full_o = None
     for _ in range(3):
         emit = qbits >= maxb
         byte = jnp.where(emit, q & ((jnp.int32(1) << maxb) - 1), 0)
@@ -106,9 +145,10 @@ def _ms_step(jnp, carry, v, ln):
         qbits = jnp.where(emit, qbits - maxb, qbits)
         maxb = jnp.where(emit & (byte == 0xFF), 7,
                          jnp.where(emit, 8, maxb))
-        out_b.append(byte)
-        out_m.append(emit)
-    return (q, qbits, maxb), out_b, out_m
+        wacc, wcnt, w, wf = word_push(jnp, wacc, wcnt, byte, emit)
+        word_o = w if word_o is None else (word_o | w)
+        full_o = wf if full_o is None else (full_o | wf)
+    return (q, qbits, maxb, wacc, wcnt), word_o, full_o
 
 
 def _pad(x, t_pad, b_pad):
@@ -116,33 +156,35 @@ def _pad(x, t_pad, b_pad):
     return jnp.pad(x, ((0, t_pad - T), (0, b_pad - B)))
 
 
-def _grid_scan_call(kernel, nstate, K, vals, lens):
+def _grid_scan_call(kernel, nstate, vals, lens, chunk=_CHUNK):
     """Shared pallas_call wrapper: chunked (T, B) op arrays in, dense
-    (T, K, B) bytes/masks out, (nstate, B) final state out."""
+    (T, B) word/mask arrays out (3-D (T, 1, B) internally — Mosaic
+    cannot prove alignment for dynamic-row stores into 2-D tiles),
+    (nstate, B) final state out."""
     T, B = vals.shape
     b_pad = -(-B // 128) * 128
-    t_pad = -(-T // _CHUNK) * _CHUNK
+    t_pad = -(-T // chunk) * chunk
     vals_p = _pad(vals, t_pad, b_pad)
     lens_p = _pad(lens, t_pad, b_pad)
-    grid = (t_pad // _CHUNK,)
+    grid = (t_pad // chunk,)
     out_shape = [
-        jax.ShapeDtypeStruct((t_pad, K, b_pad), jnp.uint8),
-        jax.ShapeDtypeStruct((t_pad, K, b_pad), jnp.uint8),
+        jax.ShapeDtypeStruct((t_pad, 1, b_pad), jnp.int32),
+        jax.ShapeDtypeStruct((t_pad, 1, b_pad), jnp.uint8),
         jax.ShapeDtypeStruct((nstate, b_pad), jnp.int32),
     ]
-    bytes_, mask, state = pl.pallas_call(
+    words, mask, state = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_CHUNK, b_pad), lambda i: (i, 0),
+            pl.BlockSpec((chunk, b_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK, b_pad), lambda i: (i, 0),
+            pl.BlockSpec((chunk, b_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((_CHUNK, K, b_pad), lambda i: (i, 0, 0),
+            pl.BlockSpec((chunk, 1, b_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK, K, b_pad), lambda i: (i, 0, 0),
+            pl.BlockSpec((chunk, 1, b_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nstate, b_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -150,11 +192,10 @@ def _grid_scan_call(kernel, nstate, K, vals, lens):
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((nstate, b_pad), jnp.int32)],
     )(vals_p, lens_p)
-    return (bytes_[:T, :, :B], mask[:T, :, :B].astype(bool),
-            state[:, :B])
+    return (words[:T, 0, :B], mask[:T, 0, :B].astype(bool), state[:, :B])
 
 
-def _state_tuple(jnp, ref, n):
+def _state_tuple(ref, n):
     # keep every lane vector 2-D (1, B): Mosaic layouts require rank>=2
     return tuple(ref[i:i + 1, :] for i in range(n))
 
@@ -164,90 +205,126 @@ def _write_state(ref, carry):
         ref[i:i + 1, :] = c
 
 
-@functools.partial(jax.jit, static_argnames=())
+def _init_scratch(scratch, init_vals):
+    for i, v in enumerate(init_vals):
+        scratch[i:i + 1, :] = jnp.full_like(scratch[0:1, :], v)
+
+
+@jax.jit
 def mel_scan(valid, bit):
-    """(T, B) -> dense (T, 1, B) bytes/mask + state tuple; same contract
-    as ht_jax._mel_scan but Pallas-accelerated."""
-    def kernel(v_ref, b_ref, out_b, out_m, st_ref, scratch):
+    """valid/bit: (T, B) with T a multiple of 4 (caller pads); events are
+    consumed 4 per step. Returns words (T//4, B), mask, final state
+    (7, B): (tmp, nbits, cap, run, k, wacc, wcnt)."""
+    T, B = valid.shape
+    v4 = valid.reshape(T // 4, 4, B)
+    b4 = bit.reshape(T // 4, 4, B)
+    # interleave into (T//4, B) rows of 4-tuples via lane stacking:
+    # feed as two (T//4*4, B) arrays walked 4 rows per iteration.
+    vv = v4.reshape(T, B)
+    bb = b4.reshape(T, B)
+
+    def kernel(v_ref, b_ref, out_w, out_m, st_ref, scratch):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
-            scratch[0, :] = jnp.zeros_like(scratch[0, :])
-            scratch[1, :] = jnp.zeros_like(scratch[0, :])
-            scratch[2, :] = jnp.full_like(scratch[0, :], 8)
-            scratch[3, :] = jnp.zeros_like(scratch[0, :])
-            scratch[4, :] = jnp.zeros_like(scratch[0, :])
+            _init_scratch(scratch, (0, 0, 8, 0, 0, 0, 0))
 
         def body(t, carry):
-            carry, byte, full = _mel_step(
-                jnp, carry, v_ref[pl.ds(t, 1), :], b_ref[pl.ds(t, 1), :])
-            out_b[pl.ds(t, 1), :, :] = byte.astype(jnp.uint8)[:, None, :]
+            vals4 = [v_ref[pl.ds(4 * t + j, 1), :] for j in range(4)]
+            bits4 = [b_ref[pl.ds(4 * t + j, 1), :] for j in range(4)]
+            carry, word, full = mel_super_step(jnp, carry, vals4, bits4)
+            out_w[pl.ds(t, 1), :, :] = word[:, None, :]
             out_m[pl.ds(t, 1), :, :] = full.astype(jnp.uint8)[:, None, :]
             return carry
 
-        carry = _state_tuple(jnp, scratch, 5)
-        carry = lax.fori_loop(0, _CHUNK, body, carry)
+        carry = _state_tuple(scratch, 7)
+        carry = lax.fori_loop(0, _CHUNK // 4, body, carry)
         _write_state(scratch, carry)
         _write_state(st_ref, carry)
 
-    bytes_, mask, state = _grid_scan_call(kernel, 5, 1, valid, bit)
-    return bytes_[:, 0], mask[:, 0], tuple(state)
+    Tq, Bq = T // 4, B
+    b_pad = -(-B // 128) * 128
+    t_pad = -(-T // _CHUNK) * _CHUNK
+    vals_p = _pad(vv, t_pad, b_pad)
+    lens_p = _pad(bb, t_pad, b_pad)
+    grid = (t_pad // _CHUNK,)
+    out_shape = [
+        jax.ShapeDtypeStruct((t_pad // 4, 1, b_pad), jnp.int32),
+        jax.ShapeDtypeStruct((t_pad // 4, 1, b_pad), jnp.uint8),
+        jax.ShapeDtypeStruct((7, b_pad), jnp.int32),
+    ]
+    words, mask, state = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_CHUNK, b_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK, b_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_CHUNK // 4, 1, b_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK // 4, 1, b_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((7, b_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((7, b_pad), jnp.int32)],
+    )(vals_p, lens_p)
+    return (words[:Tq, 0, :Bq], mask[:Tq, 0, :Bq].astype(bool),
+            state[:, :Bq])
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.jit
 def vlc_scan(vals, lens):
-    def kernel(v_ref, l_ref, out_b, out_m, st_ref, scratch):
+    """(T, B) append ops -> words (T, B), mask, final state (5, B):
+    (tmp, used, lg8f, wacc, wcnt)."""
+    def kernel(v_ref, l_ref, out_w, out_m, st_ref, scratch):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
-            scratch[0, :] = jnp.full_like(scratch[0, :], 0xF)
-            scratch[1, :] = jnp.full_like(scratch[0, :], 4)
-            scratch[2, :] = jnp.full_like(scratch[0, :], 1)
+            _init_scratch(scratch, (0xF, 4, 1, 0, 0))
 
         def body(t, carry):
-            carry, bs, ms = _vlc_step(
+            carry, word, full = vlc_step(
                 jnp, carry, v_ref[pl.ds(t, 1), :], l_ref[pl.ds(t, 1), :])
-            out_b[pl.ds(t, 1), :, :] = jnp.concatenate(
-                [b.astype(jnp.uint8)[:, None, :] for b in bs], axis=1)
-            out_m[pl.ds(t, 1), :, :] = jnp.concatenate(
-                [m.astype(jnp.uint8)[:, None, :] for m in ms], axis=1)
+            out_w[pl.ds(t, 1), :, :] = word[:, None, :]
+            out_m[pl.ds(t, 1), :, :] = full.astype(jnp.uint8)[:, None, :]
             return carry
 
-        carry = _state_tuple(jnp, scratch, 3)
+        carry = _state_tuple(scratch, 5)
         carry = lax.fori_loop(0, _CHUNK, body, carry)
         _write_state(scratch, carry)
         _write_state(st_ref, carry)
 
-    bytes_, mask, state = _grid_scan_call(kernel, 3, 7, vals, lens)
-    return bytes_, mask, tuple(state)
+    return _grid_scan_call(kernel, 5, vals, lens)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.jit
 def ms_scan(vals, lens):
-    def kernel(v_ref, l_ref, out_b, out_m, st_ref, scratch):
+    """(T, B) append ops -> words (T, B), mask, final state (5, B):
+    (q, qbits, maxb, wacc, wcnt)."""
+    def kernel(v_ref, l_ref, out_w, out_m, st_ref, scratch):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
-            scratch[0, :] = jnp.zeros_like(scratch[0, :])
-            scratch[1, :] = jnp.zeros_like(scratch[0, :])
-            scratch[2, :] = jnp.full_like(scratch[0, :], 8)
+            _init_scratch(scratch, (0, 0, 8, 0, 0))
 
         def body(t, carry):
-            carry, bs, ms = _ms_step(
+            carry, word, full = ms_step(
                 jnp, carry, v_ref[pl.ds(t, 1), :], l_ref[pl.ds(t, 1), :])
-            out_b[pl.ds(t, 1), :, :] = jnp.concatenate(
-                [b.astype(jnp.uint8)[:, None, :] for b in bs], axis=1)
-            out_m[pl.ds(t, 1), :, :] = jnp.concatenate(
-                [m.astype(jnp.uint8)[:, None, :] for m in ms], axis=1)
+            out_w[pl.ds(t, 1), :, :] = word[:, None, :]
+            out_m[pl.ds(t, 1), :, :] = full.astype(jnp.uint8)[:, None, :]
             return carry
 
-        carry = _state_tuple(jnp, scratch, 3)
+        carry = _state_tuple(scratch, 5)
         carry = lax.fori_loop(0, _CHUNK, body, carry)
         _write_state(scratch, carry)
         _write_state(st_ref, carry)
 
-    bytes_, mask, state = _grid_scan_call(kernel, 3, 3, vals, lens)
-    return bytes_, mask, tuple(state)
+    return _grid_scan_call(kernel, 5, vals, lens)

@@ -1,0 +1,84 @@
+"""Fused on-device HT encode (models/fused_encode.py): the whole encode
+pipeline (DC shift -> MCT -> DWT -> block gather -> HT coding -> packed
+segments) as one jitted program must be byte-identical to the staged
+host path, including multi-tile, multi-component and edge geometries.
+"""
+
+import numpy as np
+import pytest
+
+from grokimagecompression_tpu.codestream import decoder, encoder
+from grokimagecompression_tpu.core.image import Component, Image
+from grokimagecompression_tpu.core.params import EncoderParams
+
+rng = np.random.default_rng(7)
+
+
+def mk(w, h, ncomp=1, prec=8):
+    comps = [
+        Component(data=rng.integers(0, 2 ** prec, (h, w)).astype(np.int32),
+                  prec=prec, signed=False, dx=1, dy=1)
+        for _ in range(ncomp)
+    ]
+    return Image(xsiz=w, ysiz=h, components=comps)
+
+
+CASES = [
+    ("gray_512", lambda: mk(512, 512),
+     EncoderParams(numresolutions=6, cblk_style=0x40)),
+    ("rgb_odd", lambda: mk(333, 217, 3),
+     EncoderParams(numresolutions=5, cblk_style=0x40)),
+    ("tiled", lambda: mk(256, 256, 3),
+     EncoderParams(numresolutions=6, cblk_style=0x40,
+                   tile_size=(128, 128))),
+    ("small_32cblk", lambda: mk(65, 40),
+     EncoderParams(numresolutions=3, cblk_style=0x40,
+                   cblk_w_exp=5, cblk_h_exp=5)),
+    ("prec12", lambda: mk(128, 96, 1, prec=12),
+     EncoderParams(numresolutions=4, cblk_style=0x40)),
+]
+
+
+@pytest.mark.parametrize("name,mkimg,params",
+                         CASES, ids=[c[0] for c in CASES])
+def test_fused_matches_host(name, mkimg, params):
+    img = mkimg()
+    fused = encoder.encode(img, params, device=True)
+    host = encoder.encode(img, params, device=False)
+    assert fused == host
+    dec = decoder.decode(fused)
+    for c in range(img.numcomps):
+        assert np.array_equal(dec.components[c].data,
+                              img.components[c].data)
+
+
+def test_encode_batch_matches_sequential():
+    imgs = [mk(160, 128) for _ in range(5)]
+    params = EncoderParams(numresolutions=4, cblk_style=0x40)
+    outs = encoder.encode_batch(imgs, params, device=True, chunk=2)
+    for im, cs in zip(imgs, outs):
+        assert cs == encoder.encode(im, params, device=False)
+
+
+def test_encode_batch_fallback_heterogeneous():
+    imgs = [mk(96, 64), mk(64, 96)]
+    params = EncoderParams(numresolutions=3, cblk_style=0x40)
+    outs = encoder.encode_batch(imgs, params, device=True)
+    for im, cs in zip(imgs, outs):
+        assert cs == encoder.encode(im, params, device=False)
+
+
+def test_build_plan_rejects_irreversible():
+    from grokimagecompression_tpu.codestream.encoder import (build_cod,
+                                                             build_siz)
+    from grokimagecompression_tpu.codestream.tile import default_qcd
+    from grokimagecompression_tpu.core.geometry import Rect
+    from grokimagecompression_tpu.core.params import Transform
+    from grokimagecompression_tpu.models import fused_encode
+    img = mk(64, 64)
+    params = EncoderParams(transform=Transform.DWT_97, cblk_style=0x40)
+    siz = build_siz(img, params)
+    cod = build_cod(img, params)
+    qcd = default_qcd(siz, cod, 1)
+    assert fused_encode.build_plan(
+        siz, cod, qcd, Rect(0, 0, 64, 64)) is None
