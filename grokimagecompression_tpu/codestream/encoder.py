@@ -444,7 +444,7 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
 
 def encode_batch(images: List[Image], params: Optional[EncoderParams] = None,
                  device: Optional[bool] = None, rsiz: int = 0,
-                 chunk: int = 8) -> List[bytes]:
+                 chunk: int = 16) -> List[bytes]:
     """Encode a batch of images; the production serving entry point.
 
     When the fused device path applies (HT, reversible, shared geometry),

@@ -178,58 +178,48 @@ def _jitted_fused(plan: FusedPlan, nframes: int):
             out = ht_jax._scatter_group_words(jnp, out, base, wcs_l[gidx],
                                               mel, vlc, ms)
             pos += B
-        return out, jnp.concatenate(mets, axis=0)
+        # single-fetch layout (see ht_jax._jitted_encode_multi)
+        met = jnp.concatenate(mets, axis=0)
+        return jnp.concatenate([met.reshape(-1), out[:-1]])
 
-    return jax.jit(run), total_bound
-
-
-_bucket_hints: dict = {}
+    mhead = plan.nblocks * nframes * ht_jax.NMETRICS
+    return jax.jit(run), total_bound, mhead
 
 
 def encode_tile_submit(comps_data: List[np.ndarray], plan: FusedPlan):
     """Dispatch the fused encode for one tile (or a batch of same-geometry
-    tiles/frames stacked on a leading axis) and start the async
-    device->host copies. Returns a handle for encode_tile_collect."""
+    tiles/frames stacked on a leading axis) and start the single async
+    device->host copy. Returns a handle for encode_tile_collect."""
     import jax.numpy as jnp
 
     nframes = comps_data[0].shape[0] if comps_data[0].ndim == 3 else 1
-    args = [jnp.asarray(a if a.ndim == 3 else a[None])
-            for a in comps_data]
-    fn, total_bound = _jitted_fused(plan, nframes)
-    out, metrics = fn(*args)
-    hk = (plan, nframes)
-    hint = _bucket_hints.get(hk, max(total_bound // 8, 256))
-    bucket = 256
-    while bucket < hint and bucket < total_bound:
-        bucket *= 2
-    bucket = min(bucket, total_bound)
-    pre = out[:bucket]
-    try:
-        metrics.copy_to_host_async()
-        pre.copy_to_host_async()
-    except Exception:
-        pass
-    return (plan, nframes, out, metrics, pre, bucket, hk)
+    args = []
+    for c, a in enumerate(comps_data):
+        # Upload at the component's natural width (the device transform
+        # widens to int32 on arrival): 4x less host->device traffic for
+        # 8-bit content — the upload is a first-order cost on a
+        # bandwidth-limited device link.
+        prec = plan.cfg.precs[c]
+        signed = plan.cfg.signeds[c]
+        if prec <= 8:
+            dt = np.int8 if signed else np.uint8
+        elif prec <= 16:
+            dt = np.int16 if signed else np.uint16
+        else:
+            dt = np.int32
+        args.append(jnp.asarray((a if a.ndim == 3 else a[None]).astype(dt)))
+    fn, total_bound, mhead = _jitted_fused(plan, nframes)
+    flat = fn(*args)
+    fetch = ht_jax.submit_fetch(flat, mhead, total_bound, (plan, nframes))
+    return (plan, nframes, fetch)
 
 
 def encode_tile_collect(handle) -> List[List[bytes]]:
     """Block on the device result; returns per-frame segment lists in
     global t1-desc order (frames x nblocks)."""
-    (plan, nframes, out, metrics, pre, bucket, hk) = handle
-    metrics_np = np.asarray(metrics)
-    wctot = (metrics_np[:, 0:3] >> 2).sum(axis=1, dtype=np.int64)
-    total = int(wctot.sum())
-    _bucket_hints[hk] = max(total + total // 4,
-                            (_bucket_hints.get(hk, 0) * 3) // 4)
-    cap = out.shape[0]
-    if total <= bucket:
-        out_np = np.asarray(pre)
-    else:
-        fetch = bucket
-        while fetch < total and fetch < cap:
-            fetch *= 2
-        out_np = np.asarray(out[:min(fetch, cap)])
-    segs = ht_jax.assemble_segments_host(out_np[:total], metrics_np)
+    (plan, nframes, fetch) = handle
+    metrics_np, words = ht_jax.collect_fetch(fetch)
+    segs = ht_jax.assemble_segments_host(words, metrics_np)
     res: List[List[bytes]] = [[b""] * plan.nblocks for _ in range(nframes)]
     pos = 0
     for gidx, (qh, qw, blocks) in enumerate(plan.groups):

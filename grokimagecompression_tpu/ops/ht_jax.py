@@ -676,9 +676,16 @@ def _jitted_encode_multi(groups_key: Tuple[Tuple[int, int, int, int], ...]):
             out = _scatter_group_words(jnp, out, base, wcs_l[gi],
                                        mel, vlc, ms)
             pos += B
-        return out, jnp.concatenate(mets, axis=0)
+        # Single-fetch layout: [metrics (B_total * NMETRICS)][words]. The
+        # host learns every length from the metrics head, so ONE sliced
+        # device->host copy returns everything — on a tunneled device
+        # each blocking fetch pays full round-trip latency, so fetch
+        # count, not bytes, dominates small-batch collect time.
+        met = jnp.concatenate(mets, axis=0)
+        return jnp.concatenate([met.reshape(-1), out[:-1]])
 
-    return jax.jit(run), total_bound
+    btot = sum(B for (_, _, B, _) in groups_key)
+    return jax.jit(run), total_bound, btot * NMETRICS
 
 
 def _pad_batch(n: int) -> int:
@@ -738,45 +745,65 @@ def ht_encode_blocks_submit(blocks):
             mbs[k] = blocks[i][2]
         args += [jnp.asarray(mags), jnp.asarray(negs), jnp.asarray(mbs)]
         metas.append((qh, qw, B, idxs))
-    fn, total_bound = _jitted_encode_multi(tuple(key))
-    out, metrics = fn(*args)
-    # Prefetch with a predicted bucket so BOTH device->host copies are in
-    # flight before collect: per-fetch latency on a tunneled device is
-    # tens of ms but concurrent async copies overlap almost perfectly.
-    kt = tuple(key)
-    hint = _bucket_hints.get(kt, max(total_bound // 8, 256))
-    bucket = 256
-    while bucket < hint and bucket < total_bound:
-        bucket *= 2
-    bucket = min(bucket, total_bound)
-    pre = out[:bucket]
-    try:
-        metrics.copy_to_host_async()
-        pre.copy_to_host_async()
-    except Exception:
-        pass
-    return out, metrics, metas, (len(blocks), kt, pre, bucket)
+    fn, total_bound, mhead = _jitted_encode_multi(tuple(key))
+    flat = fn(*args)
+    handle = submit_fetch(flat, mhead, total_bound, tuple(key))
+    return handle, metas, len(blocks)
 
 
 _bucket_hints: dict = {}
 
 
-def ht_encode_blocks_collect(out, metrics, metas, ninfo) -> List[bytes]:
-    n, kt, pre, bucket = ninfo
-    metrics_np = np.asarray(metrics)
+def _bucket_up(n: int) -> int:
+    """Round up to the fetch-size ladder: 1.25x geometric steps, 4096
+    aligned. Every distinct device-array slice SIZE compiles its own XLA
+    slice program (~0.5 s over a tunneled device link), so fetches must
+    only ever use sizes from this small fixed ladder — never
+    data-dependent exact sizes."""
+    b = 4096
+    while b < n:
+        b += max(b // 4, 4096)
+        b = -(-b // 4096) * 4096
+    return b
+
+
+def submit_fetch(flat, mhead, total_bound, hint_key):
+    """Start the single async device->host copy for a fused-encode result
+    (metrics head + packed words) with a history-predicted slice size.
+    Returns a handle for collect_fetch."""
+    hint = _bucket_hints.get(hint_key, max(total_bound // 8, 256))
+    cap = mhead + total_bound
+    bucket = min(_bucket_up(mhead + hint), _bucket_up(cap))
+    pre = flat[:bucket]
+    try:
+        pre.copy_to_host_async()
+    except Exception:
+        pass
+    return (flat, pre, bucket, mhead, hint_key)
+
+
+def collect_fetch(handle):
+    """Block on a submit_fetch handle -> (metrics (B, NMETRICS) np array,
+    words np array of exactly the emitted length)."""
+    flat, pre, bucket, mhead, hint_key = handle
+    pre_np = np.asarray(pre)
+    metrics_np = pre_np[:mhead].reshape(-1, NMETRICS)
     wctot = (metrics_np[:, 0:3] >> 2).sum(axis=1, dtype=np.int64)
     total = int(wctot.sum())
-    _bucket_hints[kt] = max(total + total // 4,
-                            (_bucket_hints.get(kt, 0) * 3) // 4)
-    cap = out.shape[0]
-    if total <= bucket:
-        out_np = np.asarray(pre)
+    _bucket_hints[hint_key] = max(
+        total + total // 16, (_bucket_hints.get(hint_key, 0) * 3) // 4)
+    if mhead + total <= bucket:
+        words = pre_np[mhead:mhead + total]
     else:
-        fetch = bucket
-        while fetch < total and fetch < cap:
-            fetch *= 2
-        out_np = np.asarray(out[:min(fetch, cap)])
-    segs = assemble_segments_host(out_np[:total], metrics_np)
+        cap = int(flat.shape[0])
+        fetch = min(_bucket_up(mhead + total), _bucket_up(cap), cap)
+        words = np.asarray(flat[:fetch])[mhead:mhead + total]
+    return metrics_np, words
+
+
+def ht_encode_blocks_collect(handle, metas, n) -> List[bytes]:
+    metrics_np, words = collect_fetch(handle)
+    segs = assemble_segments_host(words, metrics_np)
     res: List[bytes] = [b""] * n
     pos = 0
     for (qh, qw, B, idxs) in metas:
