@@ -782,14 +782,19 @@ def submit_fetch(flat, mhead, total_bound, hint_key):
     return (flat, pre, bucket, mhead, hint_key)
 
 
-def collect_fetch(handle):
-    """Block on a submit_fetch handle -> (metrics (B, NMETRICS) np array,
-    words np array of exactly the emitted length)."""
+def collect_fetch(handle, ncols: int = NMETRICS, total_words_fn=None):
+    """Block on a submit_fetch handle -> (metrics (B, ncols) np array,
+    words np array of exactly the emitted length). `total_words_fn`
+    maps the metrics array to the emitted word count (default: the HT
+    3-stream rule)."""
     flat, pre, bucket, mhead, hint_key = handle
     pre_np = np.asarray(pre)
-    metrics_np = pre_np[:mhead].reshape(-1, NMETRICS)
-    wctot = (metrics_np[:, 0:3] >> 2).sum(axis=1, dtype=np.int64)
-    total = int(wctot.sum())
+    metrics_np = pre_np[:mhead].reshape(-1, ncols)
+    if total_words_fn is None:
+        total = int((metrics_np[:, 0:3] >> 2)
+                    .sum(axis=1, dtype=np.int64).sum())
+    else:
+        total = int(total_words_fn(metrics_np))
     _bucket_hints[hint_key] = max(
         total + total // 16, (_bucket_hints.get(hint_key, 0) * 3) // 4)
     if mhead + total <= bucket:
