@@ -501,7 +501,15 @@ def _use_pallas() -> bool:
 def run_mq_scans(jnp, lax, slots, B):
     if _use_pallas():
         from . import mq_scan_pallas
-        return mq_scan_pallas.mq_scan(slots)
+        b_pad = -(-B // 128) * 128
+        if b_pad != B:
+            slots = jnp.pad(slots, ((0, 0), (0, b_pad - B)))
+        words, mask, st = mq_scan_pallas.mq_scan(slots)
+        if b_pad != B:
+            words = words[:, :B]
+            mask = mask[:, :B]
+            st = tuple(s[:B] for s in st)
+        return words, mask, st
     return _mq_scan_w(jnp, lax, slots, B)
 
 
