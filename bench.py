@@ -76,10 +76,12 @@ def bench_device_batch():
     return ("encode_throughput_device_batch_512", mps, GROK_SINGLE_CORE_MPS)
 
 
-def bench_single(ht: bool, device: bool):
+def bench_single(ht: bool, device: bool, device_t1: bool = False):
     from grokimagecompression_tpu.codestream import encoder
     from grokimagecompression_tpu.core.params import EncoderParams
 
+    if device_t1:
+        os.environ["GROK_TPU_T1"] = "device"
     img = _config1_image()
     params = EncoderParams(numresolutions=6,
                            cblk_style=0x40 if ht else 0)
@@ -92,7 +94,8 @@ def bench_single(ht: bool, device: bool):
         best = min(best, time.perf_counter() - t0)
     mps = 512 * 512 / best / 1e6
     name = ("encode_throughput_lossless_512" if ht
-            else "encode_throughput_mq_512")
+            else ("encode_throughput_mq_device_512" if device_t1
+                  else "encode_throughput_mq_512"))
     return (name, mps, GROK_SINGLE_CORE_MPS if ht
             else GROK_SINGLE_CORE_MQ_MPS)
 
@@ -127,6 +130,9 @@ def main():
         name, mps, denom = bench_single(ht=True, device=False)
     elif mode == "mq":
         name, mps, denom = bench_single(ht=False, device=False)
+    elif mode == "mq-device":
+        name, mps, denom = bench_single(ht=False, device=True,
+                                        device_t1=True)
     elif mode == "decode":
         name, mps, denom = bench_decode()
     else:

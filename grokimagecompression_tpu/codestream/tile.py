@@ -323,7 +323,8 @@ def encode_tile(
         with trace.stage("enc.t1", sum(d[3] * d[4] * 4 for d in t1_descs)):
             t1_results = t1_backend.encode_cblk_batch_bands(
                 t1_bands, t1_descs, t1_orients, t1_kmaxs, cod.cblk_style,
-                stepsizes=t1_steps if any_irrev else None)
+                stepsizes=t1_steps if any_irrev else None,
+                needs_pass_rates=layer_alloc is not None)
 
     all_cblks: List[CblkEnc] = []
     prec_enc: List[Dict[Tuple[int, int], List[PrecEnc]]] = [

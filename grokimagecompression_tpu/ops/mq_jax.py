@@ -57,6 +57,16 @@ _CTX_INIT[CTX_ZC] = 4 << 1
 _CTX_INIT[CTX_RL] = 3 << 1
 _CTX_INIT[CTX_UNI] = 46 << 1
 
+# Context states packed 4-per-int32 (8 bits each; values fit 7 bits):
+# word k holds contexts 4k..4k+3. Five packed planes instead of 19
+# keeps the scan's live state inside the vector register file — the
+# single biggest per-step cost is context select/update.
+NCTX_WORDS = 5
+_CTX_INIT_PACKED = [
+    sum(_CTX_INIT[4 * k + j] << (8 * j)
+        for j in range(4) if 4 * k + j < NUM_CTXS)
+    for k in range(NCTX_WORDS)]
+
 
 # ---------------------------------------------------------------------------
 # Static scan geometry (numpy, cached per (h, w))
@@ -115,14 +125,24 @@ def _geometry(h: int, w: int):
 
 
 def _shift(jnp, a, dy, dx):
-    """result[..., y, x] = a[..., y+dy, x+dx], 0 outside."""
-    H, W = a.shape[-2], a.shape[-1]
+    """result[y, x, :] = a[y+dy, x+dx, :], 0 outside.
+
+    Arrays are (hp, w, B) — the block batch rides the minor (lane) axis
+    so every vector op fills whole 128-lane vregs regardless of block
+    width (a (B, hp, w) layout wastes half the vreg for w = 64 blocks
+    and 3/4 of it for w = 32)."""
+    H, W = a.shape[0], a.shape[1]
     ys = slice(max(dy, 0), H + min(dy, 0))
     xs = slice(max(dx, 0), W + min(dx, 0))
-    core = a[..., ys, xs]
-    pad = [(0, 0)] * (a.ndim - 2) + [(max(-dy, 0), max(dy, 0)),
-                                     (max(-dx, 0), max(dx, 0))]
+    core = a[ys, xs]
+    pad = [(max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0)), (0, 0)]
     return jnp.pad(core, pad)
+
+
+def _g(jnp, geo, name, off=None):
+    """Geometry mask as a (hp, w, 1) jnp array (broadcasts over lanes)."""
+    a = geo[name] if off is None else geo[name][off]
+    return jnp.asarray(a)[:, :, None]
 
 
 def _temporal_neighbors(jnp, before, after, geo, col=False):
@@ -131,7 +151,7 @@ def _temporal_neighbors(jnp, before, after, geo, col=False):
     key = "earlier_col" if col else "earlier"
     out = {}
     for off in geo["offs"]:
-        e = jnp.asarray(geo[key][off])
+        e = _g(jnp, geo, key, off)
         nb_b = _shift(jnp, before, *off)
         nb_a = _shift(jnp, after, *off)
         out[off] = jnp.where(e, nb_a, nb_b)
@@ -191,7 +211,7 @@ def _spp_members(jnp, lax, sigS, bit_p, geo):
         sigM = sigS | (member & bit_p)
         acc = None
         for off in geo["offs"]:
-            e = jnp.asarray(geo["earlier"][off])
+            e = _g(jnp, geo, "earlier", off)
             nb = jnp.where(e, _shift(jnp, sigM, *off),
                            _shift(jnp, sigS, *off))
             acc = nb if acc is None else (acc | nb)
@@ -222,13 +242,13 @@ def _pack_slot(jnp, emit, d, cx):
 def _plane_slots(jnp, lax, mag, neg, orient, nbps, plane, geo):
     """All slot bytes for one plane, in exact scan order.
 
-    mag: (B, hp, w) uint32; neg: (B, hp, w) int32; orient: (B, 1, 1);
-    nbps: (B, 1, 1); plane: scalar int32 (traced). Returns
-    (B, T_plane) int32 slot bytes with T_plane = 5*hp*w + 3*w*hp/4.
+    mag: (hp, w, B) uint32; neg: (hp, w, B) int32; orient: (1, 1, B)
+    int32; nbps: (1, 1, B); plane: scalar int32 (traced). Returns
+    (T_plane, B) int32 slot bytes, T_plane = 3*hp*w + 11*(hp/4)*w.
     """
-    B, hp, w = mag.shape
-    alive = jnp.asarray(geo["alive"])
-    agg_ok = jnp.asarray(geo["agg_ok"])
+    hp, w, B = mag.shape
+    alive = _g(jnp, geo, "alive")
+    agg_ok = _g(jnp, geo, "agg_ok")
     u1 = jnp.uint32(1)
 
     bit_p = ((mag >> plane.astype(jnp.uint32)) & u1).astype(jnp.int32)
@@ -278,24 +298,25 @@ def _plane_slots(jnp, lax, mag, neg, orient, nbps, plane, geo):
         nb_any_col = (nb_col[off] if nb_any_col is None
                       else (nb_any_col | nb_col[off]))
     sample_blocks_agg = sigM | visited | nb_any_col
+    ns = hp // 4
     # reduce over the 4 stripe rows
-    sba = sample_blocks_agg.reshape(B, hp // 4, 4, w)
-    agg_col4 = (~sba.any(axis=2))[:, :, None, :] & agg_ok.reshape(
-        1, hp // 4, 4, w) & cln_valid[..., None]
-    agg = agg_col4.reshape(B, hp, w)
+    sba = sample_blocks_agg.reshape(ns, 4, w, B)
+    agg_col4 = ((~sba.any(axis=1))[:, None, :, :]
+                & agg_ok.reshape(ns, 4, w, 1) & cln_valid)
+    agg = agg_col4.reshape(hp, w, B)
 
-    bits4 = (bit_p == 1).reshape(B, hp // 4, 4, w)
-    any4 = bits4.any(axis=2)
+    bits4 = (bit_p == 1).reshape(ns, 4, w, B)
+    any4 = bits4.any(axis=1)
     # r = first set row index in the column (0..3), 4 when none
-    rowi = jnp.arange(4, dtype=jnp.int32).reshape(1, 1, 4, 1)
-    r4 = jnp.min(jnp.where(bits4, rowi, 4), axis=2)          # (B, hp/4, w)
-    hit = (any4 & agg_col4[:, :, 0, :])                       # (B, hp/4, w)
+    rowi = jnp.arange(4, dtype=jnp.int32).reshape(1, 4, 1, 1)
+    r4 = jnp.min(jnp.where(bits4, rowi, 4), axis=1)          # (ns, w, B)
+    hit = (any4 & agg_col4[:, 0, :, :])                       # (ns, w, B)
 
     # per-sample coded-normally mask
-    hit_s = jnp.repeat(hit[:, :, None, :], 4, axis=2).reshape(B, hp, w)
-    r_s = jnp.repeat(r4[:, :, None, :], 4, axis=2).reshape(B, hp, w)
+    hit_s = jnp.repeat(hit[:, None], 4, axis=1).reshape(hp, w, B)
+    r_s = jnp.repeat(r4[:, None], 4, axis=1).reshape(hp, w, B)
     idx_in_col = jnp.asarray(
-        (np.arange(geo["hp"]) % 4).reshape(1, geo["hp"], 1))
+        (np.arange(geo["hp"]) % 4).reshape(geo["hp"], 1, 1))
     normal = cln_member & jnp.where(
         agg, hit_s & (idx_in_col > r_s), True)
     is_r = agg & hit_s & (idx_in_col == r_s)
@@ -309,43 +330,41 @@ def _plane_slots(jnp, lax, mag, neg, orient, nbps, plane, geo):
     cln_sc = _pack_slot(jnp, (normal & bit_b) | is_r,
                         neg ^ spb_c, scc_c)
 
-    # column-head slots (B, hp/4, w)
-    agg_head = agg_col4[:, :, 0, :]
+    # column-head slots (ns, w, B)
+    agg_head = agg_col4[:, 0, :, :]
     rl = _pack_slot(jnp, agg_head, any4,
                     jnp.full_like(r4, CTX_RL))
     uni1 = _pack_slot(jnp, hit, (r4 >> 1) & 1,
                       jnp.full_like(r4, CTX_UNI))
     uni2 = _pack_slot(jnp, hit, r4 & 1, jnp.full_like(r4, CTX_UNI))
 
-    # ---- assemble in scan order ----
-    ns = hp // 4
-
+    # ---- assemble in scan order (stripe-major, column-major inside) ----
     def scan_order_pairs(a, b):
-        # per-sample pair slots -> (B, ns, w, 4, 2) -> flat
-        st = jnp.stack([a, b], axis=-1).reshape(B, ns, 4, w, 2)
-        return st.transpose(0, 1, 3, 2, 4).reshape(B, -1)
+        st = jnp.stack([a, b], axis=2)                   # (hp, w, 2, B)
+        st = st.reshape(ns, 4, w, 2, B).transpose(0, 2, 1, 3, 4)
+        return st.reshape(-1, B)
 
     def scan_order_single(a):
-        return a.reshape(B, ns, 4, w).transpose(0, 1, 3, 2).reshape(B, -1)
+        return a.reshape(ns, 4, w, B).transpose(0, 2, 1, 3).reshape(-1, B)
 
-    spp_flat = scan_order_pairs(spp_zc, spp_sc)          # (B, 8*ns*w)
-    mrp_flat = scan_order_single(mrp)                    # (B, 4*ns*w)
-    heads = jnp.stack([rl, uni1, uni2], axis=-1)         # (B, ns, w, 3)
-    samples = jnp.stack([cln_zc, cln_sc], axis=-1).reshape(
-        B, ns, 4, w, 2).transpose(0, 1, 3, 2, 4).reshape(B, ns, w, 8)
-    cln_flat = jnp.concatenate([heads, samples], axis=-1).reshape(B, -1)
-    return jnp.concatenate([spp_flat, mrp_flat, cln_flat], axis=-1)
+    spp_flat = scan_order_pairs(spp_zc, spp_sc)          # (8*ns*w, B)
+    mrp_flat = scan_order_single(mrp)                    # (4*ns*w, B)
+    heads = jnp.stack([rl, uni1, uni2], axis=2)          # (ns, w, 3, B)
+    samples = jnp.stack([cln_zc, cln_sc], axis=2).reshape(
+        ns, 4, w, 2, B).transpose(0, 2, 1, 3, 4).reshape(ns, w, 8, B)
+    cln_flat = jnp.concatenate([heads, samples], axis=2).reshape(-1, B)
+    return jnp.concatenate([spp_flat, mrp_flat, cln_flat], axis=0)
 
 
 def slots_per_plane(h: int, w: int) -> int:
     hp = -(-h // 4) * 4
-    return 3 * hp * w + 3 * (hp // 4) * w
+    return 3 * hp * w + 11 * (hp // 4) * w
 
 
 def build_slot_stream(jnp, lax, mag, neg, orient, nbps, nplanes, geo):
     """Full slot stream over `nplanes` planes (descending), scan-ordered.
-    Returns (B, nplanes * T_plane) int8."""
-    B = mag.shape[0]
+    mag/neg: (hp, w, B). Returns (nplanes * T_plane, B) int8."""
+    B = mag.shape[2]
 
     def body(carry, plane):
         s = _plane_slots(jnp, lax, mag, neg, orient, nbps, plane, geo)
@@ -353,8 +372,8 @@ def build_slot_stream(jnp, lax, mag, neg, orient, nbps, nplanes, geo):
 
     planes = jnp.arange(nplanes - 1, -1, -1, dtype=jnp.int32)
     _, out = lax.scan(body, 0, planes)
-    # (nplanes, B, T) -> (B, nplanes*T)
-    return out.transpose(1, 0, 2).reshape(B, -1)
+    # (nplanes, T_plane, B) -> (nplanes*T_plane, B)
+    return out.reshape(-1, B)
 
 
 # ---------------------------------------------------------------------------
@@ -365,19 +384,22 @@ def build_slot_stream(jnp, lax, mag, neg, orient, nbps, nplanes, geo):
 def mq_step(jnp, carry, slot):
     """One MQ decision slot on lane vectors.
 
-    carry: (a, c, ct, last, wacc, wcnt, ctx0..ctx18) int32 lanes, `last`
-    is the delayed output byte (-1 = none yet). Returns
-    (carry', word, word_valid).
+    carry: (a, c, ct, last, wacc, wcnt, cp0..cp4) int32 lanes, `last`
+    is the delayed output byte (-1 = none yet); cp_k packs context
+    states 4k..4k+3 at 8 bits each. Returns (carry', word, word_valid).
     """
     a, c, ct, last, wacc, wcnt = carry[:6]
-    ctxs = list(carry[6:])
+    cps = list(carry[6:])
     emit = slot & 1
     d = (slot >> 1) & 1
     cx = slot >> 2
+    cw = cx >> 2
+    sh = (cx & 3) << 3
 
-    p = ctxs[0]
-    for k in range(1, NUM_CTXS):
-        p = jnp.where(cx == k, ctxs[k], p)
+    pw = cps[0]
+    for k in range(1, NCTX_WORDS):
+        pw = jnp.where(cw == k, cps[k], pw)
+    p = (pw >> sh) & 0x7F
     idx = p >> 1
     mps = p & 1
 
@@ -404,8 +426,11 @@ def mq_step(jnp, carry, slot):
     wb = (emit == 1) & ~short
     newp = (jnp.where(mpspath, nmps, nlps) << 1) | jnp.where(
         mpspath, mps, jnp.where(sw == 1, 1 - mps, mps))
-    for k in range(NUM_CTXS):
-        ctxs[k] = jnp.where(wb & (cx == k), newp, ctxs[k])
+    fmask = jnp.full_like(slot, 0x7F) << sh
+    newfield = (newp << sh) & fmask
+    for k in range(NCTX_WORDS):
+        cps[k] = jnp.where(wb & (cw == k),
+                           (cps[k] & ~fmask) | newfield, cps[k])
 
     # renorm shift count: make bit 15 of a2 set (a2 >= 1)
     n = jnp.zeros_like(a2)
@@ -466,15 +491,16 @@ def mq_step(jnp, carry, slot):
         wacc = jnp.where(wfull, 0, wacc)
         wcnt = jnp.where(wfull, 0, wcnt)
 
-    out = (a3, cc, cct, clast, wacc, wcnt) + tuple(ctxs)
+    out = (a3, cc, cct, clast, wacc, wcnt) + tuple(cps)
     return out, word_o, full_o
 
 
-NSTATE = 6 + NUM_CTXS  # a, c, ct, last, wacc, wcnt, 19 contexts
+NSTATE = 6 + NCTX_WORDS  # a, c, ct, last, wacc, wcnt, 5 packed ctx words
+STATE_INIT = [0x8000, 0, 12, -1, 0, 0] + _CTX_INIT_PACKED
 
 
 def _init_state(jnp, B):
-    vals = [0x8000, 0, 12, -1, 0, 0] + list(_CTX_INIT)
+    vals = list(STATE_INIT)
     return tuple(jnp.full((B,), v, jnp.int32) for v in vals)
 
 
@@ -490,6 +516,74 @@ def _mq_scan_w(jnp, lax, slots, B):
     return words, mask, carry
 
 
+MQ_CCAP = 8       # words kept per lane per 256-step chunk (level 1)
+MQ_GRP = 16       # chunks per level-2 group
+MQ_CAP2 = 32      # words kept per lane per group (level 2)
+
+
+def _compact_words(jnp, words, m8, st, ccap=MQ_CCAP, grp=MQ_GRP,
+                   cap2=MQ_CAP2):
+    """Compact the sparse per-step word emissions into short per-lane
+    runs with pure masked reductions — no scatter, no full-stream
+    cumsum (an XLA scatter costs ~25 ms fixed + ~7 ns/element on this
+    part, several times the MQ scan itself).
+
+    Inputs stay in the scan's blocked layout: words (t_pad, S, 128)
+    int32, m8 (t_pad, S, 128) int32 = each word's index within its
+    256-step chunk (-1 where no word; from the scan kernel's per-lane
+    counter), st (NSTATE, S, 128).
+
+    Level 1: each 256-step chunk keeps its first `ccap` words via
+    one-hot masked sums over the chunk axis. Level 2: groups of `grp`
+    chunks compact to `cap2` slots the same way, using the within-group
+    prefix of (clamped) chunk counts. The host does the final ragged
+    splice with numpy boolean indexing (mq_encode_blocks) — the level-2
+    grid is small enough to fetch whole.
+
+    A lane that ever exceeds a cap (adversarial content, >8x the
+    typical emission rate) is flagged in `overflow`; the caller
+    re-encodes it on the host, so the caps are a performance knob, not
+    a correctness bound.
+
+    Returns (comp2 (ngrp, cap2, S, 128), counts2 (ngrp, S, 128) clamped,
+    nbytes (S, 128), overflow (S, 128) bool).
+    """
+    t_pad, S, _ = words.shape
+    k = 256
+    nch = t_pad // k
+    wrd = words.reshape(nch, k, S, 128)
+    idx = m8.reshape(nch, k, S, 128)
+    comp1 = jnp.stack(
+        [jnp.sum(jnp.where(idx == j, wrd, 0), axis=1)
+         for j in range(ccap)], axis=1)                # (nch, ccap, S, 128)
+    counts1 = jnp.max(idx, axis=1) + 1                 # (nch, S, 128)
+    over1 = (counts1 > ccap).any(axis=0)
+    cc1 = jnp.minimum(counts1, ccap)
+
+    ngrp = -(-nch // grp)
+    if ngrp * grp != nch:
+        pad = ngrp * grp - nch
+        comp1 = jnp.pad(comp1, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        cc1 = jnp.pad(cc1, ((0, pad), (0, 0), (0, 0)))
+    cc1g = cc1.reshape(ngrp, grp, S, 128)
+    pre = jnp.cumsum(cc1g, axis=1) - cc1g              # words before chunk
+    # position of (chunk-local c, slot j) within its group
+    jc = jnp.arange(ccap, dtype=jnp.int32).reshape(1, 1, ccap, 1, 1)
+    pos2 = pre[:, :, None] + jc                        # (ngrp, grp, ccap, ...)
+    valid = jc < cc1g[:, :, None]
+    c1g = comp1.reshape(ngrp, grp, ccap, S, 128)
+    comp2 = jnp.stack(
+        [jnp.sum(jnp.where(valid & (pos2 == j2), c1g, 0), axis=(1, 2))
+         for j2 in range(cap2)], axis=1)               # (ngrp, cap2, S, 128)
+    counts2 = cc1g.sum(axis=1)                         # (ngrp, S, 128)
+    over2 = (counts2 > cap2).any(axis=0)
+    counts2 = jnp.minimum(counts2, cap2)
+    wcount = counts2.sum(axis=0)
+    nbytes = 4 * wcount + st[5]                        # (S, 128)
+    overflow = over1 | over2
+    return comp2, counts2, nbytes, overflow
+
+
 def _use_pallas() -> bool:
     import os
 
@@ -499,6 +593,8 @@ def _use_pallas() -> bool:
 
 
 def run_mq_scans(jnp, lax, slots, B):
+    """Flat-contract scan: (T, B) -> ((T, B) words, mask, state tuple).
+    Test/back-compat surface; production uses run_mq_scans_blocked."""
     if _use_pallas():
         from . import mq_scan_pallas
         b_pad = -(-B // 128) * 128
@@ -511,6 +607,27 @@ def run_mq_scans(jnp, lax, slots, B):
             st = tuple(s[:B] for s in st)
         return words, mask, st
     return _mq_scan_w(jnp, lax, slots, B)
+
+
+def run_mq_scans_blocked(jnp, lax, slots):
+    """Blocked-layout scan: slots (T, B) with B % 128 == 0 ->
+    (words (t_pad, S, 128), m8 (t_pad, S, 128) int32 chunk-local word
+    indices (-1 where none), state (NSTATE, S, 128)); t_pad rounds T up
+    to the 256-step scan chunk."""
+    T, B = slots.shape
+    S = B // 128
+    if _use_pallas():
+        from . import mq_scan_pallas
+        return mq_scan_pallas.mq_scan_blocked(slots, S)
+    w, m, st = _mq_scan_w(jnp, lax, slots.astype(jnp.int32), B)
+    t_pad = -(-T // 256) * 256
+    w = jnp.pad(w, ((0, t_pad - T), (0, 0)))
+    mv = jnp.pad(m.astype(jnp.int32), ((0, t_pad - T), (0, 0)))
+    mc = mv.reshape(-1, 256, B)
+    m8 = jnp.where(mv.reshape(-1, 256, B) > 0,
+                   jnp.cumsum(mc, axis=1) - 1, -1).reshape(t_pad, B)
+    return (w.reshape(t_pad, S, 128), m8.reshape(t_pad, S, 128),
+            jnp.stack(st).reshape(NSTATE, S, 128))
 
 
 # ---------------------------------------------------------------------------
@@ -588,6 +705,9 @@ def assemble_mq_segments(words_np: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
+NMETRICS = 7  # nbytes, a, c, ct, last, wacc, overflow
+
+
 @functools.lru_cache(maxsize=128)
 def _jitted_mq_group(h: int, w: int, B: int, nplanes: int):
     import jax
@@ -597,44 +717,69 @@ def _jitted_mq_group(h: int, w: int, B: int, nplanes: int):
     geo = _geometry(h, w)
 
     def run(mag, neg, orient, nbps):
+        # mag/neg: (hp, w, B) lanes-last
         slots = build_slot_stream(jnp, lax, mag, neg,
-                                  orient[:, None, None],
-                                  nbps[:, None, None], nplanes, geo)
-        slotsT = jax.lax.optimization_barrier(
-            slots.astype(jnp.int32).T)
-        words, mask, st = run_mq_scans(jnp, lax, slotsT, B)
-        # scan-emitted byte count: 4 * full words + wcnt partial
-        wcount = mask.astype(jnp.int32).sum(axis=0)
-        nbytes = 4 * wcount + st[5]
+                                  orient[None, None, :],
+                                  nbps[None, None, :], nplanes, geo)
+        b_pad = -(-B // 128) * 128
+        if b_pad != B:
+            slots = jnp.pad(slots, ((0, 0), (0, b_pad - B)))
+        slots = jax.lax.optimization_barrier(slots)
+        words, m8, st = run_mq_scans_blocked(jnp, lax, slots)
+        comp2, counts2, nbytes, overflow = _compact_words(
+            jnp, words, m8, st)
         metrics = jnp.stack(
-            [nbytes, st[0], st[1], st[2], st[3], st[4]], axis=-1)
-        # pack words contiguously: per-lane offsets
-        base = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32),
-             jnp.cumsum((nbytes + 3) >> 2)[:-1].astype(jnp.int32)])
-        bound = words.shape[0]
-        out = jnp.zeros((bound * B + 1,), jnp.int32)
-        DROP = bound * B
-        wvm = mask.astype(jnp.int32)
-        idx = jnp.cumsum(wvm, axis=0) - 1
-        pos = jnp.where(wvm > 0, base[None, :] + idx, DROP)
-        out = out.at[pos.reshape(-1)].set(words.reshape(-1), mode="drop")
-        # partial-word tail bytes fold into the word stream: lane's last
-        # (possibly partial) word is wacc when wcnt > 0
-        tail_pos = jnp.where(st[5] > 0, base + ((nbytes) >> 2), DROP)
-        out = out.at[tail_pos].set(st[4], mode="drop")
-        return jnp.concatenate([metrics.reshape(-1), out[:-1]])
+            [nbytes, st[0], st[1], st[2], st[3], st[4],
+             overflow.astype(jnp.int32)], axis=-1)      # (S, 128, 7)
+        metrics = metrics.reshape(-1, NMETRICS)[:B]
+        small = jnp.concatenate(
+            [metrics.reshape(-1),
+             counts2.reshape(counts2.shape[0], -1)[:, :B].reshape(-1)])
+        return small, comp2
 
     return jax.jit(run)
+
+
+def splice_mq_words(comp2_np: np.ndarray, counts2_np: np.ndarray,
+                    metrics_np: np.ndarray) -> np.ndarray:
+    """Host-side ragged splice of the level-2 compacted word grid into
+    the contiguous per-lane packed layout assemble_mq_segments expects.
+
+    comp2 (ngrp, cap2, B) int32, counts2 (ngrp, B), metrics (B, 7).
+    numpy boolean indexing does the 'scatter' at memcpy speed.
+    """
+    ngrp, cap2, B = comp2_np.shape
+    nbytes = metrics_np[:, 0].astype(np.int64)
+    nwords = (nbytes + 3) >> 2
+    starts = np.zeros(B + 1, np.int64)
+    np.cumsum(nwords, out=starts[1:])
+    arr = np.ascontiguousarray(comp2_np.transpose(2, 0, 1))  # (B, ngrp, cap2)
+    cc = counts2_np.T                                        # (B, ngrp)
+    msk = np.arange(cap2, dtype=np.int32)[None, None, :] < cc[:, :, None]
+    sel = arr[msk]                      # valid words, lane-major order
+    nsel = cc.sum(axis=1)
+    selstarts = np.zeros(B + 1, np.int64)
+    np.cumsum(nsel, out=selstarts[1:])
+    out = np.zeros(int(starts[B]), np.int32)
+    wacc = metrics_np[:, 5]
+    for b in range(B):
+        o, k = int(starts[b]), int(nsel[b])
+        out[o:o + k] = sel[int(selstarts[b]):int(selstarts[b]) + k]
+        if nbytes[b] & 3:
+            # partial tail bytes ride in wacc as the last word
+            out[o + int(nwords[b]) - 1] = wacc[b]
+    return out
 
 
 def mq_encode_blocks(blocks) -> List[Tuple[bytes, int, int]]:
     """blocks: [(mag (h,w) uint32, neg (h,w) 0/1, orient int), ...] ->
     [(data, numbps, numpasses), ...] for the default code-block style.
-    Groups by shape; all groups dispatch before any collects."""
+    Groups by shape; all groups dispatch (and start their async
+    device->host copies) before any collects. Lanes whose chunked word
+    compaction overflowed (pathological content) are re-encoded with
+    the host coder — correctness never depends on the compaction caps.
+    """
     import jax.numpy as jnp
-
-    from . import ht_jax
 
     groups = {}
     for i, (mag, neg, orient) in enumerate(blocks):
@@ -648,30 +793,40 @@ def mq_encode_blocks(blocks) -> List[Tuple[bytes, int, int]]:
         nbs = [nb for (_, nb) in entries]
         npl = max(max(nbs), 1)
         Bp = _pad_batch(len(entries))
-        mags = np.zeros((Bp, hp, w), np.uint32)
-        negs = np.zeros((Bp, hp, w), np.int32)
+        mags = np.zeros((hp, w, Bp), np.uint32)
+        negs = np.zeros((hp, w, Bp), np.int32)
         orients = np.zeros((Bp,), np.int32)
         nbps = np.zeros((Bp,), np.int32)
         for k, (i, nb) in enumerate(entries):
-            mags[k, :h, :] = blocks[i][0]
-            negs[k, :h, :] = blocks[i][1]
+            mags[:h, :, k] = blocks[i][0]
+            negs[:h, :, k] = blocks[i][1]
             orients[k] = blocks[i][2]
             nbps[k] = nb
         fn = _jitted_mq_group(h, w, Bp, npl)
-        flat = fn(jnp.asarray(mags), jnp.asarray(negs),
-                  jnp.asarray(orients), jnp.asarray(nbps))
-        T = npl * slots_per_plane(h, w)
-        bound = T * Bp  # words bound (loose; ladder-fetched)
-        fetch = ht_jax.submit_fetch(flat, Bp * 6, bound,
-                                    ("mq", h, w, Bp, npl))
-        handles.append((entries, fetch))
-    for (entries, fetch) in handles:
-        metrics_np, words = ht_jax.collect_fetch(
-            fetch, ncols=6,
-            total_words_fn=lambda m: int(
-                ((m[:, 0].astype(np.int64) + 3) >> 2).sum()))
+        small, comp2 = fn(jnp.asarray(mags), jnp.asarray(negs),
+                          jnp.asarray(orients), jnp.asarray(nbps))
+        for a in (small, comp2):
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        handles.append((entries, Bp, small, comp2))
+    for (entries, Bp, small, comp2) in handles:
+        small_np = np.asarray(small)
+        metrics_np = small_np[:Bp * NMETRICS].reshape(Bp, NMETRICS)
+        counts2_np = small_np[Bp * NMETRICS:].reshape(-1, Bp)
+        comp2_np = np.asarray(comp2)
+        ngrp, cap2 = comp2_np.shape[0], comp2_np.shape[1]
+        comp2_np = comp2_np.reshape(ngrp, cap2, -1)[:, :, :Bp]
+        words = splice_mq_words(comp2_np, counts2_np, metrics_np)
         segs = assemble_mq_segments(words, metrics_np)
         for k, (i, nb) in enumerate(entries):
+            if metrics_np[k, 6]:
+                from ..t1 import backend as _t1b
+                results[i] = _t1b.encode_cblk(
+                    blocks[i][0], blocks[i][1].astype(np.uint8),
+                    blocks[i][2], 0)[:3]
+                continue
             results[i] = (segs[k] if nb > 0 else b"", nb,
                           3 * nb - 2 if nb > 0 else 0)
     return results

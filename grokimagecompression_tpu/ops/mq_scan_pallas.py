@@ -10,10 +10,21 @@ Layout: the block batch is blocked as (S, 128) = (sublanes, lanes) so
 every per-step vector op covers whole (8, 128) vregs instead of a
 single replicated (1, B) row — with S = 8 one step processes 1024
 code-blocks for the same instruction count a (1, 128) row formulation
-spends on 128. Slot stream: (T, S, 128) int32; state: (NSTATE, S, 128).
+spends on 128. Everything stays in this blocked layout end to end
+(slot build -> scan -> word compaction): reshaping a (T, B) array to
+(T, S, 128) is a full lane-split relayout that costs more than the
+scan itself at large B.
+
+Besides the emitted words, the kernel tracks a per-lane within-chunk
+word counter and emits each word's chunk-local index (m8). Downstream
+compaction (mq_jax._compact_words) turns that into packed per-lane
+byte runs with pure masked reductions — no big cumsative scan and no
+XLA scatter, both of which cost more than the MQ scan itself.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -27,17 +38,18 @@ from . import mq_jax
 _CHUNK = 256
 
 
-@jax.jit
-def mq_scan(slots):
-    """slots: (T, B) int32 slot bytes, B % 128 == 0 (caller pads).
-    Returns (words (T, B) int32, mask (T, B) bool, final state tuple of
-    NSTATE (B,) vectors) — the same contract as mq_jax._mq_scan_w."""
+@functools.partial(jax.jit, static_argnames=("s",))
+def mq_scan_blocked(slots, s: int):
+    """slots: (T, B) int32/int8 slot bytes with B == s * 128.
+    Returns blocked (t_pad, s, 128) words (int32), m8 (int32: the
+    word's index within its 256-step chunk, -1 where no word), and the
+    final state as an (NSTATE, s, 128) int32 array."""
     T, B = slots.shape
-    S = B // 128
     t_pad = -(-T // _CHUNK) * _CHUNK
-    sl = jnp.pad(slots, ((0, t_pad - T), (0, 0))).reshape(t_pad, S, 128)
+    sl = jnp.pad(slots.astype(jnp.int32),
+                 ((0, t_pad - T), (0, 0))).reshape(t_pad, s, 128)
     nstate = mq_jax.NSTATE
-    init = [0x8000, 0, 12, -1, 0, 0] + list(mq_jax._CTX_INIT)
+    init = list(mq_jax.STATE_INIT)
 
     def kernel(s_ref, out_w, out_m, st_ref, scratch):
         i = pl.program_id(0)
@@ -45,45 +57,56 @@ def mq_scan(slots):
         @pl.when(i == 0)
         def _():
             for k, v in enumerate(init):
-                scratch[k, :, :] = jnp.full((S, 128), v, jnp.int32)
+                scratch[k, :, :] = jnp.full((s, 128), v, jnp.int32)
 
         def body(t, carry):
-            slot = s_ref[pl.ds(t, 1), :, :][0]
-            carry, word, full = mq_jax.mq_step(jnp, carry, slot)
-            out_w[pl.ds(t, 1), :, :] = word[None]
-            out_m[pl.ds(t, 1), :, :] = full.astype(jnp.uint8)[None]
-            return carry
+            cnt = carry[-1]
+            carry, word, full = mq_jax.mq_step(jnp, carry[:-1], s_ref[t])
+            out_w[t] = word
+            out_m[t] = jnp.where(full, cnt, -1)
+            cnt = cnt + full.astype(jnp.int32)
+            return carry + (cnt,)
 
         carry = tuple(scratch[k, :, :] for k in range(nstate))
+        carry = carry + (jnp.zeros((s, 128), jnp.int32),)
         carry = lax.fori_loop(0, _CHUNK, body, carry)
         for k in range(nstate):
             scratch[k, :, :] = carry[k]
             st_ref[k, :, :] = carry[k]
 
     out_shape = [
-        jax.ShapeDtypeStruct((t_pad, S, 128), jnp.int32),
-        jax.ShapeDtypeStruct((t_pad, S, 128), jnp.uint8),
-        jax.ShapeDtypeStruct((nstate, S, 128), jnp.int32),
+        jax.ShapeDtypeStruct((t_pad, s, 128), jnp.int32),
+        jax.ShapeDtypeStruct((t_pad, s, 128), jnp.int32),
+        jax.ShapeDtypeStruct((nstate, s, 128), jnp.int32),
     ]
-    words, mask, state = pl.pallas_call(
+    words, m8, state = pl.pallas_call(
         kernel,
         grid=(t_pad // _CHUNK,),
         in_specs=[
-            pl.BlockSpec((_CHUNK, S, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((_CHUNK, s, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((_CHUNK, S, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((_CHUNK, s, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK, S, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((_CHUNK, s, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nstate, S, 128), lambda i: (0, 0, 0),
+            pl.BlockSpec((nstate, s, 128), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((nstate, S, 128), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((nstate, s, 128), jnp.int32)],
     )(sl)
-    words = words.reshape(t_pad, B)[:T]
-    mask = mask.reshape(t_pad, B)[:T].astype(bool)
-    state = tuple(state.reshape(nstate, B)[k] for k in range(nstate))
-    return words, mask, state
+    return words, m8, state
+
+
+def mq_scan(slots):
+    """Back-compat wrapper: (T, B) in -> flat (T, B) words/mask + state
+    tuple (tests only; production uses mq_scan_blocked)."""
+    T, B = slots.shape
+    words, m8, state = mq_scan_blocked(slots, B // 128)
+    words = words.reshape(-1, B)[:T]
+    mask = (m8.reshape(-1, B)[:T]) >= 0
+    st = tuple(state.reshape(mq_jax.NSTATE, B)[k]
+               for k in range(mq_jax.NSTATE))
+    return words, mask, st

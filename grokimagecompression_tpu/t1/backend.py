@@ -85,7 +85,8 @@ def encode_cblk_batch(blocks, cblk_style: int = 0):
 
 
 def encode_cblk_batch_bands(bands, descs, orients, kmaxs,
-                            cblk_style: int = 0, stepsizes=None):
+                            cblk_style: int = 0, stepsizes=None,
+                            needs_pass_rates: bool = False):
     """Batch encode straight from band planes.
 
     `bands`: list of contiguous 2-D arrays — int32 DWT coefficients
@@ -94,6 +95,10 @@ def encode_cblk_batch_bands(bands, descs, orients, kmaxs,
     into the native gather. `descs`: (n, 5) int64 rows
     (band_idx, x0, y0, w, h). Equivalent to slicing each block,
     quantizing, converting to (mag, neg) and calling encode_cblk_batch.
+
+    `needs_pass_rates=True` (PCRD / multi-layer callers) disables the
+    device MQ route, which reports only final segment bytes, not
+    per-pass truncation rates.
     """
     import numpy as _np
     nat = _get_native()
@@ -101,6 +106,30 @@ def encode_cblk_batch_bands(bands, descs, orients, kmaxs,
     n = len(descs)
     if n == 0:
         return []
+    if (cblk_style == 0 and not needs_pass_rates and _use_device_t1()):
+        # Device EBCOT Part-1: analysis passes + lane-parallel Pallas MQ
+        # scan on the TPU (ops/mq_jax.py); default code-block style only.
+        from ..ops import mq_jax
+        blocks = []
+        for i in range(n):
+            bi, x0, y0, w, h = (int(v) for v in descs[i])
+            a = bands[bi][y0:y0 + h, x0:x0 + w]
+            if stepsizes is not None and a.dtype == _np.float32:
+                m = _np.floor(_np.abs(a.astype(_np.float64))
+                              / _np.float64(stepsizes[bi])).astype(_np.uint32)
+                neg = (a < 0).astype(_np.int32)
+            else:
+                aa = _np.asarray(a, _np.int64)
+                m = _np.abs(aa).astype(_np.uint32)
+                neg = (aa < 0).astype(_np.int32)
+            blocks.append((m, neg, int(orients[i])))
+        out = []
+        for (d, nb, npasses) in mq_jax.mq_encode_blocks(blocks):
+            passes = [t1_np.PassInfo(rate=len(d), distortion=0.0,
+                                     terminated=(k == npasses - 1))
+                      for k in range(npasses)]
+            out.append((d, nb, npasses, passes))
+        return out
     if cblk_style & CBLKSTY_HT and _use_device_t1():
         from ..ops import ht_jax
         datas = ht_jax.ht_encode_cblk_batch_bands(
