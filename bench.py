@@ -54,12 +54,13 @@ def _config1_image(seed=42, size=512, shift=0):
         Component(data=data, prec=8, signed=False, dx=1, dy=1)])
 
 
-def bench_device_batch():
+def bench_device_batch(mq: bool = False):
     """Serving-path throughput: 64 frames, fused device pipeline."""
     from grokimagecompression_tpu.codestream import encoder
     from grokimagecompression_tpu.core.params import EncoderParams
 
-    params = EncoderParams(numresolutions=6, cblk_style=0x40)
+    params = EncoderParams(numresolutions=6,
+                           cblk_style=0 if mq else 0x40)
     n = int(os.environ.get("BENCH_FRAMES", "64"))
     chunk = int(os.environ.get("BENCH_CHUNK", "16"))
     imgs = [_config1_image(shift=i) for i in range(n)]
@@ -73,6 +74,9 @@ def bench_device_batch():
         best = min(best, time.perf_counter() - t0)
     assert len(out) == n and all(o for o in out)
     mps = n * 512 * 512 / best / 1e6
+    if mq:
+        return ("encode_throughput_mq_device_batch_512", mps,
+                GROK_SINGLE_CORE_MQ_MPS)
     return ("encode_throughput_device_batch_512", mps, GROK_SINGLE_CORE_MPS)
 
 
@@ -131,6 +135,8 @@ def main():
     elif mode == "mq":
         name, mps, denom = bench_single(ht=False, device=False)
     elif mode == "mq-device":
+        name, mps, denom = bench_device_batch(mq=True)
+    elif mode == "mq-device-single":
         name, mps, denom = bench_single(ht=False, device=True,
                                         device_t1=True)
     elif mode == "decode":

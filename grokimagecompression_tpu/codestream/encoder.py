@@ -154,6 +154,23 @@ def _encode_ht_rate_controlled(image: Image, params: EncoderParams,
     return best
 
 
+def _device_mq_ok() -> bool:
+    """Whether the device MQ coder should serve plain-MQ block coding:
+    explicitly via GROK_TPU_T1=device, or automatically when a real
+    accelerator backend is present (the lax.scan fallback on CPU is far
+    slower than the native host coder)."""
+    import os
+    if os.environ.get("GROK_TPU_T1", "") == "device":
+        return True
+    if os.environ.get("GROK_TPU_T1", "") in ("python", "native"):
+        return False
+    try:
+        import jax
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
 def encode(image: Image, params: Optional[EncoderParams] = None,
            layer_alloc=None, device: Optional[bool] = None,
            rsiz: int = 0, mesh=None,
@@ -304,16 +321,19 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
     # hides behind the previous tile's T2).
     fused_handles = {}
     fused_mod = None
-    if (device and is_ht and custom_coding_matrix is None
+    mq_fusable = (cod.cblk_style == 0 and layer_alloc is None
+                  and _device_mq_ok())
+    if (device and (is_ht or mq_fusable) and custom_coding_matrix is None
             and mesh is None and roishifts is None
             and _t1_segments_by_tile is None
             and cod.transform == Transform.DWT_53):
         from ..models import fused_encode as fused_mod
+        coder = "ht" if is_ht else "mq"
         for t in range(numtiles):
             tr = tile_rect(t, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
                            siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
             plan = fused_mod.build_plan(siz, cod, qcd, tr,
-                                        cod_comp=cod_comp)
+                                        cod_comp=cod_comp, coder=coder)
             if plan is None:
                 fused_handles.clear()
                 break
@@ -331,6 +351,21 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
             comps, handle = fused_handles[t]
             t1_segments = fused_mod.encode_tile_collect(handle)[0]
             coeff_bands = None
+            if t1_segments is None:
+                # MQ word-compaction overflow (pathological content):
+                # fall back to the host pipeline for this tile.
+                coeff_bands = None
+                t1_segments = None
+                comps = extract_tile_comps(image, siz, t)
+                return encode_tile(comps, siz, cod, qcd, tr,
+                                   layer_alloc=layer_alloc,
+                                   cod_comp=cod_comp,
+                                   pocs=params.pocs or None,
+                                   roishifts=roishifts,
+                                   custom_mct_matrix=custom_coding_matrix,
+                                   split_headers=split,
+                                   want_packet_lengths=params.plt_markers
+                                   or params.tp_flag is not None)
         else:
             comps = mesh_comps.get(t)
             if comps is None:
@@ -471,8 +506,10 @@ def encode_batch(images: List[Image], params: Optional[EncoderParams] = None,
                      for c in img.components) + (img.xsiz, img.ysiz)
 
     is_ht = bool(params.cblk_style & 0x40)
+    is_mq = params.cblk_style == 0 and _device_mq_ok()
     same_geom = all(_geom(im) == _geom(images[0]) for im in images)
-    fusable = (device and is_ht and same_geom and len(images) > 1
+    fusable = (device and (is_ht or is_mq) and same_geom
+               and len(images) > 1
                and params.transform == Transform.DWT_53
                and not params.rates and not params.quality_psnr
                and params.custom_mct is None
@@ -504,7 +541,8 @@ def encode_batch(images: List[Image], params: Optional[EncoderParams] = None,
         tr = tile_rect(t, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
                        siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
         plans[t] = fused_encode.build_plan(siz, cod, qcd, tr,
-                                           cod_comp=cod_comp)
+                                           cod_comp=cod_comp,
+                                           coder="ht" if is_ht else "mq")
         if plans[t] is None:
             return [encode(im, params, device=device, rsiz=rsiz)
                     for im in images]
@@ -548,6 +586,11 @@ def encode_batch(images: List[Image], params: Optional[EncoderParams] = None,
         for f in range(lo, hi):
             by_tile = {t: segs_by_tile_frame[t][f - lo]
                        for t in range(numtiles)}
+            if any(v is None for v in by_tile.values()):
+                # MQ compaction overflow on some tile: host re-encode.
+                futures.append((f, t2_pool.submit(
+                    encode, images[f], params, device=False, rsiz=rsiz)))
+                continue
             futures.append((f, t2_pool.submit(
                 encode, images[f], params, device=False, rsiz=rsiz,
                 _t1_segments_by_tile=by_tile)))

@@ -307,11 +307,22 @@ def encode_tile(
 
     if t1_segments is not None:
         # Segments precoded on device (fused pipeline): T1 is done.
+        # HT entries are raw segment bytes; MQ entries are
+        # (data, numbps, numpasses) tuples.
         from ..t1.t1_np import PassInfo
-        t1_results = [
-            (d, 1, 1, [PassInfo(rate=len(d), distortion=0.0,
-                                terminated=True)])
-            for d in t1_segments]
+        t1_results = []
+        for d in t1_segments:
+            if isinstance(d, tuple):
+                data, nb, npas = d
+                t1_results.append(
+                    (data, nb, npas,
+                     [PassInfo(rate=len(data), distortion=0.0,
+                               terminated=(k == npas - 1))
+                      for k in range(npas)]))
+            else:
+                t1_results.append(
+                    (d, 1, 1, [PassInfo(rate=len(d), distortion=0.0,
+                                        terminated=True)]))
     else:
         if any_irrev and not all(
                 b.dtype == np.float32 for b in t1_bands):

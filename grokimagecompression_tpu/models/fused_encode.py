@@ -58,20 +58,27 @@ class BlockSpec:
 class FusedPlan:
     """Static per-tile-geometry encode plan (jit cache key)."""
     cfg: pipeline.TileTransformConfig
-    # (qh, qw, blocks) per shape group, qh/qw in quads
+    # (qh, qw, blocks) per shape group — qh/qw in quads for the HT
+    # coder, full (h, w) sample dims for the MQ coder
     groups: Tuple[Tuple[int, int, Tuple[BlockSpec, ...]], ...]
     nblocks: int
     # order[g][j] = global t1-desc index of group g's j-th block
     order: Tuple[Tuple[int, ...], ...]
+    coder: str = "ht"
 
 
 def build_plan(siz, cod, qcd, tile: Rect,
-               cod_comp=None, qcd_comp=None) -> Optional[FusedPlan]:
+               cod_comp=None, qcd_comp=None,
+               coder: str = "ht") -> Optional[FusedPlan]:
     """Build the fused plan for one tile, or None when out of scope.
 
     The block iteration order (comp -> resolution -> band -> precinct ->
     cblk) matches codestream/tile.py's t1 desc construction exactly, so
     collected segments slot into the T2 stage positionally.
+
+    `coder` selects the device entropy stage: "ht" (Part-15 cleanup
+    coder, ops/ht_jax.py) or "mq" (Part-1 EBCOT bitplane passes + MQ
+    scan, ops/mq_jax.py; default code-block style only).
     """
     from ..codestream.tile import build_comp_plan
     from ..core.params import Transform
@@ -101,19 +108,21 @@ def build_plan(siz, cod, qcd, tile: Rect,
                             y0=cb.rect.y0 - band.rect.y0,
                             x0=cb.rect.x0 - band.rect.x0,
                             h=cb.rect.h, w=cb.rect.w, kmax=bp.kmax)
-                        qh = (spec.h + 1) // 2
-                        qw = (spec.w + 1) // 2
-                        groups.setdefault((qh, qw), []).append((gi, spec))
+                        if coder == "ht":
+                            gk = ((spec.h + 1) // 2, (spec.w + 1) // 2)
+                        else:
+                            gk = (spec.h, spec.w)
+                        groups.setdefault(gk, []).append((gi, spec))
                         gi += 1
     gtuple = []
     order = []
-    for (qh, qw) in sorted(groups.keys()):
-        entries = groups[(qh, qw)]
-        gtuple.append((qh, qw, tuple(s for (_, s) in entries)))
+    for gk in sorted(groups.keys()):
+        entries = groups[gk]
+        gtuple.append((gk[0], gk[1], tuple(s for (_, s) in entries)))
         order.append(tuple(i for (i, _) in entries))
     return FusedPlan(cfg=pipeline.config_for_tile(siz, cod, tile),
                      groups=tuple(gtuple), nblocks=gi,
-                     order=tuple(order))
+                     order=tuple(order), coder=coder)
 
 
 @functools.lru_cache(maxsize=64)
@@ -186,6 +195,72 @@ def _jitted_fused(plan: FusedPlan, nframes: int):
     return jax.jit(run), total_bound, mhead
 
 
+@functools.lru_cache(maxsize=64)
+def _jitted_fused_mq(plan: FusedPlan, nframes: int):
+    """One XLA program for the MQ coder: frames' samples in ->
+    (small = per-block metrics + per-group level-2 counts, then one
+    level-2 compacted word grid per group). Host does the ragged splice
+    (ops/mq_jax.splice_mq_words) and the MQ FLUSH tail.
+
+    Per-lane nbps is computed on device (bit-length of the block's max
+    magnitude); the scan runs the group's kmax planes with per-lane
+    validity masking, so no host round trip is needed before coding.
+    Block/lane order matches the HT path: group-major, frame-major
+    within a group."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from ..ops import mq_jax
+
+    def run(*comps):
+        bands_list = pipeline._fwd_transform(plan.cfg, comps)
+        smalls = []
+        comp2s = []
+        for (h, w, blocks) in plan.groups:
+            hp = -(-h // 4) * 4
+            geo = mq_jax._geometry(h, w)
+            mats = []
+            for b in blocks:
+                band = bands_list[b.comp][b.key]
+                mats.append(band[..., b.y0:b.y0 + b.h, b.x0:b.x0 + b.w])
+            v = jnp.stack(mats, axis=1)          # (N, B0, h, w)
+            B = nframes * len(blocks)
+            b_pad = -(-B // 128) * 128
+            vt = v.reshape(B, h, w).transpose(1, 2, 0)   # (h, w, B)
+            vt = jnp.pad(vt, ((0, hp - h), (0, 0), (0, b_pad - B)))
+            mag = jnp.abs(vt).astype(jnp.uint32)
+            neg = (vt < 0).astype(jnp.int32)
+            orients = jnp.asarray(np.tile(
+                np.array([b.key[1] for b in blocks], np.int32), nframes))
+            orients = jnp.pad(orients, (0, b_pad - B))
+            # device nbps: bit length of the max magnitude per lane
+            mx = jnp.max(mag, axis=(0, 1))
+            nbps = jnp.zeros((b_pad,), jnp.int32)
+            kmaxg = max(b.kmax for b in blocks)
+            for k in range(kmaxg):
+                nbps = jnp.where((mx >> np.uint32(k)) != 0, k + 1, nbps)
+            slots = mq_jax.build_slot_stream(
+                jnp, lax, mag, neg, orients[None, None, :],
+                nbps[None, None, :], kmaxg, geo)
+            slots = jax.lax.optimization_barrier(slots)
+            words, m8, st = mq_jax.run_mq_scans_blocked(jnp, lax, slots)
+            comp2, counts2, nbytes, overflow = mq_jax._compact_words(
+                jnp, words, m8, st)
+            metrics = jnp.stack(
+                [nbytes, st[0], st[1], st[2], st[3], st[4],
+                 overflow.astype(jnp.int32),
+                 nbps.reshape(nbytes.shape)], axis=-1)
+            metrics = metrics.reshape(-1, mq_jax.NMETRICS)[:B]
+            smalls.append(jnp.concatenate(
+                [metrics.reshape(-1),
+                 counts2.reshape(counts2.shape[0], -1)[:, :B].reshape(-1)]))
+            comp2s.append(comp2)
+        return (jnp.concatenate(smalls),) + tuple(comp2s)
+
+    return jax.jit(run)
+
+
 def encode_tile_submit(comps_data: List[np.ndarray], plan: FusedPlan):
     """Dispatch the fused encode for one tile (or a batch of same-geometry
     tiles/frames stacked on a leading axis) and start the single async
@@ -208,16 +283,31 @@ def encode_tile_submit(comps_data: List[np.ndarray], plan: FusedPlan):
         else:
             dt = np.int32
         args.append(jnp.asarray((a if a.ndim == 3 else a[None]).astype(dt)))
+    if plan.coder == "mq":
+        fn = _jitted_fused_mq(plan, nframes)
+        outs = fn(*args)
+        for a in outs:
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        return (plan, nframes, outs)
     fn, total_bound, mhead = _jitted_fused(plan, nframes)
     flat = fn(*args)
     fetch = ht_jax.submit_fetch(flat, mhead, total_bound, (plan, nframes))
     return (plan, nframes, fetch)
 
 
-def encode_tile_collect(handle) -> List[List[bytes]]:
+def encode_tile_collect(handle) -> List[Optional[List]]:
     """Block on the device result; returns per-frame segment lists in
-    global t1-desc order (frames x nblocks)."""
+    global t1-desc order (frames x nblocks). HT entries are segment
+    bytes; MQ entries are (data, numbps, numpasses) tuples. An MQ frame
+    whose word compaction overflowed comes back as None — the caller
+    re-encodes that frame on the host (correctness never depends on the
+    compaction caps)."""
     (plan, nframes, fetch) = handle
+    if plan.coder == "mq":
+        return _collect_mq(plan, nframes, fetch)
     metrics_np, words = ht_jax.collect_fetch(fetch)
     segs = ht_jax.assemble_segments_host(words, metrics_np)
     res: List[List[bytes]] = [[b""] * plan.nblocks for _ in range(nframes)]
@@ -228,6 +318,43 @@ def encode_tile_collect(handle) -> List[List[bytes]]:
             for j in range(nb):
                 res[f][plan.order[gidx][j]] = segs[pos]
                 pos += 1
+    return res
+
+
+def _collect_mq(plan: FusedPlan, nframes: int, outs) -> List[Optional[List]]:
+    from ..ops import mq_jax
+
+    small_np = np.asarray(outs[0])
+    res: List[Optional[List]] = [
+        [None] * plan.nblocks for _ in range(nframes)]
+    bad_frames = set()
+    pos = 0
+    for gidx, (h, w, blocks) in enumerate(plan.groups):
+        B = nframes * len(blocks)
+        comp2_np = np.asarray(outs[1 + gidx])
+        ngrp, cap2 = comp2_np.shape[0], comp2_np.shape[1]
+        comp2_np = comp2_np.reshape(ngrp, cap2, -1)[:, :, :B]
+        nsm = B * mq_jax.NMETRICS + ngrp * B
+        metrics_np = small_np[pos:pos + B * mq_jax.NMETRICS].reshape(
+            B, mq_jax.NMETRICS)
+        counts2_np = small_np[pos + B * mq_jax.NMETRICS:pos + nsm].reshape(
+            ngrp, B)
+        pos += nsm
+        words = mq_jax.splice_mq_words(comp2_np, counts2_np, metrics_np)
+        segs = mq_jax.assemble_mq_segments(words, metrics_np)
+        nb0 = len(blocks)
+        for f in range(nframes):
+            for j in range(nb0):
+                lane = f * nb0 + j
+                if metrics_np[lane, 6]:
+                    bad_frames.add(f)
+                    continue
+                nbps = int(metrics_np[lane, 7])
+                res[f][plan.order[gidx][j]] = (
+                    segs[lane] if nbps > 0 else b"", nbps,
+                    3 * nbps - 2 if nbps > 0 else 0)
+    for f in bad_frames:
+        res[f] = None
     return res
 
 

@@ -705,7 +705,7 @@ def assemble_mq_segments(words_np: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
-NMETRICS = 7  # nbytes, a, c, ct, last, wacc, overflow
+NMETRICS = 8  # nbytes, a, c, ct, last, wacc, overflow, nbps
 
 
 @functools.lru_cache(maxsize=128)
@@ -728,9 +728,10 @@ def _jitted_mq_group(h: int, w: int, B: int, nplanes: int):
         words, m8, st = run_mq_scans_blocked(jnp, lax, slots)
         comp2, counts2, nbytes, overflow = _compact_words(
             jnp, words, m8, st)
+        nbp = jnp.pad(nbps, (0, b_pad - B)).reshape(nbytes.shape)
         metrics = jnp.stack(
             [nbytes, st[0], st[1], st[2], st[3], st[4],
-             overflow.astype(jnp.int32)], axis=-1)      # (S, 128, 7)
+             overflow.astype(jnp.int32), nbp], axis=-1)  # (S, 128, 8)
         metrics = metrics.reshape(-1, NMETRICS)[:B]
         small = jnp.concatenate(
             [metrics.reshape(-1),

@@ -68,6 +68,49 @@ def test_encode_batch_fallback_heterogeneous():
         assert cs == encoder.encode(im, params, device=False)
 
 
+@pytest.fixture
+def force_device_mq(monkeypatch):
+    """Route plain-MQ block coding through the fused device path (the
+    lax.scan fallback services it on the CPU test mesh)."""
+    monkeypatch.setenv("GROK_TPU_T1", "device")
+
+
+MQ_CASES = [
+    ("mq_gray", lambda: mk(96, 64),
+     EncoderParams(numresolutions=3, cblk_w_exp=5, cblk_h_exp=5)),
+    ("mq_rgb_odd", lambda: mk(67, 45, 3),
+     EncoderParams(numresolutions=3, cblk_w_exp=5, cblk_h_exp=5)),
+    ("mq_tiled", lambda: mk(96, 96),
+     EncoderParams(numresolutions=3, cblk_w_exp=5, cblk_h_exp=5,
+                   tile_size=(48, 48))),
+]
+
+
+@pytest.mark.parametrize("name,mkimg,params",
+                         MQ_CASES, ids=[c[0] for c in MQ_CASES])
+def test_fused_mq_matches_host(name, mkimg, params, force_device_mq):
+    img = mkimg()
+    fused = encoder.encode(img, params, device=True)
+    import os
+    os.environ["GROK_TPU_T1"] = "native"
+    host = encoder.encode(img, params, device=False)
+    assert fused == host
+    dec = decoder.decode(fused)
+    for c in range(img.numcomps):
+        assert np.array_equal(dec.components[c].data,
+                              img.components[c].data)
+
+
+def test_encode_batch_mq_matches_sequential(force_device_mq):
+    imgs = [mk(64, 48) for _ in range(3)]
+    params = EncoderParams(numresolutions=3, cblk_w_exp=5, cblk_h_exp=5)
+    outs = encoder.encode_batch(imgs, params, device=True, chunk=2)
+    import os
+    os.environ["GROK_TPU_T1"] = "native"
+    for im, cs in zip(imgs, outs):
+        assert cs == encoder.encode(im, params, device=False)
+
+
 def test_build_plan_rejects_irreversible():
     from grokimagecompression_tpu.codestream.encoder import (build_cod,
                                                              build_siz)
