@@ -62,7 +62,7 @@ def bench_device_batch(mq: bool = False):
     params = EncoderParams(numresolutions=6,
                            cblk_style=0 if mq else 0x40)
     n = int(os.environ.get("BENCH_FRAMES", "64"))
-    chunk = int(os.environ.get("BENCH_CHUNK", "16"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "32"))
     imgs = [_config1_image(shift=i) for i in range(n)]
     # Warmup compiles the chunked program shapes.
     encoder.encode_batch(imgs[:chunk], params, device=True, chunk=chunk)

@@ -24,9 +24,11 @@ GRK_COMPRESS = os.path.abspath(os.path.join(BIN, "grk_compress"))
 HAVE_GROK = os.path.exists(GRK_DECOMPRESS)
 SLOW = os.environ.get("GROK_TPU_SLOW_TESTS", "") == "1"
 
-pytestmark = pytest.mark.skipif(
+slow_only = pytest.mark.skipif(
     not (SLOW and HAVE_GROK),
     reason="set GROK_TPU_SLOW_TESTS=1 (and build .refbuild) to run")
+needs_grok = pytest.mark.skipif(
+    not HAVE_GROK, reason="build .refbuild to run")
 
 
 def _gray(bits, signed, seed=3):
@@ -49,6 +51,7 @@ def _ref_decode_pgx(tmp_path, cs):
     return read_pgx(str(tmp_path / "r_0.pgx")).components[0].data
 
 
+@slow_only
 def test_all_mode_switch_combos(tmp_path):
     d, img = _gray(8, False)
     from grokimagecompression_tpu.io.pnm import write_pnm
@@ -70,6 +73,7 @@ def test_all_mode_switch_combos(tmp_path):
         assert np.array_equal(out.components[0].data, d), style
 
 
+@slow_only
 def test_config_grid(tmp_path):
     for prog, tiled, prec, (bits, signed), ht in itertools.product(
             list(Progression), (None, (48, 64)),
@@ -81,5 +85,31 @@ def test_config_grid(tmp_path):
         cs = encoder.encode(img, p, device=False)
         out = decoder.decode(cs)
         key = (prog.name, tiled, bool(prec), bits, signed, hex(ht))
+        assert np.array_equal(out.components[0].data, d), key
+        assert np.array_equal(_ref_decode_pgx(tmp_path, cs), d), key
+
+
+@needs_grok
+def test_sweep_slice_always_on(tmp_path):
+    """Slim always-on diagonal of the exhaustive grid (VERDICT r1 item 8):
+    one config per progression order, rotating through tiling, precinct,
+    depth, and coder choices; ~10 encodes, cross-checked against the
+    reference decoder every run."""
+    cases = [
+        (Progression.LRCP, None, None, (8, False), 0),
+        (Progression.RLCP, (48, 64), None, (12, False), 0),
+        (Progression.RPCL, None, [(7, 7), (6, 6)], (16, True), 0),
+        (Progression.PCRL, (48, 64), [(6, 6)], (8, False), 0x40),
+        (Progression.CPRL, None, None, (12, False), 0x40),
+        (Progression.LRCP, (48, 64), None, (8, False), 0x01),
+        (Progression.RPCL, None, None, (8, False), 0x04 | 0x08),
+    ]
+    for prog, tiled, prec, (bits, signed), sty in cases:
+        d, img = _gray(bits, signed)
+        p = EncoderParams(progression=prog, tile_size=tiled,
+                          precincts=prec, cblk_style=sty)
+        cs = encoder.encode(img, p, device=False)
+        out = decoder.decode(cs)
+        key = (prog.name, tiled, bool(prec), bits, signed, hex(sty))
         assert np.array_equal(out.components[0].data, d), key
         assert np.array_equal(_ref_decode_pgx(tmp_path, cs), d), key
