@@ -107,8 +107,18 @@ def extract_tile_comps(image: Image, siz: SizInfo, t: int) -> List[np.ndarray]:
 
 def _encode_ht_rate_controlled(image: Image, params: EncoderParams,
                                device, rsiz: int, mesh=None) -> bytes:
-    """HT + byte-rate targeting: bisection over the 9/7 base
-    quantization step (bytes decrease monotonically in the step)."""
+    """HT + byte-rate targeting: simulate, then confirm.
+
+    HT has no truncation points, so rate control adjusts the 9/7 base
+    quantization step. Round-1 did that by bisecting with FULL re-encodes
+    (~12x cost). This follows the reference's simulate-don't-recode
+    philosophy (reference: src/lib/jp2/t2/T2.cpp:131): the transform is
+    computed ONCE and cached; the step search runs the native HT coder
+    alone on the cached float bands (no DWT, no T2, no markers) to get
+    exact segment byte totals; the T2/header overhead is calibrated from
+    the first confirming encode. Typical cost: ~2 full encodes + a
+    handful of coder-only simulations.
+    """
     if params.transform != Transform.DWT_97:
         raise ValueError("HT rate control requires the 9/7 transform "
                          "(reversible HT has no quantizer to adjust)")
@@ -122,10 +132,146 @@ def _encode_ht_rate_controlled(image: Image, params: EncoderParams,
         for c in image.components) // 8
     target = max(256, int(image_bytes / ratio))
 
+    coeff_by_tile = None
+    if params.custom_mct is None:
+        coeff_by_tile = _ht_rc_transform_cache(image, params, rsiz)
+
     def attempt(step: float) -> bytes:
         p = dataclasses.replace(params, rates=(), base_step=step)
-        return encode(image, p, device=device, rsiz=rsiz, mesh=mesh)
+        return encode(image, p, device=device, rsiz=rsiz, mesh=mesh,
+                      _coeff_bands_by_tile=coeff_by_tile)
 
+    if coeff_by_tile is None:
+        return _ht_rc_bisect(attempt, target)
+
+    seg_cache: dict = {}
+
+    def seg(step: float) -> int:
+        if step not in seg_cache:
+            seg_cache[step] = _ht_rc_segment_bytes(image, params, rsiz,
+                                                   coeff_by_tile, step)
+        return seg_cache[step]
+
+    def search(ov: int) -> float:
+        """Smallest step whose simulated total fits the target."""
+        lo, hi = 0.25, 1.0
+        while seg(hi) + ov > target and hi < 4096:
+            lo, hi = hi, hi * 4.0
+        if seg(hi) + ov > target:
+            return hi           # floor: even huge steps overshoot
+        while seg(lo) + ov <= target and lo > 1e-4:
+            hi, lo = lo, lo / 4.0
+        if seg(lo) + ov <= target:
+            return lo
+        for _ in range(10):     # log bisection on the simulator
+            mid = (lo * hi) ** 0.5
+            if seg(mid) + ov <= target:
+                hi = mid
+            else:
+                lo = mid
+            if lo / hi > 0.995:
+                break
+        return hi
+
+    # Initial overhead guess; calibrated exactly after the first confirm.
+    ov = max(200, target // 50)
+    best = None
+    for _ in range(4):
+        step = search(ov)
+        cs = attempt(step)
+        if len(cs) <= target:
+            best = cs
+            true_ov = len(cs) - seg(step)
+            if true_ov >= ov - max(32, target // 500):
+                return cs       # overhead was right: step is optimal
+            ov = max(0, true_ov)        # margin was too big: retry finer
+            refined = search(ov)
+            if refined >= step * 0.995:
+                return cs
+            cs2 = attempt(refined)
+            return cs2 if len(cs2) <= target else cs
+        ov = len(cs) - seg(step) + max(32, target // 500)
+    return best if best is not None else cs
+
+
+def _ht_rc_cods(siz, params: EncoderParams, cod):
+    cods = [cod] * len(siz.comps)
+    if params.comp_cblk_exps:
+        for compno, (we, he) in params.comp_cblk_exps.items():
+            cods[compno] = dataclasses.replace(
+                cod, cblk_w_exp=we, cblk_h_exp=he)
+    return cods
+
+
+def _ht_rc_transform_cache(image: Image, params: EncoderParams, rsiz):
+    """DC shift + MCT + 9/7 DWT once per tile -> float band dicts."""
+    from .tile import _apply_fwd_transforms, build_comp_plan, default_qcd
+    from ..ops import dwt_host
+
+    siz = build_siz(image, params)
+    cod = build_cod(image, params)
+    cods = _ht_rc_cods(siz, params, cod)
+    qcd0 = default_qcd(siz, cod, 1, 1.0)
+    ntx, nty = tile_grid_size(siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
+                              siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
+    out = {}
+    for t in range(ntx * nty):
+        tr = tile_rect(t, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
+                       siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
+        comps = extract_tile_comps(image, siz, t)
+        plans = [build_comp_plan(siz, cods[c], qcd0, tr, c)
+                 for c in range(len(comps))]
+        data = _apply_fwd_transforms(comps, plans, cod)
+        out[t] = [
+            dwt_host.fwd_dwt_2d(data[c], plans[c].layout.tc_rect,
+                                cods[c].numresolutions, reversible=False)
+            for c in range(len(comps))]
+    return out
+
+
+def _ht_rc_segment_bytes(image: Image, params: EncoderParams, rsiz,
+                         coeff_by_tile, step: float) -> int:
+    """Exact total HT segment bytes at `step` from the cached bands:
+    the native fused gather+quantize+HT-encode, nothing else."""
+    from .tile import build_comp_plan, default_qcd
+    from ..native import t1_native
+
+    siz = build_siz(image, params)
+    cod = build_cod(image, params)
+    cods = _ht_rc_cods(siz, params, cod)
+    qcd = default_qcd(siz, cod, 1, step)
+    ntx, nty = tile_grid_size(siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
+                              siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
+    total = 0
+    for t in range(ntx * nty):
+        tr = tile_rect(t, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
+                       siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
+        bands, steps, descs, mbs = [], [], [], []
+        for c, coeff in enumerate(coeff_by_tile[t]):
+            plan = build_comp_plan(siz, cods[c], qcd, tr, c)
+            for res in plan.layout.resolutions:
+                for band in res.bands:
+                    bp = plan.bands[(res.r, band.orient)]
+                    bi = len(bands)
+                    bands.append(np.ascontiguousarray(
+                        coeff[(res.r, band.orient)], dtype=np.float32))
+                    steps.append(bp.stepsize)
+                    for prc in band.precincts:
+                        for cb in prc.cblks:
+                            descs.append((bi, cb.rect.x0 - band.rect.x0,
+                                          cb.rect.y0 - band.rect.y0,
+                                          cb.rect.w, cb.rect.h))
+                            mbs.append(bp.kmax)
+        if descs:
+            segs = t1_native.ht_encode_cblk_batch_bands(
+                bands, np.asarray(descs, np.int64),
+                np.asarray(mbs, np.int64), stepsizes=steps)
+            total += sum(len(s) for s in segs)
+    return total
+
+
+def _ht_rc_bisect(attempt, target: int) -> bytes:
+    """Fallback full-re-encode bisection (custom-MCT path only)."""
     lo, hi = 0.25, 1.0          # step bracket (bytes(lo) >= bytes(hi))
     cs_hi = attempt(hi)
     while len(cs_hi) > target and hi < 4096:
@@ -174,7 +320,8 @@ def _device_mq_ok() -> bool:
 def encode(image: Image, params: Optional[EncoderParams] = None,
            layer_alloc=None, device: Optional[bool] = None,
            rsiz: int = 0, mesh=None,
-           _t1_segments_by_tile=None) -> bytes:
+           _t1_segments_by_tile=None,
+           _coeff_bands_by_tile=None) -> bytes:
     """Encode an Image to a raw J2K codestream.
 
     `device=True` runs the tile transform pipeline (DC shift/MCT/DWT) on the
@@ -371,6 +518,8 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
             if comps is None:
                 comps = extract_tile_comps(image, siz, t)
             coeff_bands = mesh_coeff.get(t)
+            if coeff_bands is None and _coeff_bands_by_tile is not None:
+                coeff_bands = _coeff_bands_by_tile.get(t)
             if (coeff_bands is None and device and t1_segments is None
                     and custom_coding_matrix is None):
                 from ..models import pipeline as device_pipeline
