@@ -60,8 +60,67 @@ def test_deep_levels():
 
 def test_supports():
     assert dwt_pallas.supports(Rect(0, 0, 64, 64), 5)
-    assert not dwt_pallas.supports(Rect(1, 0, 64, 64), 2)   # odd origin
+    assert dwt_pallas.supports(Rect(1, 0, 64, 64), 2)       # odd origin ok
     assert not dwt_pallas.supports(Rect(0, 0, 8, 8), 5)     # too deep
+    # striped path is in scope for any size
+    assert dwt_pallas.supports(Rect(0, 0, 4096, 4096), 6)
+
+
+@pytest.mark.parametrize("origin", [(1, 0), (0, 3), (5, 7), (2, 6)])
+@pytest.mark.parametrize("numres", [2, 3])
+def test_odd_origin_matches_numpy(origin, numres):
+    """Canvas-coordinate parity handling: tiles at odd/unaligned origins
+    are bit-exact with the oracle (interior tiles of offset grids)."""
+    x0, y0 = origin
+    h, w = 45, 62
+    rect = Rect(x0, y0, x0 + w, y0 + h)
+    assert dwt_pallas.supports(rect, numres)
+    x = RNG.integers(-(1 << 12), 1 << 12, size=(1, h, w), dtype=np.int32)
+    bands = dwt_pallas.fwd_dwt_2d(x, rect, numres, interpret=True)
+    ref = dwt_np.fwd_dwt_2d(x[0], rect, numres, reversible=True)
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(bands[k])[0], ref[k],
+                                      err_msg=f"{k} origin={origin}")
+    back = dwt_pallas.inv_dwt_2d(bands, rect, numres, interpret=True)
+    np.testing.assert_array_equal(np.asarray(back), x)
+
+
+def test_striped_matches_whole(monkeypatch):
+    """The halo-striped grid is bit-exact with the whole-tile kernel
+    (forced by shrinking the VMEM budget so a small tile stripes)."""
+    h, w = 160, 220
+    numres = 4
+    rect = Rect(0, 0, w, h)
+    x = RNG.integers(-(1 << 12), 1 << 12, size=(1, h, w), dtype=np.int32)
+    ref = dwt_np.fwd_dwt_2d(x[0], rect, numres, reversible=True)
+    monkeypatch.setattr(dwt_pallas, "WHOLE_TILE_MAX_BYTES", 1024)
+    monkeypatch.setattr(dwt_pallas, "STRIP_BH", 64)
+    monkeypatch.setattr(dwt_pallas, "STRIP_BW", 128)
+    bands = dwt_pallas.fwd_dwt_2d(x, rect, numres, interpret=True)
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(bands[k])[0], ref[k],
+                                      err_msg=str(k))
+    back = dwt_pallas.inv_dwt_2d(bands, rect, numres, interpret=True)
+    np.testing.assert_array_equal(np.asarray(back), x)
+
+
+def test_striped_97_matches_whole(monkeypatch):
+    """9/7 striped: identical to the whole-tile kernel (same float op
+    order per sample — halo junk never reaches an interior write)."""
+    h, w = 144, 200
+    numres = 3
+    rect = Rect(0, 0, w, h)
+    a = RNG.integers(-500, 500, (1, h, w)).astype(np.float32)
+    whole = dwt_pallas.fwd_dwt_2d(a, rect, numres, interpret=True,
+                                  reversible=False)
+    monkeypatch.setattr(dwt_pallas, "WHOLE_TILE_MAX_BYTES", 1024)
+    monkeypatch.setattr(dwt_pallas, "STRIP_BH", 64)
+    monkeypatch.setattr(dwt_pallas, "STRIP_BW", 128)
+    striped = dwt_pallas.fwd_dwt_2d(a, rect, numres, interpret=True,
+                                    reversible=False)
+    for k in whole:
+        np.testing.assert_array_equal(np.asarray(striped[k]),
+                                      np.asarray(whole[k]), err_msg=str(k))
 
 
 @pytest.mark.parametrize("shape,nres", [((64, 64), 4), ((128, 96), 5)])
