@@ -170,9 +170,13 @@ def _jitted_fused(plan: FusedPlan, nframes: int):
             B = len(blocks) * nframes
             mel, vlc, ms = ht_jax._encode_streams(
                 jnp, jax, lax, mag, neg, mbs, tables, mbb)
-            streams.append((mel, vlc, ms))
-            metrics, wcs = ht_jax._group_metrics(jnp, B, mel, vlc, ms)
-            mets.append(metrics)
+            cstreams, wcs, over = ht_jax._compact_streams(jnp, mel, vlc,
+                                                          ms)
+            streams.append(cstreams)
+            metrics, _ = ht_jax._group_metrics(jnp, B, mel, vlc, ms,
+                                               wcs=wcs)
+            mets.append(jnp.concatenate(
+                [metrics, over[:, None].astype(jnp.int32)], axis=1))
             wcs_l.append(wcs)
         wctot = jnp.concatenate([w.sum(axis=-1) for w in wcs_l])
         base_all = jnp.concatenate(
@@ -182,10 +186,9 @@ def _jitted_fused(plan: FusedPlan, nframes: int):
         pos = 0
         for gidx, (qh, qw, blocks) in enumerate(plan.groups):
             B = len(blocks) * nframes
-            (mel, vlc, ms) = streams[gidx]
             base = lax.dynamic_slice(base_all, (pos,), (B,))
-            out = ht_jax._scatter_group_words(jnp, out, base, wcs_l[gidx],
-                                              mel, vlc, ms)
+            out = ht_jax._scatter_group_compact(jnp, out, base,
+                                                wcs_l[gidx], streams[gidx])
             pos += B
         # single-fetch layout (see ht_jax._jitted_encode_multi)
         met = jnp.concatenate(mets, axis=0)
@@ -310,14 +313,23 @@ def encode_tile_collect(handle) -> List[Optional[List]]:
         return _collect_mq(plan, nframes, fetch)
     metrics_np, words = ht_jax.collect_fetch(fetch)
     segs = ht_jax.assemble_segments_host(words, metrics_np)
-    res: List[List[bytes]] = [[b""] * plan.nblocks for _ in range(nframes)]
+    over = metrics_np[:, 15] != 0
+    res: List[Optional[List]] = [
+        [b""] * plan.nblocks for _ in range(nframes)]
+    bad_frames = set()
     pos = 0
     for gidx, (qh, qw, blocks) in enumerate(plan.groups):
         nb = len(blocks)
         for f in range(nframes):
             for j in range(nb):
+                if over[pos]:
+                    # word-compaction cap exceeded (adversarially dense
+                    # content): this frame re-encodes on the host
+                    bad_frames.add(f)
                 res[f][plan.order[gidx][j]] = segs[pos]
                 pos += 1
+    for f in bad_frames:
+        res[f] = None
     return res
 
 

@@ -411,18 +411,105 @@ def _bounds(qh: int, qw: int, mbb: int) -> Tuple[int, int, int]:
     return ms_bound, mel_bound, vlc_bound
 
 
-NMETRICS = 15  # columns of the per-block metrics array
+NMETRICS = 16  # columns of the per-block metrics array (15 = overflow)
+
+# Word-compaction caps: words kept per lane per _CMP_K-row chunk of each
+# stream's dense scan output. MS/VLC push <= 16 bits per row, so a chunk
+# can emit at most _CMP_K//2+1 words; natural content runs ~5-15%
+# density, so these caps cover ~3-6x the average while cutting the
+# packed-buffer scatter's element count ~5x (XLA lowers the scatter
+# element-serially at ~10 ns/element — it dominated the fused encode).
+# A lane that exceeds a cap is flagged in metrics column 15 and the
+# caller re-encodes that block/frame on the host, so caps are a
+# performance knob, not a correctness bound (same contract as
+# mq_jax._compact_words).
+_CMP_K = 256
+# measured per-256-row chunk word counts on natural 8-bit content:
+# MS mean ~38 max ~50, VLC mean ~50 max ~56, MEL ~0 (MEL segments are
+# a few bytes); 16-bit content doubles MS rows (halves=2) so per-chunk
+# density stays in the same range
+_CCAP_MS = 64
+_CCAP_VLC = 80
+_CCAP_MEL = 16
 
 
-def _group_metrics(jnp, B, mel, vlc, ms):
+def _compact_stream(jnp, words, mask, ccap, k=_CMP_K):
+    """Masked one-hot compaction of a (T, B) sparse word stream into
+    (nch, ccap, B) per-chunk slots. Returns (comp, cnt (nch, B) clamped,
+    over (B,) bool)."""
+    T, B = words.shape
+    nch = -(-T // k)
+    if nch * k != T:
+        words = jnp.pad(words, ((0, nch * k - T), (0, 0)))
+        mask = jnp.pad(mask, ((0, nch * k - T), (0, 0)))
+    m = mask.reshape(nch, k, B).astype(jnp.int32)
+    w = words.reshape(nch, k, B)
+    idx = jnp.cumsum(m, axis=1) - 1
+    idx = jnp.where(m > 0, idx, -1)
+    cnt = m.sum(axis=1)
+    over = (cnt > ccap).any(axis=0)
+    comp = jnp.stack([jnp.sum(jnp.where(idx == j, w, 0), axis=1)
+                      for j in range(ccap)], axis=1)
+    return comp, jnp.minimum(cnt, ccap), over
+
+
+def _compact_streams(jnp, mel, vlc, ms):
+    """Compact all three stream outputs of one shape group. Returns
+    ([(comp, cnt)] x 3 in MS/MEL/VLC layout order, wcs (B, 3) word
+    counts, over (B,) bool)."""
+    res = []
+    overs = []
+    wcounts = []
+    for (words, mask, _), cap_def, bytes_per_row in (
+            (ms, _CCAP_MS, 2), (mel, _CCAP_MEL, 4), (vlc, _CCAP_VLC, 2)):
+        T = words.shape[0]
+        rows = min(T, _CMP_K)
+        # per-chunk emission bound: <= bytes_per_row/row (+3 carried in)
+        ccap = min(cap_def, (rows * bytes_per_row + 3) // 4 + 1)
+        comp, cnt, over = _compact_stream(jnp, words, mask, ccap)
+        res.append((comp, cnt))
+        overs.append(over)
+        wcounts.append(cnt.sum(axis=0))
+    wcs = jnp.stack(wcounts, axis=-1)          # (B, 3): ms, mel, vlc
+    over = overs[0] | overs[1] | overs[2]
+    return res, wcs, over
+
+
+def _scatter_compact(jnp, out, pos0, comp, cnt):
+    """Scatter one compacted stream's words at per-lane start positions
+    pos0 (B,); out[-1] is the drop bin."""
+    nch, ccap, B = comp.shape
+    pre = jnp.cumsum(cnt, axis=0) - cnt        # words before chunk
+    j = jnp.arange(ccap, dtype=jnp.int32)[None, :, None]
+    pos = pos0[None, None, :] + pre[:, None, :] + j
+    DROP = out.shape[0] - 1
+    pos = jnp.where(j < cnt[:, None, :], pos, DROP)
+    return out.at[pos.reshape(-1)].set(comp.reshape(-1), mode="drop")
+
+
+def _scatter_group_compact(jnp, out, base, wcs, cstreams):
+    """Scatter one group's compacted streams into the global packed word
+    buffer. Per-lane layout: [MS words][MEL words][VLC words]."""
+    (ms_c, mel_c, vlc_c) = cstreams
+    out = _scatter_compact(jnp, out, base, *ms_c)
+    out = _scatter_compact(jnp, out, base + wcs[:, 0], *mel_c)
+    out = _scatter_compact(jnp, out, base + wcs[:, 0] + wcs[:, 1], *vlc_c)
+    return out
+
+
+def _group_metrics(jnp, B, mel, vlc, ms, wcs=None):
     """Per-block termination metrics from the word-scan outputs. Returns
-    (metrics (B, NMETRICS) int32, per-lane full-word counts (B, 3)).
+    (metrics (B, 15) int32, per-lane full-word counts (B, 3)). Callers
+    append column 15 (compaction overflow) to reach NMETRICS.
 
     Metrics columns: 0 ms_len, 1 mel_len, 2 vlc_len (scan-emitted byte
     counts), 3 ms_tail, 4 ms_append, 5 ms_drop, 6 mext, 7 ext_byte,
     8 mel_tail_byte, 9 nonzero, 10 fuse_ok, 11 vtmp, 12..14 partial-word
     accumulators (ms, mel, vlc). Everything else the host assembler
     needs (word layout, final lengths, scup) derives from these.
+
+    `wcs`: precomputed (B, 3) MS/MEL/VLC word counts (from
+    _compact_streams) — computed from the valid masks when absent.
     """
     mel_words, mel_wv, mel_st = mel
     vlc_words, vlc_wv, vlc_st = vlc
@@ -431,9 +518,12 @@ def _group_metrics(jnp, B, mel, vlc, ms):
     def wcount(wv):
         return wv.reshape(-1, B).astype(jnp.int32).sum(axis=0)
 
-    ms_wc = wcount(ms_wv)
-    mel_wc = wcount(mel_wv)
-    vlc_wc = wcount(vlc_wv)
+    if wcs is not None:
+        ms_wc, mel_wc, vlc_wc = wcs[:, 0], wcs[:, 1], wcs[:, 2]
+    else:
+        ms_wc = wcount(ms_wv)
+        mel_wc = wcount(mel_wv)
+        vlc_wc = wcount(vlc_wv)
     ms_len = 4 * ms_wc + ms_st[4]
     mel_len = 4 * mel_wc + mel_st[6]
     vlc_len = 4 * vlc_wc + vlc_st[4]
@@ -479,26 +569,6 @@ def _group_metrics(jnp, B, mel, vlc, ms):
     ], axis=-1)
     wcs = jnp.stack([ms_wc, mel_wc, vlc_wc], axis=-1)
     return metrics, wcs
-
-
-def _scatter_group_words(jnp, out, base, wcs, mel, vlc, ms):
-    """Scatter one group's stream words into the global packed word
-    buffer at per-lane base offsets. Per-lane layout: [MS words][MEL
-    words][VLC words]. out[-1] is the drop bin."""
-    DROP = out.shape[0] - 1
-    B = base.shape[0]
-
-    def scat(out, words, wv, off):
-        wvm = wv.reshape(-1, B).astype(jnp.int32)
-        idx = jnp.cumsum(wvm, axis=0) - 1
-        pos = jnp.where(wvm > 0, off[None, :] + idx, DROP)
-        return out.at[pos.reshape(-1)].set(
-            words.reshape(-1, B).reshape(-1), mode="drop")
-
-    out = scat(out, ms[0], ms[1], base)
-    out = scat(out, mel[0], mel[1], base + wcs[:, 0])
-    out = scat(out, vlc[0], vlc[1], base + wcs[:, 0] + wcs[:, 1])
-    return out
 
 
 def _use_pallas_scans() -> bool:
@@ -660,9 +730,11 @@ def _jitted_encode_multi(groups_key: Tuple[Tuple[int, int, int, int], ...]):
             mag, neg, mbs = args[3 * gi:3 * gi + 3]
             mel, vlc, ms = _encode_streams(jnp, jax, lax, mag, neg, mbs,
                                            tables, mbb)
-            streams.append((mel, vlc, ms))
-            metrics, wcs = _group_metrics(jnp, B, mel, vlc, ms)
-            mets.append(metrics)
+            cstreams, wcs, over = _compact_streams(jnp, mel, vlc, ms)
+            streams.append(cstreams)
+            metrics, _ = _group_metrics(jnp, B, mel, vlc, ms, wcs=wcs)
+            mets.append(jnp.concatenate(
+                [metrics, over[:, None].astype(jnp.int32)], axis=1))
             wcs_l.append(wcs)
         wctot = jnp.concatenate([w.sum(axis=-1) for w in wcs_l])
         base_all = jnp.concatenate(
@@ -671,10 +743,9 @@ def _jitted_encode_multi(groups_key: Tuple[Tuple[int, int, int, int], ...]):
         out = jnp.zeros((total_bound + 1,), jnp.int32)
         pos = 0
         for gi, (qh, qw, B, mbb) in enumerate(groups_key):
-            (mel, vlc, ms) = streams[gi]
             base = lax.dynamic_slice(base_all, (pos,), (B,))
-            out = _scatter_group_words(jnp, out, base, wcs_l[gi],
-                                       mel, vlc, ms)
+            out = _scatter_group_compact(jnp, out, base, wcs_l[gi],
+                                         streams[gi])
             pos += B
         # Single-fetch layout: [metrics (B_total * NMETRICS)][words]. The
         # host learns every length from the metrics head, so ONE sliced
@@ -748,7 +819,7 @@ def ht_encode_blocks_submit(blocks):
     fn, total_bound, mhead = _jitted_encode_multi(tuple(key))
     flat = fn(*args)
     handle = submit_fetch(flat, mhead, total_bound, tuple(key))
-    return handle, metas, len(blocks)
+    return handle, metas, (len(blocks), blocks)
 
 
 _bucket_hints: dict = {}
@@ -807,14 +878,27 @@ def collect_fetch(handle, ncols: int = NMETRICS, total_words_fn=None):
 
 
 def ht_encode_blocks_collect(handle, metas, n) -> List[bytes]:
+    n, blocks = n if isinstance(n, tuple) else (n, None)
     metrics_np, words = collect_fetch(handle)
     segs = assemble_segments_host(words, metrics_np)
+    over = metrics_np[:, 15] != 0
     res: List[bytes] = [b""] * n
+    redo = []
     pos = 0
     for (qh, qw, B, idxs) in metas:
         for k, i in enumerate(idxs):
-            res[i] = segs[pos + k]
+            if over[pos + k]:
+                redo.append(i)
+            else:
+                res[i] = segs[pos + k]
         pos += B
+    if redo:
+        # word-compaction caps exceeded (pathologically dense blocks):
+        # re-encode just those on the host coder
+        from ..native import t1_native
+        host = t1_native.ht_encode_cblk_batch([blocks[i] for i in redo])
+        for i, seg in zip(redo, host):
+            res[i] = seg
     return res
 
 
