@@ -222,12 +222,18 @@ def iter_tile_parts(data: bytes, start: int):
 
 
 def decode(data: bytes, params: Optional[DecoderParams] = None,
-           device: Optional[bool] = None) -> Image:
+           device: Optional[bool] = None, mesh=None) -> Image:
     """Decode a raw J2K codestream (or JP2 file) into an Image.
 
     `device=True` runs the inverse transform pipeline (inverse DWT,
     inverse MCT, DC unshift) on the JAX device; default is host numpy
     unless GROK_TPU_DEVICE=1.
+
+    `mesh` (a jax.sharding.Mesh) additionally batches same-geometry
+    tiles and shards the inverse transform over the mesh devices (tiles
+    are the data-parallel axis, SURVEY.md §2.4); T2 parsing and entropy
+    decode fan out over host threads per tile as usual. Pixel-identical
+    to the host decode by construction.
     """
     params = params or DecoderParams()
     from . import jp2
@@ -338,7 +344,8 @@ def decode(data: bytes, params: Optional[DecoderParams] = None,
                            cod_comp=cod_comp, qcd_comp=qcd_comp,
                            pocs=pocs, roishifts=hdr.roishifts,
                            custom_mct=hdr.custom_mct,
-                           packed_headers=packed, device=device)
+                           packed_headers=packed, device=device,
+                           _return_bands=mesh is not None)
 
     # Host tile parallelism (decode mirror of the encoder's tile fan-out;
     # each tile writes a disjoint region of the output planes).
@@ -363,6 +370,33 @@ def decode(data: bytes, params: Optional[DecoderParams] = None,
             results = list(ex.map(_worker, tiles))
     else:
         results = [_decode_one(t) for t in tiles]
+
+    if mesh is not None:
+        # Mesh-batched inverse transform: group the band-returning tiles
+        # by (normalized) transform geometry, invert each group sharded
+        # over the mesh, and convert to (array, origin) splice entries.
+        from ..models.pipeline import config_for_tile
+        from ..parallel.sharding import inverse_tiles_on_mesh
+        groups: Dict = {}
+        origins_by_tile: Dict[int, list] = {}
+        for i, (t, r) in enumerate(zip(tiles, results)):
+            if not (isinstance(r, tuple) and len(r) == 3
+                    and r[0] == "bands"):
+                continue
+            _, bands_list, origins = r
+            tr = tile_rect(t, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
+                           siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
+            tcod = _tile_params(t)[0]
+            cfg = config_for_tile(siz, tcod, tr)
+            groups.setdefault(cfg, []).append((t, bands_list))
+            origins_by_tile[t] = origins
+        if groups:
+            inv = inverse_tiles_on_mesh(groups, mesh)
+            results = [
+                (list(zip(inv[t], origins_by_tile[t]))
+                 if t in inv else r)
+                for t, r in zip(tiles, results)
+            ]
 
     for t, tcomps in zip(tiles, results):
         if tcomps is None:

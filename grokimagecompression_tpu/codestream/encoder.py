@@ -441,9 +441,20 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
                               siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
     needs_rc = bool(params.rates and any(r > 0 for r in params.rates)) \
         or bool(params.quality_psnr)
+    _global_alloc = False
     if layer_alloc is None and needs_rc:
-        from .pcrd import make_layer_alloc
-        layer_alloc = make_layer_alloc(image, params)
+        if params.rate_alloc == "global" and ntx * nty > 1:
+            from .pcrd import GlobalPCRDAllocator
+            image_bytes = sum(
+                c.data.shape[0] * c.data.shape[1] * c.prec
+                for c in image.components) // 8
+            layer_alloc = GlobalPCRDAllocator(
+                rates=params.rates, quality_psnr=params.quality_psnr,
+                image_bytes=image_bytes, numtiles=ntx * nty, mesh=mesh)
+            _global_alloc = True
+        else:
+            from .pcrd import make_layer_alloc
+            layer_alloc = make_layer_alloc(image, params)
     tile_parts = bytearray()
     tp_lengths = []
     ppm_sections: list = []
@@ -547,6 +558,11 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
         # (packet assembly, marshaling) leaves its core to another
         # tile's native coding calls (+40% measured on 16-tile encodes).
         tile_workers = min(numtiles, 3 * (os.cpu_count() or 1))             if numtiles > 1 and not device else 1
+    if _global_alloc:
+        # Global PCRD rendezvous: every tile's thread blocks at the
+        # allocator barrier until all tiles have registered their R-D
+        # tables, so the pool must admit every tile at once.
+        tile_workers = numtiles
     if tile_workers > 1:
         import concurrent.futures as _cf
         inner = max(1, (os.cpu_count() or 1) // tile_workers)

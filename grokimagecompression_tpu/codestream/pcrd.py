@@ -97,6 +97,86 @@ class RateControlCtx:
     write_layer: Optional[Callable[[int, "np.ndarray", list], None]] = None
 
 
+class _TileTables:
+    """Vectorized per-tile hull tables + layer application helpers.
+
+    Slopes are strictly descending along each row, so the passes included
+    at a threshold is the last column with slope >= thresh — one
+    vectorized comparison for the whole tile instead of a Python hull
+    walk per block."""
+
+    def __init__(self, ctx: RateControlCtx):
+        self.ctx = ctx
+        self.cblks = [cb for cb in ctx.cblks if cb.numpasses > 0]
+        hull_list = [convex_hull(cb) for cb in self.cblks]
+        self.slopes = [hp.slope for h in hull_list for hp in h]
+        for cb in ctx.cblks:
+            cb.layer_npasses = [0] * ctx.numlayers
+        N = len(self.cblks)
+        H = max((len(h) for h in hull_list), default=0) or 1
+        self.S = np.full((N, H), -np.inf)
+        self.NPV = np.full((N, H), 1 << 30, dtype=np.int64)
+        self.DV = np.zeros((N, H))
+        for i, h in enumerate(hull_list):
+            for j, hp in enumerate(h):
+                self.S[i, j] = hp.slope
+                self.NPV[i, j] = hp.npasses
+                self.DV[i, j] = hp.dist
+        self.rows = np.arange(N)
+        self.numpasses_vec = np.asarray(
+            [cb.numpasses for cb in self.cblks], np.int64)
+        self.prev_n = np.zeros(N, dtype=np.int64)
+        self.cur_col = np.zeros(N, dtype=np.int64)
+        self.distotile = sum(cb.passes[-1].distortion for cb in self.cblks)
+
+    def n_d_at(self, thresh: float):
+        k = (self.S >= thresh).sum(axis=1)
+        idx = np.maximum(k - 1, 0)
+        pos = k > 0
+        n = np.where(pos, self.NPV[self.rows, idx], 0)
+        d = np.where(pos, self.DV[self.rows, idx], 0.0)
+        return n, d
+
+    def apply(self, thresh: Optional[float], layer: int) -> None:
+        """Set layer pass counts from threshold (None = all rest)."""
+        if thresh is None:
+            n = self.numpasses_vec
+        else:
+            n, _ = self.n_d_at(thresh)
+        n = np.maximum(n, self.prev_n)
+        self.cur_col = n - self.prev_n
+        if self.ctx.write_layer is not None:
+            self.ctx.write_layer(layer, self.cur_col, self.cblks)
+        else:
+            for cb, v in zip(self.cblks, self.cur_col):
+                cb.layer_npasses[layer] = int(v)
+
+    def apply_zero(self, layer: int) -> None:
+        self.cur_col = np.zeros(len(self.cblks), dtype=np.int64)
+        if self.ctx.write_layer is not None:
+            self.ctx.write_layer(layer, self.cur_col, self.cblks)
+        for cb in self.cblks:
+            cb.layer_npasses[layer] = 0
+
+    def store_objects(self, layer: int) -> None:
+        """Materialize the converged column into the CblkEnc objects
+        (packet emission reads them; bisection iterations don't)."""
+        if self.ctx.write_layer is not None:
+            for cb, v in zip(self.cblks, self.cur_col):
+                cb.layer_npasses[layer] = int(v)
+
+    def commit_layer(self) -> None:
+        self.prev_n = self.prev_n + self.cur_col
+
+    def included_dist(self, thresh: float) -> float:
+        n, d = self.n_d_at(thresh)
+        j = (self.NPV <= self.prev_n[:, None]).sum(axis=1)
+        d_prev = np.where(j > 0,
+                          self.DV[self.rows, np.maximum(j - 1, 0)], 0.0)
+        d_eff = np.where(n < self.prev_n, d_prev, d)
+        return float(np.maximum(d_eff, 0.0).sum())
+
+
 class PCRDAllocator:
     """Assigns passes to quality layers to meet byte and/or PSNR targets.
 
@@ -123,77 +203,15 @@ class PCRDAllocator:
         self.max_comp_bytes = max_comp_bytes
 
     def __call__(self, ctx: RateControlCtx) -> None:
-        cblks = [cb for cb in ctx.cblks if cb.numpasses > 0]
-        hull_list = [convex_hull(cb) for cb in cblks]
-        slopes = [hp.slope for h in hull_list for hp in h]
-        for cb in ctx.cblks:
-            cb.layer_npasses = [0] * ctx.numlayers
-        if not slopes:
+        tt = _TileTables(ctx)
+        if not tt.slopes:
             if ctx.cblks:
                 for cb in ctx.cblks:
                     cb.layer_npasses[-1] = cb.numpasses
             return
-        smin, smax = min(slopes), max(slopes)
+        smin, smax = min(tt.slopes), max(tt.slopes)
         tile_frac = ctx.tile_samples / max(1, ctx.image_samples)
-        distotile = sum(cb.passes[-1].distortion for cb in cblks)
         max_se = float((1 << ctx.max_prec) - 1) ** 2 * ctx.tile_samples
-
-        # Padded per-block hull tables: slopes strictly descending along
-        # each row, so the passes included at a threshold is the last
-        # column with slope >= thresh — one vectorized comparison for the
-        # whole tile instead of a Python hull walk per block.
-        N = len(cblks)
-        H = max(len(h) for h in hull_list) or 1
-        S = np.full((N, H), -np.inf)
-        NPV = np.full((N, H), 1 << 30, dtype=np.int64)  # pad > any prev_n
-        DV = np.zeros((N, H))
-        for i, h in enumerate(hull_list):
-            for j, hp in enumerate(h):
-                S[i, j] = hp.slope
-                NPV[i, j] = hp.npasses
-                DV[i, j] = hp.dist
-        rows = np.arange(N)
-        numpasses_vec = np.asarray([cb.numpasses for cb in cblks],
-                                   np.int64)
-        prev_n = np.zeros(N, dtype=np.int64)
-        cur_col = [np.zeros(N, dtype=np.int64)]
-
-        def _n_d_at(thresh: float):
-            k = (S >= thresh).sum(axis=1)
-            idx = np.maximum(k - 1, 0)
-            pos = k > 0
-            n = np.where(pos, NPV[rows, idx], 0)
-            d = np.where(pos, DV[rows, idx], 0.0)
-            return n, d
-
-        def apply(thresh: Optional[float], layer: int) -> None:
-            """Set layer pass counts from threshold (None = all rest)."""
-            if thresh is None:
-                n = numpasses_vec
-            else:
-                n, _ = _n_d_at(thresh)
-            n = np.maximum(n, prev_n)
-            col = n - prev_n
-            cur_col[0] = col
-            if ctx.write_layer is not None:
-                ctx.write_layer(layer, col, cblks)
-            else:
-                for cb, v in zip(cblks, col):
-                    cb.layer_npasses[layer] = int(v)
-
-        def _store_objects(layer: int) -> None:
-            """Materialize the converged column into the CblkEnc objects
-            (packet emission reads them; bisection iterations don't)."""
-            if ctx.write_layer is not None:
-                for cb, v in zip(cblks, cur_col[0]):
-                    cb.layer_npasses[layer] = int(v)
-
-        def included_dist(thresh: float) -> float:
-            n, d = _n_d_at(thresh)
-            j = (NPV <= prev_n[:, None]).sum(axis=1)
-            d_prev = np.where(j > 0, DV[rows, np.maximum(j - 1, 0)], 0.0)
-            d_eff = np.where(n < prev_n, d_prev, d)
-            return float(np.maximum(d_eff, 0.0).sum())
 
         for layer in range(ctx.numlayers):
             rate = self.rates[layer] if layer < len(self.rates) else 0.0
@@ -207,9 +225,9 @@ class PCRDAllocator:
                 target_bytes = min(target_bytes, cap) if target_bytes \
                     else cap
             if target_bytes <= 0 and q <= 0:
-                apply(None, layer)
-                _store_objects(layer)
-                prev_n = numpasses_vec.copy()
+                tt.apply(None, layer)
+                tt.store_objects(layer)
+                tt.prev_n = tt.numpasses_vec.copy()
                 continue
 
             if q > 0:
@@ -218,19 +236,19 @@ class PCRDAllocator:
                 # threshold (fewest passes) meeting the PSNR target.
                 limit = max_se / (10.0 ** (q / 10.0))
                 lo, hi = smin, smax
-                feasible = (distotile - included_dist(smin)) <= limit
+                feasible = (tt.distotile - tt.included_dist(smin)) <= limit
                 if feasible:
                     for _ in range(60):
                         mid = 0.5 * (lo + hi)
-                        if (distotile - included_dist(mid)) <= limit:
+                        if (tt.distotile - tt.included_dist(mid)) <= limit:
                             lo = mid
                         else:
                             hi = mid
                     thresh = lo
                 else:
                     thresh = smin  # best effort: include everything feasible
-                apply(thresh, layer)
-                _store_objects(layer)
+                tt.apply(thresh, layer)
+                tt.store_objects(layer)
             else:
                 # Byte-budget mode: bytes shrink as threshold grows; find
                 # the SMALLEST feasible threshold (most passes) that fits.
@@ -248,29 +266,207 @@ class PCRDAllocator:
                     return True
 
                 lo, hi = smin, smax
-                apply(hi, layer)
+                tt.apply(hi, layer)
                 feasible = fits(layer)
                 if feasible:
                     for _ in range(60):
                         mid = 0.5 * (lo + hi)
-                        apply(mid, layer)
+                        tt.apply(mid, layer)
                         if fits(layer):
                             hi = mid
                         else:
                             lo = mid
-                    apply(hi, layer)
-                    _store_objects(layer)
+                    tt.apply(hi, layer)
+                    tt.store_objects(layer)
                 else:
                     # Even the sparsest assignment busts the budget: emit
                     # an empty layer (headers only), like the reference's
                     # failure path.
-                    zero = np.zeros(N, dtype=np.int64)
-                    cur_col[0] = zero
-                    if ctx.write_layer is not None:
-                        ctx.write_layer(layer, zero, cblks)
-                    for cb in cblks:
-                        cb.layer_npasses[layer] = 0
-            prev_n = prev_n + cur_col[0]
+                    tt.apply_zero(layer)
+            tt.commit_layer()
+
+
+class GlobalPCRDAllocator:
+    """Image-wide PCRD: ONE slope threshold per layer across ALL tiles.
+
+    The reference (and PCRDAllocator) splits the byte budget
+    proportionally per tile (`tile_frac`,
+    reference: src/lib/jp2/TileProcessor.cpp pcrd_bisect_feasible:371 runs
+    per tile) — simple, communication-free, but suboptimal when content
+    complexity varies across tiles. Global allocation spends the budget
+    where the R-D slopes are steepest image-wide, the textbook PCRD-opt
+    formulation.
+
+    Concurrency: encode_tile calls this object once per tile from the
+    tile thread pool; callers block at a barrier until every tile has
+    registered, then one thread bisects the shared threshold — each
+    iteration applies the threshold to every tile and sums the simulated
+    packet bytes. With `mesh`, the per-shard byte partials are reduced
+    with a real `jax.lax.psum` over the mesh (tile i lives on shard
+    i % ndev), which is exactly the multi-host form (SURVEY.md §2.5):
+    every shard computes identical thresholds from the gathered totals,
+    so the bytes each host writes are deterministic with no further
+    coordination.
+    """
+
+    def __init__(self, rates: Sequence[float] = (),
+                 quality_psnr: Sequence[float] = (),
+                 image_bytes: int = 0, numtiles: int = 1,
+                 max_abs_bytes: int = 0, mesh=None):
+        import threading
+        self.rates = tuple(rates)
+        self.quality_psnr = tuple(quality_psnr)
+        self.image_bytes = image_bytes
+        self.max_abs_bytes = max_abs_bytes
+        self.numtiles = numtiles
+        self.mesh = mesh
+        self._lock = threading.Lock()
+        self._done = threading.Event()
+        self._ctxs: List[RateControlCtx] = []
+        self._error: Optional[BaseException] = None
+
+    def _mesh_sum(self, parts: np.ndarray) -> float:
+        """Reduce per-shard partials. With a mesh this runs an actual
+        psum collective over the devices (single-process: a virtual
+        mesh; multi-host: ICI/DCN); without one it is a local sum.
+
+        Byte totals reduce in int32 (exact; targets are far below 2^31
+        — oversized partials fall back to a local sum rather than
+        overflow); distortion sums reduce in float32 — every shard
+        derives thresholds from the SAME reduced value either way, which
+        is what byte determinism needs."""
+        if self.mesh is None:
+            return float(parts.sum())
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        integral = np.all(parts == np.floor(parts)) \
+            and np.all(np.abs(parts) < (1 << 30))
+        if integral and float(np.abs(parts).sum()) >= float(2**31 - 1):
+            return float(parts.sum())
+        if not hasattr(self, "_psum_fn"):
+            axis = self.mesh.axis_names[0]
+            fn = jax.jit(shard_map(
+                lambda x: jax.lax.psum(x[0], axis),
+                mesh=self.mesh, in_specs=(P(axis),), out_specs=P()),
+                static_argnums=())
+            self._psum_fn = fn
+        ndev = self.mesh.devices.size
+        if parts.size < ndev:
+            parts = np.pad(parts, (0, ndev - parts.size))
+        dt = jnp.int32 if integral else jnp.float32
+        return float(np.asarray(self._psum_fn(jnp.asarray(parts, dt))))
+
+    def __call__(self, ctx: RateControlCtx) -> None:
+        with self._lock:
+            self._ctxs.append(ctx)
+            is_last = len(self._ctxs) == self.numtiles
+        if is_last:
+            try:
+                self._allocate()
+            except BaseException as e:  # propagate to every waiter
+                self._error = e
+                raise
+            finally:
+                self._done.set()
+        else:
+            self._done.wait()
+            if self._error is not None:
+                raise RuntimeError(
+                    "global PCRD allocation failed") from self._error
+
+    def _shard_partials(self, values: List[float]) -> np.ndarray:
+        """Per-shard partial sums (tile i -> shard i % ndev)."""
+        ndev = self.mesh.devices.size if self.mesh is not None else 1
+        parts = np.zeros(max(ndev, 1))
+        for i, v in enumerate(values):
+            parts[i % max(ndev, 1)] += v
+        return parts
+
+    def _allocate(self) -> None:
+        ctxs = self._ctxs
+        tables = [_TileTables(c) for c in ctxs]
+        live = [tt for tt in tables if tt.slopes]
+        for tt in tables:
+            if not tt.slopes and tt.ctx.cblks:
+                for cb in tt.ctx.cblks:
+                    cb.layer_npasses[-1] = cb.numpasses
+        if not live:
+            return
+        numlayers = ctxs[0].numlayers
+        # Global slope range: an all-reduce in the multi-host picture
+        # (min/max are tiny scalars; psum machinery carries them too).
+        smin = min(min(tt.slopes) for tt in live)
+        smax = max(max(tt.slopes) for tt in live)
+        max_se = self._mesh_sum(self._shard_partials(
+            [float((1 << tt.ctx.max_prec) - 1) ** 2 * tt.ctx.tile_samples
+             for tt in live]))
+        distotal = self._mesh_sum(self._shard_partials(
+            [tt.distotile for tt in live]))
+
+        def apply_all(thresh: Optional[float], layer: int) -> None:
+            for tt in live:
+                tt.apply(thresh, layer)
+
+        def total_bytes(layer: int) -> float:
+            return self._mesh_sum(self._shard_partials(
+                [float(tt.ctx.simulate_upto(layer)) for tt in live]))
+
+        def total_included(thresh: float) -> float:
+            return self._mesh_sum(self._shard_partials(
+                [tt.included_dist(thresh) for tt in live]))
+
+        for layer in range(numlayers):
+            rate = self.rates[layer] if layer < len(self.rates) else 0.0
+            q = (self.quality_psnr[layer]
+                 if layer < len(self.quality_psnr) else 0.0)
+            target_bytes = 0
+            if rate > 0:
+                target_bytes = int(self.image_bytes / rate)
+            if self.max_abs_bytes and layer == numlayers - 1:
+                target_bytes = min(target_bytes, self.max_abs_bytes) \
+                    if target_bytes else self.max_abs_bytes
+            if target_bytes <= 0 and q <= 0:
+                for tt in live:
+                    tt.apply(None, layer)
+                    tt.store_objects(layer)
+                    tt.prev_n = tt.numpasses_vec.copy()
+                continue
+
+            if q > 0:
+                limit = max_se / (10.0 ** (q / 10.0))
+                lo, hi = smin, smax
+                if (distotal - total_included(smin)) <= limit:
+                    for _ in range(60):
+                        mid = 0.5 * (lo + hi)
+                        if (distotal - total_included(mid)) <= limit:
+                            lo = mid
+                        else:
+                            hi = mid
+                    thresh = lo
+                else:
+                    thresh = smin
+                apply_all(thresh, layer)
+            else:
+                lo, hi = smin, smax
+                apply_all(hi, layer)
+                if total_bytes(layer) <= target_bytes:
+                    for _ in range(60):
+                        mid = 0.5 * (lo + hi)
+                        apply_all(mid, layer)
+                        if total_bytes(layer) <= target_bytes:
+                            hi = mid
+                        else:
+                            lo = mid
+                    apply_all(hi, layer)
+                else:
+                    for tt in live:
+                        tt.apply_zero(layer)
+            for tt in live:
+                tt.store_objects(layer)
+                tt.commit_layer()
 
 
 def make_layer_alloc(image, params) -> PCRDAllocator:

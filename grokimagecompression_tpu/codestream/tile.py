@@ -666,6 +666,7 @@ def decode_tile(
     custom_mct=None,
     packed_headers: Optional[bytes] = None,
     device: Optional[bool] = None,
+    _return_bands: bool = False,
 ) -> List[np.ndarray]:
     """Decode one tile's packet body back to component sample arrays.
 
@@ -673,6 +674,12 @@ def decode_tile(
     code-blocks that cannot influence the window are skipped in T1
     (reference: src/lib/jp2/t1/Tier1.cpp prepareDecodeCodeblocks:98 window
     clipping); packets are still parsed to stay synchronized.
+
+    `_return_bands` stops after entropy decode and returns
+    ("bands", bands_list, origins) — per-component coefficient band
+    dicts for a mesh-batched inverse transform (parallel/sharding.py
+    decode path) — when the geometry allows it; otherwise the normal
+    sample arrays are returned and the caller inverts nothing.
     """
     ncomps = len(siz.comps)
     cods = [cod_comp[c] if cod_comp and cod_comp[c] else cod
@@ -900,6 +907,13 @@ def decode_tile(
     # src/lib/jp2/transform/dwt.cpp:1208/2154 decode_53/decode_97,
     # TileProcessor.cpp:1303 mct_decode). Falls back to the host for
     # windowed/reduced/custom-MCT/mixed-style decodes.
+    if (_return_bands and _fused_bands is not None and window is None
+            and reduce == 0 and not cod_comp and cod.mct != 2):
+        origins = [(plans[c].layout.tc_rect.x0,
+                    plans[c].layout.tc_rect.y0) for c in range(ncomps)]
+        return ("bands", [_fused_bands[c] for c in range(ncomps)],
+                origins)
+
     use_device = device
     if use_device is None:
         use_device = os.environ.get("GROK_TPU_DEVICE", "") == "1"

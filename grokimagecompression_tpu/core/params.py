@@ -112,6 +112,13 @@ class EncoderParams:
     # (The reference -m file instead holds the CODING matrix and derives
     # the decode matrix by LUP inversion, j2k.cpp:1931.) 9/7 only.
     custom_mct: Optional[object] = None
+    # Rate allocation scope: "tile" splits each byte/PSNR target
+    # proportionally per tile (the reference's per-tile PCRD,
+    # TileProcessor.cpp:371); "global" bisects ONE image-wide slope
+    # threshold across all tiles (textbook PCRD-opt — better R-D when
+    # tile complexity varies; with a mesh the byte totals reduce via a
+    # psum collective, the multi-host allocation form).
+    rate_alloc: str = "tile"
 
     def precinct_exps_for(self, numresolutions: int) -> Tuple[Tuple[int, int], ...]:
         """Resolve per-resolution (PPx, PPy), indexed by r = 0..NL.

@@ -163,11 +163,24 @@ def _band_keys(numresolutions: int) -> Tuple[BandKey, ...]:
 
 
 def config_for_tile(siz, cod, tile: Rect) -> TileTransformConfig:
-    """Build a TileTransformConfig from codestream structs for one tile."""
+    """Build a TileTransformConfig from codestream structs for one tile.
+
+    Tile-component rects are normalized to their origin modulo
+    2^(numresolutions-1): the transform depends on the origin only
+    through each level's parity (and the band residues), so interior
+    tiles of a uniform grid collapse to ONE config — one jit compile,
+    and the mesh/batched paths batch them together instead of running
+    singleton groups."""
     from ..core.geometry import component_rect
 
+    m = 1 << (cod.numresolutions - 1)
+
+    def _norm(r: Rect) -> Rect:
+        dx, dy = r.x0 - r.x0 % m, r.y0 - r.y0 % m
+        return Rect(r.x0 - dx, r.y0 - dy, r.x1 - dx, r.y1 - dy)
+
     tc_rects = tuple(
-        component_rect(tile, c.dx, c.dy) for c in siz.comps)
+        _norm(component_rect(tile, c.dx, c.dy)) for c in siz.comps)
     from ..core.params import Transform
     return TileTransformConfig(
         tc_rects=tc_rects,

@@ -31,6 +31,7 @@ from ..models.pipeline import (
     TileTransformConfig,
     _band_keys,
     _fwd_transform,
+    _inv_transform,
     config_for_tile,
 )
 
@@ -147,3 +148,73 @@ def pcrd_global_stats(stats: jnp.ndarray) -> jnp.ndarray:
     """All-reduce per-shard PCRD summaries so every shard derives identical
     layer thresholds (inside shard_map; SURVEY.md §2.5)."""
     return jax.lax.psum(stats, "tiles")
+
+
+# ---------------------------------------------------------------------------
+# Sharded decode: mesh-batched inverse transform (tiles = data axis)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_inverse(cfg: TileTransformConfig, mesh: Mesh):
+    """Batched inverse transform: flat (B, bh, bw) band tuple ->
+    (B, C, h, w)-ish component tuple, sharded on B."""
+    keys = _band_keys(cfg.numresolutions)
+    nk = len(keys)
+
+    def step(*flat_bands):
+        ncomps = len(flat_bands) // nk
+        bands_list = [
+            {k: flat_bands[c * nk + i] for i, k in enumerate(keys)}
+            for c in range(ncomps)
+        ]
+        return _inv_transform(cfg, bands_list)
+
+    from jax.experimental.shard_map import shard_map
+
+    ncomps = len(cfg.tc_rects)
+    spec_in = tuple(P("tiles", None, None) for _ in range(ncomps * nk))
+    spec_out = tuple(P("tiles", None, None) for _ in range(ncomps))
+    return jax.jit(shard_map(step, mesh=mesh, in_specs=spec_in,
+                             out_specs=spec_out))
+
+
+def inverse_tiles_on_mesh(
+    groups: Dict[TileTransformConfig,
+                 List[Tuple[int, List[Dict[Tuple[int, int], np.ndarray]]]]],
+    mesh: Mesh,
+) -> Dict[int, List[np.ndarray]]:
+    """Run the inverse transform for groups of same-geometry tiles over
+    the mesh. groups: {cfg: [(tile_index, bands_list), ...]} ->
+    {tile_index: [comp arrays]}. The decode mirror of
+    transform_tiles_on_mesh (reference decode hot loops it replaces:
+    src/lib/jp2/transform/dwt.cpp:1208/2154, TileProcessor.cpp:1303)."""
+    out: Dict[int, List[np.ndarray]] = {}
+    ndev = mesh.devices.size
+    sharding = NamedSharding(mesh, P("tiles", None, None))
+    for cfg, tiles in groups.items():
+        keys = _band_keys(cfg.numresolutions)
+        b = len(tiles)
+        b_pad = -(-b // ndev) * ndev
+        ncomps = len(cfg.tc_rects)
+        flat = []
+        for c in range(ncomps):
+            for k in keys:
+                sample = tiles[0][1][c][k]
+                arr = np.zeros((b_pad,) + sample.shape, sample.dtype)
+                for i, (_, bl) in enumerate(tiles):
+                    arr[i] = bl[c][k]
+                flat.append(jax.device_put(arr, sharding))
+        fn = _sharded_inverse(cfg, mesh)
+        comps = jax.device_get(fn(*flat))
+        for i, (t, _) in enumerate(tiles):
+            out[t] = [np.asarray(comps[c][i]) for c in range(ncomps)]
+    return out
+
+
+def decode_sharded(data: bytes, params=None,
+                   mesh: Optional[Mesh] = None) -> Image:
+    """Decode with the tile-batch inverse transform sharded over the
+    mesh. Thin wrapper over codestream.decoder.decode(mesh=...)."""
+    from ..codestream import decoder as _decoder
+    return _decoder.decode(data, params, mesh=mesh or default_mesh())

@@ -97,3 +97,55 @@ def test_sharded_matches_sequential_ppm(mesh8):
     seq = encoder.encode(img, params, device=False)
     par = sharding.encode_sharded(img, params, mesh=mesh8)
     assert seq == par
+
+
+def test_sharded_decode_matches_host(mesh8):
+    """Mesh-batched inverse transform: pixel-identical to host decode."""
+    img = _image(512, 384, seed=11)
+    params = EncoderParams(numresolutions=4, tile_size=(128, 128))
+    cs = encoder.encode(img, params, device=False)
+    host = decoder.decode(cs)
+    par = sharding.decode_sharded(cs, mesh=mesh8)
+    np.testing.assert_array_equal(par.components[0].data,
+                                  host.components[0].data)
+    assert (par.x0, par.y0, par.xsiz, par.ysiz) == \
+        (host.x0, host.y0, host.xsiz, host.ysiz)
+
+
+def test_sharded_decode_rgb_ht(mesh8):
+    img = _image(300, 260, ncomps=3, seed=12)
+    params = EncoderParams(numresolutions=3, tile_size=(96, 96),
+                           cblk_style=0x40)
+    cs = encoder.encode(img, params, device=False)
+    host = decoder.decode(cs)
+    par = sharding.decode_sharded(cs, mesh=mesh8)
+    for c in range(3):
+        np.testing.assert_array_equal(par.components[c].data,
+                                      host.components[c].data)
+
+
+def test_sharded_decode_lossy_97(mesh8):
+    img = _image(256, 256, seed=13)
+    params = EncoderParams(numresolutions=4, transform=Transform.DWT_97,
+                           tile_size=(128, 128), rates=(8.0, 24.0))
+    cs = encoder.encode(img, params, device=False)
+    host = decoder.decode(cs)
+    par = sharding.decode_sharded(cs, mesh=mesh8)
+    # float inverse on identical inputs: same rounding, exact match
+    np.testing.assert_array_equal(par.components[0].data,
+                                  host.components[0].data)
+
+
+def test_sharded_decode_offset_canvas(mesh8):
+    """Odd tile origins exercise the normalized-config parity logic."""
+    rng = np.random.default_rng(14)
+    img = Image(xsiz=200, ysiz=150, x0=3, y0=5, components=[
+        Component(data=rng.integers(0, 256, (145, 197)).astype(np.int32),
+                  prec=8, signed=False, dx=1, dy=1)])
+    params = EncoderParams(numresolutions=3, tile_size=(64, 64),
+                           image_offset=(3, 5), tile_offset=(1, 2))
+    cs = encoder.encode(img, params, device=False)
+    host = decoder.decode(cs)
+    par = sharding.decode_sharded(cs, mesh=mesh8)
+    np.testing.assert_array_equal(par.components[0].data,
+                                  host.components[0].data)
