@@ -178,6 +178,10 @@ def decode_cblk_batch_bands(blocks, bands, placements, cblk_style: int = 0,
     the native backend is unavailable (caller falls back to
     decode_cblk_batch + Python placement)."""
     nat = _get_native()
+    if (cblk_style & CBLKSTY_HT) and _use_device_t1() \
+            and _device_ht_decode_bands(blocks, bands, placements,
+                                        stepsizes):
+        return True
     if nat is None:
         return False
     if cblk_style & CBLKSTY_HT:
@@ -188,6 +192,40 @@ def decode_cblk_batch_bands(blocks, bands, placements, cblk_style: int = 0,
     else:
         nat.decode_cblk_batch_bands(blocks, bands, placements, cblk_style,
                                     stepsizes=stepsizes)
+    return True
+
+
+def _device_ht_decode_bands(blocks, bands, placements, stepsizes) -> bool:
+    """Device (TPU) HT entropy decode (ops/ht_dec_jax.py) + band-plane
+    scatter. Bit-exact with the native fused decode; returns False on
+    any structurally invalid segment so the caller's native path keeps
+    ownership of error handling."""
+    import numpy as _np
+
+    from ..ops import ht_dec_jax
+    dev_blocks = []
+    live = []
+    for i, (d, s, w, h, o, nb, np_, kmax) in enumerate(blocks):
+        d = bytes(d)
+        if len(d) == 0:
+            continue  # empty segment: all-zero block, plane pre-zeroed
+        dev_blocks.append((d, w, h, kmax - nb))
+        live.append(i)
+    res = ht_dec_jax.ht_decode_blocks(dev_blocks)
+    if any(r is None for r in res):
+        return False
+    for (mag, neg), i in zip(res, live):
+        bi, x0, y0 = placements[i][:3]
+        h, w = mag.shape
+        plane = bands[bi]
+        if stepsizes is not None and plane.dtype == _np.float32:
+            mm = mag.astype(_np.float32)
+            mm = _np.where(mag != 0, mm + _np.float32(0.5), mm)
+            v = mm * _np.float32(stepsizes[bi])
+            plane[y0:y0 + h, x0:x0 + w] = _np.where(neg != 0, -v, v)
+        else:
+            m = mag.astype(_np.int32)
+            plane[y0:y0 + h, x0:x0 + w] = _np.where(neg != 0, -m, m)
     return True
 
 

@@ -90,3 +90,65 @@ def test_full_encode_device_t1_irreversible():
     finally:
         del os.environ["GROK_TPU_T1"]
     assert host == dev
+
+
+# ---------------------------------------------------------------------------
+# Device HT DECODER (ops/ht_dec_jax.py): bit-exact vs the native decoder
+# ---------------------------------------------------------------------------
+
+
+def test_decode_blocks_bit_exact_vs_native():
+    from grokimagecompression_tpu.ops import ht_dec_jax
+    rng = np.random.default_rng(21)
+    cases = []
+    for (h, w) in [(64, 64), (32, 32), (16, 16), (64, 63), (1, 1),
+                   (1, 64), (64, 1), (3, 5), (62, 62), (5, 7)]:
+        for dens, mb, hi in [(0.5, 10, 512), (0.02, 10, 512),
+                             (1.0, 10, 512), (0.3, 14, 1 << 13),
+                             (0.9, 4, 15)]:
+            cases.append(_rand_block(rng, h, w, dens, mb, hi))
+    # MEL-pad-heavy and stuffing-heavy extremes
+    z = np.zeros((64, 64), np.uint32)
+    cases.append((z, z.astype(np.uint8), 8))
+    sp = z.copy()
+    sp[63, 63] = 5
+    cases.append((sp, z.astype(np.uint8), 8))
+    cases.append((np.full((64, 64), 255, np.uint32),
+                  (rng.random((64, 64)) < 0.5).astype(np.uint8), 10))
+    segs = t1_native.ht_encode_cblk_batch(cases)
+    blocks = []
+    for (mag, neg, mb), seg in zip(cases, segs):
+        numbps = int(mag.max()).bit_length()
+        blocks.append((seg, mag.shape[1], mag.shape[0], mb - numbps))
+    from grokimagecompression_tpu.ops import ht_dec_jax
+    dev = ht_dec_jax.ht_decode_blocks(blocks)
+    for i, (seg, w, h, miss) in enumerate(blocks):
+        nm, nn = t1_native.ht_decode_cblk(seg, w, h, miss)
+        dm, dn = dev[i]
+        sig = nm > 0
+        assert np.array_equal(nm, dm), \
+            f"case {i} ({w}x{h}) magnitude mismatch"
+        assert np.array_equal(nn[sig], dn[sig]), f"case {i} signs"
+
+
+def test_decode_end_to_end_device_t1(monkeypatch):
+    """Full decode with GROK_TPU_T1=device: pixel-identical to the
+    native decode for lossless HT and lossy 9/7 HT."""
+    from grokimagecompression_tpu.codestream import decoder, encoder
+    from grokimagecompression_tpu.core.image import Component, Image
+    from grokimagecompression_tpu.core.params import (EncoderParams,
+                                                      Transform)
+    rng = np.random.default_rng(31)
+    d = rng.integers(0, 256, (160, 224)).astype(np.int32)
+    img = Image(xsiz=224, ysiz=160, components=[
+        Component(data=d, prec=8, signed=False, dx=1, dy=1)])
+    for params in (EncoderParams(numresolutions=4, cblk_style=0x40),
+                   EncoderParams(numresolutions=4, cblk_style=0x40,
+                                 transform=Transform.DWT_97)):
+        cs = encoder.encode(img, params, device=False)
+        host = decoder.decode(cs)
+        monkeypatch.setenv("GROK_TPU_T1", "device")
+        dev = decoder.decode(cs)
+        monkeypatch.delenv("GROK_TPU_T1")
+        np.testing.assert_array_equal(dev.components[0].data,
+                                      host.components[0].data)
