@@ -321,7 +321,9 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
            layer_alloc=None, device: Optional[bool] = None,
            rsiz: int = 0, mesh=None,
            _t1_segments_by_tile=None,
-           _coeff_bands_by_tile=None) -> bytes:
+           _coeff_bands_by_tile=None,
+           _only_tiles=None,
+           _tile_results=None) -> bytes:
     """Encode an Image to a raw J2K codestream.
 
     `device=True` runs the tile transform pipeline (DC shift/MCT/DWT) on the
@@ -443,6 +445,13 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
         or bool(params.quality_psnr)
     _global_alloc = False
     if layer_alloc is None and needs_rc:
+        if params.rate_alloc == "global" and (
+                _only_tiles is not None or _tile_results is not None):
+            raise NotImplementedError(
+                "rate_alloc='global' needs every tile's R-D tables in "
+                "one allocation; partial-tile encode (multi-host phase "
+                "split) must use per-tile allocation or the mesh-psum "
+                "collective form")
         if params.rate_alloc == "global" and ntx * nty > 1:
             from .pcrd import GlobalPCRDAllocator
             image_bytes = sum(
@@ -576,9 +585,28 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
                 _t1n.set_thread_override(None)
 
         with _cf.ThreadPoolExecutor(max_workers=tile_workers) as ex:
-            results = list(ex.map(_worker, range(numtiles)))
+            if _tile_results is not None:
+                todo = [t for t in range(numtiles)
+                        if t not in _tile_results]
+            elif _only_tiles is not None:
+                todo = sorted(_only_tiles)
+            else:
+                todo = list(range(numtiles))
+            done = dict(zip(todo, ex.map(_worker, todo)))
+            if _tile_results is not None:
+                done.update(_tile_results)
+            if _only_tiles is not None:
+                return done  # type: ignore[return-value]
+            results = [done[t] for t in range(numtiles)]
     else:
-        results = [_encode_one(t) for t in range(numtiles)]
+        if _tile_results is not None:
+            results = [_tile_results[t] if t in _tile_results
+                       else _encode_one(t) for t in range(numtiles)]
+        elif _only_tiles is not None:
+            return {t: _encode_one(t)  # type: ignore[return-value]
+                    for t in sorted(_only_tiles)}
+        else:
+            results = [_encode_one(t) for t in range(numtiles)]
 
     axis_idx = {"L": 0, "R": 1, "C": 2}
     for t in range(numtiles):

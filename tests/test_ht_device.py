@@ -152,3 +152,37 @@ def test_decode_end_to_end_device_t1(monkeypatch):
         monkeypatch.delenv("GROK_TPU_T1")
         np.testing.assert_array_equal(dev.components[0].data,
                                       host.components[0].data)
+
+
+def test_decode_prepass_vectorized_matches_scalar():
+    """The batched numpy stream expanders must reproduce the per-lane
+    scalar reference expanders bit for bit (incl. stuffing overlaps,
+    the MEL last-byte nibble rule, and the VLC initial-nibble carry)."""
+    from grokimagecompression_tpu.ops import ht_dec_jax as hd
+    rng = np.random.default_rng(41)
+    cases = []
+    for i in range(8):
+        mag = (rng.random((32, 32)) < rng.uniform(0.05, 0.95)) * \
+            rng.integers(1, 1 << rng.integers(2, 10), (32, 32))
+        cases.append((mag.astype(np.uint32),
+                      (rng.random((32, 32)) < 0.5).astype(np.uint8), 10))
+    cases.append((np.full((32, 32), 255, np.uint32),
+                  np.ones((32, 32), np.uint8), 10))
+    segs = [bytes(s) for s in t1_native.ht_encode_cblk_batch(cases)]
+    lcups = [len(s) for s in segs]
+    scups = [(s[-1] << 4) + (s[-2] & 0xF) for s in segs]
+    wm = (8 * (max(scups) + 7)) // 32 + 4
+    wm_ms = (8 * (max(lc - sc for lc, sc in zip(lcups, scups)) + 8)) \
+        // 32 + 4
+    mel_v = hd._prepass_mel(segs, lcups, scups, wm)
+    vlc_v = hd._prepass_vlc(segs, lcups, scups, wm)
+    ms_v = hd._prepass_ms(segs, lcups, scups, wm_ms)
+    mel_s = hd._pack_msb([hd._mel_bits(s, sc, wm * 32)
+                          for s, sc in zip(segs, scups)], wm)
+    vlc_s = hd._pack_lsb([hd._vlc_bits(s, lc, sc, wm * 32)
+                          for s, lc, sc in zip(segs, lcups, scups)], wm)
+    ms_s = hd._pack_lsb([hd._ms_bits(s, lc, sc, wm_ms * 32)
+                         for s, lc, sc in zip(segs, lcups, scups)], wm_ms)
+    np.testing.assert_array_equal(mel_v, mel_s)
+    np.testing.assert_array_equal(vlc_v, vlc_s)
+    np.testing.assert_array_equal(ms_v, ms_s)
