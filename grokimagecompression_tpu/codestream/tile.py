@@ -830,6 +830,39 @@ def decode_tile(
                                     cb.geom.rect.h, band.orient, cb.numbps,
                                     cb.numpasses, bp_d.kmax))
                     t1_job_slots.append((c, (res.r, band.orient), cb))
+
+    use_device = device
+    if use_device is None:
+        use_device = os.environ.get("GROK_TPU_DEVICE", "") == "1"
+    # Fully-fused device decode (HT): lane-parallel entropy decode ->
+    # band assembly -> inverse DWT/MCT/DC-unshift as ONE XLA program
+    # (models/fused_decode.py) — the decode mirror of the fused encoder.
+    # Opt-in via GROK_TPU_T1=device (or GROK_TPU_DEC_ENTROPY=device):
+    # the default device decode keeps native entropy decode + device
+    # inverse transform.
+    _dev_entropy = os.environ.get("GROK_TPU_T1") == "device" \
+        or os.environ.get("GROK_TPU_DEC_ENTROPY") == "device"
+    if (use_device and _dev_entropy and (cod.cblk_style & 0x40)
+            and window is None
+            and reduce == 0 and not cod_comp and cod.mct != 2
+            and not roishifts
+            and os.environ.get("GROK_TPU_FUSED_DEC", "1") != "0"):
+        from ..models import fused_decode
+        steps_by_band = {
+            (c, (res.r, band.orient)):
+                plans[c].bands[(res.r, band.orient)].stepsize
+            for c in range(ncomps)
+            for res in plans[c].layout.resolutions
+            for band in res.bands}
+        comps_dev = fused_decode.decode_tile_device(
+            t1_jobs, t1_job_slots, plans, cods, siz, cod, tile,
+            steps_by_band)
+        if comps_dev is not None:
+            origins = [(plans[c].layout.tc_rect.x0,
+                        plans[c].layout.tc_rect.y0)
+                       for c in range(ncomps)]
+            return list(zip(comps_dev, origins))
+
     # Fused path: native workers decode each block and scatter it (with
     # dequantization for irreversible bands) directly into pre-allocated
     # band planes — no per-block arrays or Python placement loop.

@@ -1,0 +1,196 @@
+"""Fully-fused on-device HT tile DECODE: one dispatch per tile.
+
+The decode mirror of models/fused_encode.py: after the host parses the
+packets (T2 is byte-serial), the per-block HT cleanup segments are
+expanded to dense unstuffed stream words (ops/ht_dec_jax.py prepass) and
+ONE jitted XLA program per tile geometry runs: lane-parallel HT entropy
+decode (scan over the quad grid, blocks in lanes) -> signed/dequantized
+coefficients -> band-plane assembly (static dynamic_update_slice chain)
+-> inverse DWT -> inverse MCT -> DC unshift. Only sample arrays come
+back to the host.
+
+Reference decode hot loops this replaces on-device:
+src/lib/jp2/t1/t1_ht/coding/ojph_block_decoder.cpp:687 (block decode),
+src/lib/jp2/transform/dwt.cpp:1208/2154 (inverse DWT),
+src/lib/jp2/TileProcessor.cpp:1303 (inverse MCT).
+
+Scope (callers fall back to the staged/host path): HT (0x40) style,
+full-tile decode (no window), reduce == 0, no per-component COD
+overrides, standard MCT. Bit-exact with the host decoder for the
+reversible path; float-identical for 9/7 (same single-precision op
+order as the native mid-point dequantizer).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import threading as _threading
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+_compile_locks: Dict = {}
+_compiled: set = set()
+
+from ..core.geometry import Rect
+from ..ops import ht_dec_jax
+from . import pipeline
+
+
+@dataclasses.dataclass(frozen=True)
+class DecBlock:
+    comp: int
+    key: Tuple[int, int]
+    y0: int
+    x0: int
+    h: int
+    w: int
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedDecPlan:
+    cfg: pipeline.TileTransformConfig
+    # (w, h, lanes) per shape group; lanes are DecBlock rows
+    groups: Tuple[Tuple[int, int, Tuple[DecBlock, ...]], ...]
+    band_shapes: Tuple[Tuple[int, int, int, int], ...]  # (comp,key...)
+    stepsizes: Tuple[float, ...]      # per band (same order), 1.0 if rev
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_fused_dec(plan: FusedDecPlan,
+                      word_dims: Tuple[Tuple[int, int, int], ...]):
+    """One XLA program: per-group dense stream words -> component sample
+    arrays for the tile."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = plan.cfg
+    keys = pipeline._band_keys(cfg.numresolutions)
+    ncomps = len(cfg.tc_rects)
+    rev = cfg.reversible
+
+    def run(*words):
+        # decode every group
+        grids = []
+        for gi, (w, h, lanes) in enumerate(plan.groups):
+            mel_w, vlc_w, ms_w = words[3 * gi: 3 * gi + 3]
+            mags, signs = ht_dec_jax.decode_group_core(w, h)(
+                mel_w, vlc_w, ms_w)
+            grids.append((mags, signs))
+        # band planes
+        bands: Dict[Tuple[int, Tuple[int, int]], object] = {}
+        steps: Dict[Tuple[int, Tuple[int, int]], float] = {}
+        for (c, r, o, bh, bw), st in zip(plan.band_shapes,
+                                         plan.stepsizes):
+            dt = jnp.int32 if rev else jnp.float32
+            bands[(c, (r, o))] = jnp.zeros((bh, bw), dt)
+            steps[(c, (r, o))] = st
+        for gi, (w, h, lanes) in enumerate(plan.groups):
+            mags, signs = grids[gi]
+            for li, b in enumerate(lanes):
+                m = mags[li, :b.h, :b.w]
+                s = signs[li, :b.h, :b.w]
+                if rev:
+                    v = jnp.where(s != 0, -(m.astype(jnp.int32)),
+                                  m.astype(jnp.int32))
+                else:
+                    mm = m.astype(jnp.float32)
+                    mm = jnp.where(m != 0, mm + jnp.float32(0.5), mm)
+                    v = mm * jnp.float32(steps[(b.comp, b.key)])
+                    v = jnp.where(s != 0, -v, v)
+                bands[(b.comp, b.key)] = jax.lax.dynamic_update_slice(
+                    bands[(b.comp, b.key)], v, (b.y0, b.x0))
+        bands_list = [{k: bands[(c, k)] for k in keys}
+                      for c in range(ncomps)]
+        return pipeline._inv_transform(cfg, bands_list)
+
+    return jax.jit(run)
+
+
+def decode_tile_device(t1_jobs, t1_job_slots, plans, cods, siz, cod,
+                       tile: Rect, stepsizes_by_band) -> Optional[list]:
+    """Full fused device decode of one tile. Returns [per-comp sample
+    array] in tile-component layout, or None when out of scope (caller
+    runs the host path)."""
+    from ..core.params import Transform
+
+    if cod.mct not in (0, 1):
+        return None
+    cfg = pipeline.config_for_tile(siz, cod, tile)
+    rev = cfg.reversible
+    keys = pipeline._band_keys(cfg.numresolutions)
+    ncomps = len(plans)
+
+    # band shapes + steps in (comp, key) order
+    band_shapes = []
+    steps = []
+    for c in range(ncomps):
+        for k in keys:
+            br = None
+            for res in plans[c].layout.resolutions:
+                for band in res.bands:
+                    if (res.r, band.orient) == k:
+                        br = band.rect
+            if br is None:
+                return None
+            band_shapes.append((c, k[0], k[1], br.h, br.w))
+            steps.append(1.0 if rev else float(
+                stepsizes_by_band[(c, k)]))
+
+    # group blocks by sample dims; skip empty segments (stay zero)
+    groups: Dict[Tuple[int, int], List[Tuple[int, DecBlock]]] = {}
+    for i, ((c, key, cb), job) in enumerate(zip(t1_job_slots, t1_jobs)):
+        data = job[0]
+        w, h = int(job[2]), int(job[3])
+        if len(data) < 2:
+            continue
+        scup = (data[-1] << 4) + (data[-2] & 0xF)
+        if scup > len(data) or scup < 2:
+            return None  # structurally invalid: host path owns errors
+        band = None
+        for res in plans[c].layout.resolutions:
+            for bd in res.bands:
+                if (res.r, bd.orient) == key:
+                    band = bd
+        blk = DecBlock(comp=c, key=key,
+                       y0=cb.geom.rect.y0 - band.rect.y0,
+                       x0=cb.geom.rect.x0 - band.rect.x0, h=h, w=w)
+        groups.setdefault((w, h), []).append((i, blk))
+
+    gtuple = []
+    words = []
+    word_dims = []
+    import jax.numpy as jnp
+    for (w, h) in sorted(groups.keys()):
+        entries = groups[(w, h)]
+        segs = [bytes(t1_jobs[i][0]) for (i, _) in entries]
+        lcups = [len(s) for s in segs]
+        scups = [(s[-1] << 4) + (s[-2] & 0xF) for s in segs]
+        wm_mel = (8 * (max(scups) + 7)) // 32 + 4
+        wm_vlc = (8 * (max(scups) + 7)) // 32 + 4
+        wm_ms = (8 * (max(lc - sc for lc, sc in zip(lcups, scups)) + 8)) \
+            // 32 + 4
+        words.append(jnp.asarray(
+            ht_dec_jax._prepass_mel(segs, lcups, scups, wm_mel)))
+        words.append(jnp.asarray(
+            ht_dec_jax._prepass_vlc(segs, lcups, scups, wm_vlc)))
+        words.append(jnp.asarray(
+            ht_dec_jax._prepass_ms(segs, lcups, scups, wm_ms)))
+        word_dims.append((wm_mel, wm_vlc, wm_ms))
+        gtuple.append((w, h, tuple(b for (_, b) in entries)))
+
+    plan = FusedDecPlan(cfg=cfg, groups=tuple(gtuple),
+                        band_shapes=tuple(band_shapes),
+                        stepsizes=tuple(steps))
+    key = (plan, tuple(word_dims))
+    fn = _jitted_fused_dec(plan, tuple(word_dims))
+    if key in _compiled:
+        comps = fn(*words)
+    else:
+        # Serialize the first call per geometry: concurrent tile threads
+        # would otherwise each compile the (large) program in parallel.
+        with _compile_locks.setdefault(key, _threading.Lock()):
+            comps = fn(*words)
+            _compiled.add(key)
+    return [np.asarray(a) for a in comps]

@@ -510,7 +510,8 @@ def _decode_quad(jnp, qf, U_p, ms_words, ms_off):
                          (jnp.uint32(1) << (m_n & jnp.uint32(31))) - 1,
                          jnp.uint32(0xFFFFFFFF))
         v_n = (win & mask) \
-            | (((qf >> (8 + n)) & 1).astype(jnp.uint32) << m_n) \
+            | (((qf >> (8 + n)) & 1).astype(jnp.uint32)
+               << (m_n & jnp.uint32(31))) \
             | jnp.uint32(1)
         v_n = jnp.where(sig, v_n, jnp.uint32(0))
         ms_off = ms_off + jnp.where(sig, m_n.astype(jnp.int32), 0)
@@ -522,10 +523,12 @@ def _decode_quad(jnp, qf, U_p, ms_words, ms_off):
     return (mags, signs, ms_off, exps[1], exps[3], sigs[1], sigs[3])
 
 
-@functools.lru_cache(maxsize=64)
-def _jitted_decode(w: int, h: int, wm_mel: int, wm_vlc: int, wm_ms: int):
-    """Jitted group decoder: dense stream words + per-lane p -> (B, H2,
-    W4) uint32 magnitudes ((v+2)>>1 form) and signs, padded grid."""
+def decode_group_core(w: int, h: int):
+    """Traceable group decoder body for one (w, h) block shape:
+    (mel_words, vlc_words, ms_words) dense stream words, lanes-last ->
+    (B, H2, W4) uint32 magnitudes ((v+2)>>1 form) and signs on the
+    2*ny x 4*nx padded grid. Usable inside larger jitted programs
+    (models/fused_decode.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -682,7 +685,15 @@ def _jitted_decode(w: int, h: int, wm_mel: int, wm_vlc: int, wm_ms: int):
 
         return to_grid(mags), to_grid(signs)
 
-    return jax.jit(run)
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_decode(w: int, h: int, wm_mel: int, wm_vlc: int, wm_ms: int):
+    """Jitted standalone group decoder (word widths in the cache key so
+    retraces stay bounded)."""
+    import jax
+    return jax.jit(decode_group_core(w, h))
 
 
 # ---------------------------------------------------------------------------

@@ -63,3 +63,42 @@ def test_device_decode_falls_back_for_window_and_reduce():
                          device=True)
     np.testing.assert_array_equal(
         win.components[0].data, img.components[0].data[32:96, 32:96])
+
+
+def test_fused_device_decode_pixel_identical(monkeypatch):
+    """Fully-fused device decode (entropy + inverse in one program,
+    GROK_TPU_T1=device + device=True): pixel-identical for lossless HT;
+    <= 1 LSB for 9/7 (device float DWT, same tolerance as the
+    device_inv_comps path)."""
+    import numpy as np
+
+    from grokimagecompression_tpu.codestream import decoder, encoder
+    from grokimagecompression_tpu.core.image import Component, Image
+    from grokimagecompression_tpu.core.params import (EncoderParams,
+                                                      Transform)
+    rng = np.random.default_rng(17)
+    d = rng.integers(0, 256, (96, 160)).astype(np.int32)
+    img = Image(xsiz=160, ysiz=96, components=[
+        Component(data=d, prec=8, signed=False, dx=1, dy=1)])
+    monkeypatch.setenv("GROK_TPU_T1", "device")
+    p = EncoderParams(numresolutions=3, cblk_style=0x40)
+    cs = encoder.encode(img, p, device=False)
+    monkeypatch.delenv("GROK_TPU_T1")
+    host = decoder.decode(cs, device=False)
+    monkeypatch.setenv("GROK_TPU_T1", "device")
+    dev = decoder.decode(cs, device=True)
+    monkeypatch.delenv("GROK_TPU_T1")
+    np.testing.assert_array_equal(dev.components[0].data,
+                                  host.components[0].data)
+    np.testing.assert_array_equal(dev.components[0].data, d)
+
+    p2 = EncoderParams(numresolutions=3, cblk_style=0x40,
+                       transform=Transform.DWT_97)
+    cs2 = encoder.encode(img, p2, device=False)
+    h2 = decoder.decode(cs2, device=False)
+    monkeypatch.setenv("GROK_TPU_T1", "device")
+    d2 = decoder.decode(cs2, device=True)
+    monkeypatch.delenv("GROK_TPU_T1")
+    diff = np.abs(h2.components[0].data.astype(np.int64)
+                  - d2.components[0].data)
+    assert diff.max() <= 1
