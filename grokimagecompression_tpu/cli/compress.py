@@ -75,6 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-C", "--comment", default=None)
     p.add_argument("-D", "--device", action="store_true",
                    help="run the transform pipeline on the TPU device")
+    p.add_argument("--rate-alloc", choices=["tile", "global"],
+                   default="tile",
+                   help="PCRD scope: 'tile' splits -r/-q targets "
+                        "proportionally per tile (reference semantics); "
+                        "'global' bisects one image-wide slope threshold "
+                        "(better R-D when tile complexity varies)")
     p.add_argument("--cinema2k", type=int, choices=[24, 48], default=None,
                    help="Digital Cinema 2K profile at the given fps")
     p.add_argument("--cinema4k", action="store_true",
@@ -223,6 +229,7 @@ def main(argv=None) -> int:
         numlayers=max(1, len(rates), len(quality)),
         rates=rates,
         quality_psnr=quality,
+        rate_alloc=args.rate_alloc,
         precincts=_parse_precincts(args.precinct_dims)
         if args.precinct_dims else None,
         tile_size=_parse_pair(args.tile_dims, "-t") if args.tile_dims else None,
