@@ -206,6 +206,11 @@ def _entries():
               EncoderParams(transform=Transform.DWT_97,
                             cblk_style=CBLKSTY_HT, base_step=1 / 256.0),
               "j2k", False))
+    E.append(("lossy97_globalrc.j2k", synth(192, 128, seed=27),
+              EncoderParams(transform=Transform.DWT_97,
+                            tile_size=(64, 64), rates=(40.0, 12.0),
+                            rate_alloc="global"),
+              "j2k", False))
 
     # --- component-heavy / COC overrides ---
     E.append(("multicomp5_coc.j2k", synth(96, 80, ncomps=5, seed=15),
