@@ -167,10 +167,13 @@ def decode_tile_device(t1_jobs, t1_job_slots, plans, cods, siz, cod,
         segs = [bytes(t1_jobs[i][0]) for (i, _) in entries]
         lcups = [len(s) for s in segs]
         scups = [(s[-1] << 4) + (s[-2] & 0xF) for s in segs]
-        wm_mel = (8 * (max(scups) + 7)) // 32 + 4
-        wm_vlc = (8 * (max(scups) + 7)) // 32 + 4
-        wm_ms = (8 * (max(lc - sc for lc, sc in zip(lcups, scups)) + 8)) \
-            // 32 + 4
+        wm_mel = ht_dec_jax.bucket_words(
+            (8 * (max(scups) + 7)) // 32 + 4)
+        wm_vlc = ht_dec_jax.bucket_words(
+            (8 * (max(scups) + 7)) // 32 + 4)
+        wm_ms = ht_dec_jax.bucket_words(
+            (8 * (max(lc - sc for lc, sc in zip(lcups, scups)) + 8))
+            // 32 + 4)
         words.append(jnp.asarray(
             ht_dec_jax._prepass_mel(segs, lcups, scups, wm_mel)))
         words.append(jnp.asarray(

@@ -523,6 +523,18 @@ def _decode_quad(jnp, qf, U_p, ms_words, ms_off):
     return (mags, signs, ms_off, exps[1], exps[3], sigs[1], sigs[3])
 
 
+def bucket_words(n: int) -> int:
+    """Round a stream word count up to a coarse ladder so jit signatures
+    (and therefore compiles of the scan program — minutes each on the
+    CPU backend) are shared across content. Extra rows are pure pad:
+    the prepasses fill them with each stream's infinite-pad pattern and
+    the fetches clamp into them."""
+    b = 32
+    while b < n:
+        b *= 2
+    return b
+
+
 def decode_group_core(w: int, h: int):
     """Traceable group decoder body for one (w, h) block shape:
     (mel_words, vlc_words, ms_words) dense stream words, lanes-last ->
@@ -733,19 +745,35 @@ def ht_decode_blocks(blocks) -> List[Optional[Tuple[np.ndarray,
         segs = [bytes(blocks[i][0]) for i in idxs]
         lcups = [len(s) for s in segs]
         scups = [metas[i][0] for i in idxs]
-        # word buffers sized to the real streams (+pad columns); reads
-        # past the end clamp to the pad words (infinite 0xFF / zeros)
-        wm_mel = (8 * (max(scups) + 7)) // 32 + 4
-        wm_vlc = (8 * (max(scups) + 7)) // 32 + 4
-        wm_ms = (8 * (max(lc - sc for lc, sc in zip(lcups, scups)) + 8)) \
-            // 32 + 4
-        mel_w = jnp.asarray(_prepass_mel(segs, lcups, scups, wm_mel))
-        vlc_w = jnp.asarray(_prepass_vlc(segs, lcups, scups, wm_vlc))
-        ms_w = jnp.asarray(_prepass_ms(segs, lcups, scups, wm_ms))
+        # word buffers sized to the real streams (+pad columns), rounded
+        # to the bucket ladder so compiles are shared; reads past the
+        # end clamp to the pad words (infinite 0xFF / zeros)
+        wm_mel = bucket_words((8 * (max(scups) + 7)) // 32 + 4)
+        wm_vlc = bucket_words((8 * (max(scups) + 7)) // 32 + 4)
+        wm_ms = bucket_words(
+            (8 * (max(lc - sc for lc, sc in zip(lcups, scups)) + 8))
+            // 32 + 4)
+        # pad the lane count to power-of-2 buckets as well (another jit
+        # signature axis); pad lanes hold all-zero streams and decode
+        # to discarded garbage
+        B = len(segs)
+        b_pad = ht_jax._pad_batch(B)
+
+        def _padded(a):
+            if a.shape[1] == b_pad:
+                return a
+            return np.pad(a, ((0, 0), (0, b_pad - a.shape[1])))
+
+        mel_w = jnp.asarray(_padded(
+            _prepass_mel(segs, lcups, scups, wm_mel)))
+        vlc_w = jnp.asarray(_padded(
+            _prepass_vlc(segs, lcups, scups, wm_vlc)))
+        ms_w = jnp.asarray(_padded(
+            _prepass_ms(segs, lcups, scups, wm_ms)))
         fn = _jitted_decode(w, h, wm_mel, wm_vlc, wm_ms)
         mags, signs = fn(mel_w, vlc_w, ms_w)
-        mags = np.asarray(mags)[:, :h, :w]
-        signs = np.asarray(signs)[:, :h, :w]
+        mags = np.asarray(mags)[:B, :h, :w]
+        signs = np.asarray(signs)[:B, :h, :w]
         for k, i in enumerate(idxs):
             out[i] = (mags[k].astype(np.uint32),
                       signs[k].astype(np.uint8))

@@ -23,3 +23,14 @@ if os.environ.get("GROK_TPU_TESTS", "") != "1":
             os.environ["XLA_FLAGS"] = (
                 flags + " --xla_force_host_platform_device_count=8"
             ).strip()
+
+    # Persistent compilation cache: the fused decode/encode scan
+    # programs take minutes to compile on the CPU backend; cache them
+    # across test processes (the axon TPU plugin manages its own cache).
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
