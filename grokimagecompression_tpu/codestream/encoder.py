@@ -488,7 +488,10 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
     # hides behind the previous tile's T2).
     fused_handles = {}
     fused_mod = None
-    mq_fusable = (cod.cblk_style == 0 and layer_alloc is None
+    # _device_mq_ok() initializes the jax backend (on a tunneled TPU
+    # that can block for seconds — or hang if the link is down), so it
+    # must only be consulted when the caller asked for device encode.
+    mq_fusable = (device and cod.cblk_style == 0 and layer_alloc is None
                   and _device_mq_ok())
     if (device and (is_ht or mq_fusable) and custom_coding_matrix is None
             and mesh is None and roishifts is None
@@ -699,7 +702,9 @@ def encode_batch(images: List[Image], params: Optional[EncoderParams] = None,
                      for c in img.components) + (img.xsiz, img.ysiz)
 
     is_ht = bool(params.cblk_style & 0x40)
-    is_mq = params.cblk_style == 0 and _device_mq_ok()
+    # only probe the jax backend when device work was requested (see
+    # encode(): a tunneled-TPU backend init can block)
+    is_mq = device and params.cblk_style == 0 and _device_mq_ok()
     same_geom = all(_geom(im) == _geom(images[0]) for im in images)
     fusable = (device and (is_ht or is_mq) and same_geom
                and len(images) > 1

@@ -247,7 +247,8 @@ def _jitted_fused_mq(plan: FusedPlan, nframes: int):
                 jnp, lax, mag, neg, orients[None, None, :],
                 nbps[None, None, :], kmaxg, geo)
             slots = jax.lax.optimization_barrier(slots)
-            words, m8, st = mq_jax.run_mq_scans_blocked(jnp, lax, slots)
+            words, m8, _nbo, st = mq_jax.run_mq_scans_blocked(jnp, lax,
+                                                              slots)
             comp2, counts2, nbytes, overflow = mq_jax._compact_words(
                 jnp, words, m8, st)
             metrics = jnp.stack(

@@ -239,12 +239,17 @@ def _pack_slot(jnp, emit, d, cx):
             | (cx.astype(jnp.int32) << 2))
 
 
-def _plane_slots(jnp, lax, mag, neg, orient, nbps, plane, geo):
+def _plane_slots(jnp, lax, mag, neg, orient, nbps, plane, geo,
+                 want_dist: bool = False):
     """All slot bytes for one plane, in exact scan order.
 
     mag: (hp, w, B) uint32; neg: (hp, w, B) int32; orient: (1, 1, B)
     int32; nbps: (1, 1, B); plane: scalar int32 (traced). Returns
-    (T_plane, B) int32 slot bytes, T_plane = 3*hp*w + 11*(hp/4)*w.
+    (T_plane, B) int32 slot bytes, T_plane = 3*hp*w + 11*(hp/4)*w;
+    with `want_dist` also a (3, B) float32 of the plane's per-pass
+    distortion-decrease sums (SPP, MRP, CLN), scaled by 4^-plane —
+    the host rescales by 4^plane so every plane's sum is accumulated
+    at similar float magnitude (t1/t1_np.py sig_dist/ref_dist terms).
     """
     hp, w, B = mag.shape
     alive = _g(jnp, geo, "alive")
@@ -353,7 +358,28 @@ def _plane_slots(jnp, lax, mag, neg, orient, nbps, plane, geo):
     samples = jnp.stack([cln_zc, cln_sc], axis=2).reshape(
         ns, 4, w, 2, B).transpose(0, 2, 1, 3, 4).reshape(ns, w, 8, B)
     cln_flat = jnp.concatenate([heads, samples], axis=2).reshape(-1, B)
-    return jnp.concatenate([spp_flat, mrp_flat, cln_flat], axis=0)
+    slots = jnp.concatenate([spp_flat, mrp_flat, cln_flat], axis=0)
+    if not want_dist:
+        return slots
+
+    # ---- per-pass distortion decreases (PCRD), scaled by 4^-plane ----
+    # sig_dist/4^p = 3*(v/2^p) - 2.25 for a sample becoming significant;
+    # ref_dist/4^p = (r/2^p - 1)^2 - (s/2^p - 0.5)^2 with r = v mod
+    # 2^(p+1), s = v mod 2^p (the same closed forms t1_np.py sums in
+    # scan order — term-level identical, float32-summed here).
+    pu = plane.astype(jnp.uint32)
+    inv = jnp.exp2(-plane.astype(jnp.float32))
+    t = mag.astype(jnp.float32) * inv
+    sig_term = 3.0 * t - 2.25
+    r = (mag & ((jnp.uint32(2) << pu) - 1)).astype(jnp.float32) * inv
+    sv = (mag & ((jnp.uint32(1) << pu) - 1)).astype(jnp.float32) * inv
+    ref_term = (r - 1.0) * (r - 1.0) - (sv - 0.5) * (sv - 0.5)
+    zero = jnp.zeros_like(t)
+    d_spp = jnp.where(member & bit_b, sig_term, zero).sum(axis=(0, 1))
+    d_mrp = jnp.where(mrp_member, ref_term, zero).sum(axis=(0, 1))
+    d_cln = jnp.where((normal & bit_b) | is_r, sig_term,
+                      zero).sum(axis=(0, 1))
+    return slots, jnp.stack([d_spp, d_mrp, d_cln], axis=0)
 
 
 def slots_per_plane(h: int, w: int) -> int:
@@ -361,17 +387,28 @@ def slots_per_plane(h: int, w: int) -> int:
     return 3 * hp * w + 11 * (hp // 4) * w
 
 
-def build_slot_stream(jnp, lax, mag, neg, orient, nbps, nplanes, geo):
+def build_slot_stream(jnp, lax, mag, neg, orient, nbps, nplanes, geo,
+                      want_dist: bool = False):
     """Full slot stream over `nplanes` planes (descending), scan-ordered.
-    mag/neg: (hp, w, B). Returns (nplanes * T_plane, B) int8."""
+    mag/neg: (hp, w, B). Returns (nplanes * T_plane, B) int8; with
+    `want_dist` also a (nplanes, 3, B) float32 of per-(plane, pass)
+    distortion sums scaled by 4^-plane (plane axis MSB-first, matching
+    the slot stream's plane order)."""
     B = mag.shape[2]
 
     def body(carry, plane):
+        if want_dist:
+            s, d = _plane_slots(jnp, lax, mag, neg, orient, nbps, plane,
+                                geo, want_dist=True)
+            return carry, (s.astype(jnp.int8), d)
         s = _plane_slots(jnp, lax, mag, neg, orient, nbps, plane, geo)
         return carry, s.astype(jnp.int8)
 
     planes = jnp.arange(nplanes - 1, -1, -1, dtype=jnp.int32)
     _, out = lax.scan(body, 0, planes)
+    if want_dist:
+        slots, dists = out
+        return slots.reshape(-1, B), dists
     # (nplanes, T_plane, B) -> (nplanes*T_plane, B)
     return out.reshape(-1, B)
 
@@ -386,7 +423,11 @@ def mq_step(jnp, carry, slot):
 
     carry: (a, c, ct, last, wacc, wcnt, cp0..cp4) int32 lanes, `last`
     is the delayed output byte (-1 = none yet); cp_k packs context
-    states 4k..4k+3 at 8 bits each. Returns (carry', word, word_valid).
+    states 4k..4k+3 at 8 bits each. Returns (carry', word, word_valid,
+    nbo) where nbo counts the step's byteouts (0..3) — each byteout
+    grows the host coder's byte buffer by exactly one byte, so summing
+    nbo over a coding pass's (static) slot range gives the same
+    truncation-rate byte counts the host coder records for PCRD.
     """
     a, c, ct, last, wacc, wcnt = carry[:6]
     cps = list(carry[6:])
@@ -447,6 +488,7 @@ def mq_step(jnp, carry, slot):
 
     word_o = jnp.zeros_like(a2)
     full_o = jnp.zeros_like(a2, dtype=jnp.bool_)
+    nbo = jnp.zeros_like(a2)
     cc, cct, clast = c2, ct, last
     nrem = n
     for _ in range(3):
@@ -481,6 +523,7 @@ def mq_step(jnp, carry, slot):
         clast = jnp.where(bo, newlast, clast)
         cc = jnp.where(bo, newc, cc)
         cct = jnp.where(bo, newct, cct)
+        nbo = nbo + bo.astype(jnp.int32)
         # ---- word push ----
         e32 = (evalid).astype(jnp.int32)
         wacc = wacc | jnp.where(e32 == 1, ebyte << (8 * wcnt), 0)
@@ -492,7 +535,7 @@ def mq_step(jnp, carry, slot):
         wcnt = jnp.where(wfull, 0, wcnt)
 
     out = (a3, cc, cct, clast, wacc, wcnt) + tuple(cps)
-    return out, word_o, full_o
+    return out, word_o, full_o, nbo
 
 
 NSTATE = 6 + NCTX_WORDS  # a, c, ct, last, wacc, wcnt, 5 packed ctx words
@@ -505,15 +548,15 @@ def _init_state(jnp, B):
 
 
 def _mq_scan_w(jnp, lax, slots, B):
-    """slots: (T, B) int32 -> (words (T, B), mask (T, B), final state
-    tuple)."""
+    """slots: (T, B) int32 -> (words (T, B), mask (T, B), nbo (T, B)
+    per-step byteout counts, final state tuple)."""
     def step(carry, s):
-        carry, word, full = mq_step(jnp, carry, s)
-        return carry, (word, full)
+        carry, word, full, nbo = mq_step(jnp, carry, s)
+        return carry, (word, full, nbo)
 
-    carry, (words, mask) = lax.scan(step, _init_state(jnp, B), slots,
-                                    unroll=1)
-    return words, mask, carry
+    carry, (words, mask, nbo) = lax.scan(step, _init_state(jnp, B), slots,
+                                         unroll=1)
+    return words, mask, nbo, carry
 
 
 MQ_CCAP = 8       # words kept per lane per 256-step chunk (level 1)
@@ -593,40 +636,45 @@ def _use_pallas() -> bool:
 
 
 def run_mq_scans(jnp, lax, slots, B):
-    """Flat-contract scan: (T, B) -> ((T, B) words, mask, state tuple).
-    Test/back-compat surface; production uses run_mq_scans_blocked."""
+    """Flat-contract scan: (T, B) -> ((T, B) words, mask, nbo, state
+    tuple). Test/back-compat surface; production uses
+    run_mq_scans_blocked."""
     if _use_pallas():
         from . import mq_scan_pallas
         b_pad = -(-B // 128) * 128
         if b_pad != B:
             slots = jnp.pad(slots, ((0, 0), (0, b_pad - B)))
-        words, mask, st = mq_scan_pallas.mq_scan(slots)
+        words, mask, nbo, st = mq_scan_pallas.mq_scan(slots)
         if b_pad != B:
             words = words[:, :B]
             mask = mask[:, :B]
+            nbo = nbo[:, :B]
             st = tuple(s[:B] for s in st)
-        return words, mask, st
+        return words, mask, nbo, st
     return _mq_scan_w(jnp, lax, slots, B)
 
 
 def run_mq_scans_blocked(jnp, lax, slots):
     """Blocked-layout scan: slots (T, B) with B % 128 == 0 ->
     (words (t_pad, S, 128), m8 (t_pad, S, 128) int32 chunk-local word
-    indices (-1 where none), state (NSTATE, S, 128)); t_pad rounds T up
-    to the 256-step scan chunk."""
+    indices (-1 where none), nbo (t_pad, S, 128) per-step byteout
+    counts, state (NSTATE, S, 128)); t_pad rounds T up to the 256-step
+    scan chunk."""
     T, B = slots.shape
     S = B // 128
     if _use_pallas():
         from . import mq_scan_pallas
         return mq_scan_pallas.mq_scan_blocked(slots, S)
-    w, m, st = _mq_scan_w(jnp, lax, slots.astype(jnp.int32), B)
+    w, m, nbo, st = _mq_scan_w(jnp, lax, slots.astype(jnp.int32), B)
     t_pad = -(-T // 256) * 256
     w = jnp.pad(w, ((0, t_pad - T), (0, 0)))
+    nbo = jnp.pad(nbo, ((0, t_pad - T), (0, 0)))
     mv = jnp.pad(m.astype(jnp.int32), ((0, t_pad - T), (0, 0)))
     mc = mv.reshape(-1, 256, B)
     m8 = jnp.where(mv.reshape(-1, 256, B) > 0,
                    jnp.cumsum(mc, axis=1) - 1, -1).reshape(t_pad, B)
     return (w.reshape(t_pad, S, 128), m8.reshape(t_pad, S, 128),
+            nbo.reshape(t_pad, S, 128),
             jnp.stack(st).reshape(NSTATE, S, 128))
 
 
@@ -709,7 +757,8 @@ NMETRICS = 8  # nbytes, a, c, ct, last, wacc, overflow, nbps
 
 
 @functools.lru_cache(maxsize=128)
-def _jitted_mq_group(h: int, w: int, B: int, nplanes: int):
+def _jitted_mq_group(h: int, w: int, B: int, nplanes: int,
+                     want_rd: bool = False):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -718,14 +767,20 @@ def _jitted_mq_group(h: int, w: int, B: int, nplanes: int):
 
     def run(mag, neg, orient, nbps):
         # mag/neg: (hp, w, B) lanes-last
-        slots = build_slot_stream(jnp, lax, mag, neg,
-                                  orient[None, None, :],
-                                  nbps[None, None, :], nplanes, geo)
+        dists = None
+        if want_rd:
+            slots, dists = build_slot_stream(
+                jnp, lax, mag, neg, orient[None, None, :],
+                nbps[None, None, :], nplanes, geo, want_dist=True)
+        else:
+            slots = build_slot_stream(jnp, lax, mag, neg,
+                                      orient[None, None, :],
+                                      nbps[None, None, :], nplanes, geo)
         b_pad = -(-B // 128) * 128
         if b_pad != B:
             slots = jnp.pad(slots, ((0, 0), (0, b_pad - B)))
         slots = jax.lax.optimization_barrier(slots)
-        words, m8, st = run_mq_scans_blocked(jnp, lax, slots)
+        words, m8, nbo, st = run_mq_scans_blocked(jnp, lax, slots)
         comp2, counts2, nbytes, overflow = _compact_words(
             jnp, words, m8, st)
         nbp = jnp.pad(nbps, (0, b_pad - B)).reshape(nbytes.shape)
@@ -733,12 +788,37 @@ def _jitted_mq_group(h: int, w: int, B: int, nplanes: int):
             [nbytes, st[0], st[1], st[2], st[3], st[4],
              overflow.astype(jnp.int32), nbp], axis=-1)  # (S, 128, 8)
         metrics = metrics.reshape(-1, NMETRICS)[:B]
-        small = jnp.concatenate(
-            [metrics.reshape(-1),
-             counts2.reshape(counts2.shape[0], -1)[:, :B].reshape(-1)])
-        return small, comp2
+        parts = [metrics.reshape(-1),
+                 counts2.reshape(counts2.shape[0], -1)[:, :B].reshape(-1)]
+        if want_rd:
+            # Cumulative byteout counts at each (static) pass boundary:
+            # the host coder's buffer length at pass end, the quantity
+            # PCRD truncation rates are built from (t1_np.py rate=...+5).
+            parts.append(pass_cum_byteouts(jnp, nbo, h, w,
+                                           nplanes).reshape(-1, b_pad)
+                         [:, :B].reshape(-1))
+            return jnp.concatenate(parts), dists.reshape(-1, B), comp2
+        return jnp.concatenate(parts), comp2
 
     return jax.jit(run)
+
+
+def pass_cum_byteouts(jnp, nbo, h: int, w: int, nplanes: int):
+    """(t_pad, S, 128) per-step byteout counts -> (3*nplanes, S, 128)
+    cumulative byteouts at each pass boundary. Pass slot ranges are
+    static: per plane [SPP 8nsw | MRP 4nsw | CLN 11nsw] (see
+    _plane_slots assembly)."""
+    hp = -(-h // 4) * 4
+    nsw = (hp // 4) * w
+    tp = slots_per_plane(h, w)
+    sums = []
+    for q in range(nplanes):
+        base = q * tp
+        for (a, b) in ((base, base + 8 * nsw),
+                       (base + 8 * nsw, base + 12 * nsw),
+                       (base + 12 * nsw, base + 23 * nsw)):
+            sums.append(nbo[a:b].sum(axis=0))
+    return jnp.cumsum(jnp.stack(sums), axis=0)
 
 
 def splice_mq_words(comp2_np: np.ndarray, counts2_np: np.ndarray,
@@ -772,9 +852,13 @@ def splice_mq_words(comp2_np: np.ndarray, counts2_np: np.ndarray,
     return out
 
 
-def mq_encode_blocks(blocks) -> List[Tuple[bytes, int, int]]:
+def mq_encode_blocks(blocks, want_rd: bool = False) -> List[Tuple]:
     """blocks: [(mag (h,w) uint32, neg (h,w) 0/1, orient int), ...] ->
-    [(data, numbps, numpasses), ...] for the default code-block style.
+    [(data, numbps, numpasses), ...] for the default code-block style,
+    or [(data, numbps, numpasses, passes), ...] with `want_rd` (PCRD /
+    multi-layer callers), where `passes` carries per-pass truncation
+    rates byte-identical to the host coder's (t1/t1_np.py PassInfo) and
+    distortion decreases float32-summed on device.
     Groups by shape; all groups dispatch (and start their async
     device->host copies) before any collects. Lanes whose chunked word
     compaction overflowed (pathological content) are re-encoded with
@@ -803,19 +887,31 @@ def mq_encode_blocks(blocks) -> List[Tuple[bytes, int, int]]:
             negs[:h, :, k] = blocks[i][1]
             orients[k] = blocks[i][2]
             nbps[k] = nb
-        fn = _jitted_mq_group(h, w, Bp, npl)
-        small, comp2 = fn(jnp.asarray(mags), jnp.asarray(negs),
-                          jnp.asarray(orients), jnp.asarray(nbps))
-        for a in (small, comp2):
+        fn = _jitted_mq_group(h, w, Bp, npl, want_rd)
+        outs = fn(jnp.asarray(mags), jnp.asarray(negs),
+                  jnp.asarray(orients), jnp.asarray(nbps))
+        for a in outs:
             try:
                 a.copy_to_host_async()
             except Exception:
                 pass
-        handles.append((entries, Bp, small, comp2))
-    for (entries, Bp, small, comp2) in handles:
+        handles.append((entries, Bp, npl, outs))
+    for (entries, Bp, npl, outs) in handles:
+        if want_rd:
+            small, dists, comp2 = outs
+            dists_np = np.asarray(dists, np.float64)  # (3*npl, Bp)
+        else:
+            small, comp2 = outs
+            dists_np = None
         small_np = np.asarray(small)
         metrics_np = small_np[:Bp * NMETRICS].reshape(Bp, NMETRICS)
-        counts2_np = small_np[Bp * NMETRICS:].reshape(-1, Bp)
+        rest = small_np[Bp * NMETRICS:]
+        if want_rd:
+            cumbo_np = rest[-3 * npl * Bp:].reshape(3 * npl, Bp)
+            counts2_np = rest[:-3 * npl * Bp].reshape(-1, Bp)
+        else:
+            cumbo_np = None
+            counts2_np = rest.reshape(-1, Bp)
         comp2_np = np.asarray(comp2)
         ngrp, cap2 = comp2_np.shape[0], comp2_np.shape[1]
         comp2_np = comp2_np.reshape(ngrp, cap2, -1)[:, :, :Bp]
@@ -824,13 +920,58 @@ def mq_encode_blocks(blocks) -> List[Tuple[bytes, int, int]]:
         for k, (i, nb) in enumerate(entries):
             if metrics_np[k, 6]:
                 from ..t1 import backend as _t1b
-                results[i] = _t1b.encode_cblk(
+                full = _t1b.encode_cblk(
                     blocks[i][0], blocks[i][1].astype(np.uint8),
-                    blocks[i][2], 0)[:3]
+                    blocks[i][2], 0)
+                results[i] = full if want_rd else full[:3]
                 continue
-            results[i] = (segs[k] if nb > 0 else b"", nb,
-                          3 * nb - 2 if nb > 0 else 0)
+            data = segs[k] if nb > 0 else b""
+            npasses = 3 * nb - 2 if nb > 0 else 0
+            if not want_rd:
+                results[i] = (data, nb, npasses)
+                continue
+            results[i] = (data, nb, npasses,
+                          _lane_passes(data, nb, npl, cumbo_np[:, k],
+                                       dists_np[:, k]))
     return results
+
+
+def _lane_passes(data: bytes, nb: int, npl: int, cumbo: np.ndarray,
+                 dists: np.ndarray):
+    """Build the host-contract PassInfo list for one lane from device
+    cumulative byteouts + per-pass distortion sums.
+
+    Device rows run plane npl-1 .. 0, three passes each (SPP, MRP,
+    CLN); a lane with nb < npl bitplanes starts at the CLN of plane
+    nb-1 (row 3*(npl-nb)+2). Rates follow t1_np.encode_cblk exactly:
+    non-terminated rate = bytes_so_far + 5 clamped into [prev, total];
+    the final (terminated) pass is the exact segment length."""
+    from ..t1.t1_np import PassInfo
+
+    if nb <= 0:
+        return []
+    total = len(data)
+    j0 = 3 * (npl - nb) + 2
+    rows = range(j0, 3 * npl)
+    # distortion rows are (plane, pass) scaled by 4^-plane; device
+    # plane index q -> real plane npl-1-q
+    dist_cum = 0.0
+    passes = []
+    n = 3 * nb - 2
+    for idx, j in enumerate(rows):
+        plane = npl - 1 - (j // 3)
+        dist_cum += float(dists[j]) * float(4.0 ** plane)
+        last = idx == n - 1
+        rate = total if last else min(int(cumbo[j]) + 5, total)
+        passes.append(PassInfo(rate=rate, distortion=dist_cum,
+                               terminated=last))
+    for i in range(n - 2, -1, -1):
+        if passes[i].rate > passes[i + 1].rate:
+            passes[i].rate = passes[i + 1].rate
+    for i in range(1, n):
+        if passes[i].rate < passes[i - 1].rate:
+            passes[i].rate = passes[i - 1].rate
+    return passes
 
 
 def _pad_batch(n: int) -> int:

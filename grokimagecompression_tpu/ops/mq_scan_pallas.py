@@ -42,8 +42,9 @@ _CHUNK = 256
 def mq_scan_blocked(slots, s: int):
     """slots: (T, B) int32/int8 slot bytes with B == s * 128.
     Returns blocked (t_pad, s, 128) words (int32), m8 (int32: the
-    word's index within its 256-step chunk, -1 where no word), and the
-    final state as an (NSTATE, s, 128) int32 array."""
+    word's index within its 256-step chunk, -1 where no word), nbo
+    (int32 per-step byteout counts, for pass-boundary truncation
+    rates), and the final state as an (NSTATE, s, 128) int32 array."""
     T, B = slots.shape
     t_pad = -(-T // _CHUNK) * _CHUNK
     sl = jnp.pad(slots.astype(jnp.int32),
@@ -51,7 +52,7 @@ def mq_scan_blocked(slots, s: int):
     nstate = mq_jax.NSTATE
     init = list(mq_jax.STATE_INIT)
 
-    def kernel(s_ref, out_w, out_m, st_ref, scratch):
+    def kernel(s_ref, out_w, out_m, out_b, st_ref, scratch):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -61,9 +62,11 @@ def mq_scan_blocked(slots, s: int):
 
         def body(t, carry):
             cnt = carry[-1]
-            carry, word, full = mq_jax.mq_step(jnp, carry[:-1], s_ref[t])
+            carry, word, full, nbo = mq_jax.mq_step(jnp, carry[:-1],
+                                                    s_ref[t])
             out_w[t] = word
             out_m[t] = jnp.where(full, cnt, -1)
+            out_b[t] = nbo
             cnt = cnt + full.astype(jnp.int32)
             return carry + (cnt,)
 
@@ -77,9 +80,10 @@ def mq_scan_blocked(slots, s: int):
     out_shape = [
         jax.ShapeDtypeStruct((t_pad, s, 128), jnp.int32),
         jax.ShapeDtypeStruct((t_pad, s, 128), jnp.int32),
+        jax.ShapeDtypeStruct((t_pad, s, 128), jnp.int32),
         jax.ShapeDtypeStruct((nstate, s, 128), jnp.int32),
     ]
-    words, m8, state = pl.pallas_call(
+    words, m8, nbo, state = pl.pallas_call(
         kernel,
         grid=(t_pad // _CHUNK,),
         in_specs=[
@@ -91,22 +95,25 @@ def mq_scan_blocked(slots, s: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_CHUNK, s, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK, s, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((nstate, s, 128), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((nstate, s, 128), jnp.int32)],
     )(sl)
-    return words, m8, state
+    return words, m8, nbo, state
 
 
 def mq_scan(slots):
-    """Back-compat wrapper: (T, B) in -> flat (T, B) words/mask + state
-    tuple (tests only; production uses mq_scan_blocked)."""
+    """Back-compat wrapper: (T, B) in -> flat (T, B) words/mask/nbo +
+    state tuple (tests only; production uses mq_scan_blocked)."""
     T, B = slots.shape
-    words, m8, state = mq_scan_blocked(slots, B // 128)
+    words, m8, nbo, state = mq_scan_blocked(slots, B // 128)
     words = words.reshape(-1, B)[:T]
     mask = (m8.reshape(-1, B)[:T]) >= 0
+    nbo = nbo.reshape(-1, B)[:T]
     st = tuple(state.reshape(mq_jax.NSTATE, B)[k]
                for k in range(mq_jax.NSTATE))
-    return words, mask, st
+    return words, mask, nbo, st

@@ -96,9 +96,9 @@ def encode_cblk_batch_bands(bands, descs, orients, kmaxs,
     (band_idx, x0, y0, w, h). Equivalent to slicing each block,
     quantizing, converting to (mag, neg) and calling encode_cblk_batch.
 
-    `needs_pass_rates=True` (PCRD / multi-layer callers) disables the
-    device MQ route, which reports only final segment bytes, not
-    per-pass truncation rates.
+    `needs_pass_rates=True` (PCRD / multi-layer callers) makes the
+    device MQ route return per-pass truncation rates (byte-identical
+    to the host coder's) and device-summed distortion decreases.
     """
     import numpy as _np
     nat = _get_native()
@@ -106,7 +106,7 @@ def encode_cblk_batch_bands(bands, descs, orients, kmaxs,
     n = len(descs)
     if n == 0:
         return []
-    if (cblk_style == 0 and not needs_pass_rates and _use_device_t1()):
+    if cblk_style == 0 and _use_device_t1():
         # Device EBCOT Part-1: analysis passes + lane-parallel Pallas MQ
         # scan on the TPU (ops/mq_jax.py); default code-block style only.
         from ..ops import mq_jax
@@ -123,6 +123,8 @@ def encode_cblk_batch_bands(bands, descs, orients, kmaxs,
                 m = _np.abs(aa).astype(_np.uint32)
                 neg = (aa < 0).astype(_np.int32)
             blocks.append((m, neg, int(orients[i])))
+        if needs_pass_rates:
+            return mq_jax.mq_encode_blocks(blocks, want_rd=True)
         out = []
         for (d, nb, npasses) in mq_jax.mq_encode_blocks(blocks):
             passes = [t1_np.PassInfo(rate=len(d), distortion=0.0,

@@ -82,3 +82,90 @@ def test_64x64_natural_content():
     neg = (v < 0).astype(np.uint8)
     sparse = np.where(rng.random((64, 64)) < 0.9, 0, mag).astype(np.uint32)
     _check([(mag, neg, 0), (sparse, neg, 3)])
+
+
+def _check_rd(blocks):
+    """Device want_rd output: rates byte-identical to the oracle's
+    PassInfo rates; distortions equal within float32-summation noise."""
+    got = mq_jax.mq_encode_blocks(blocks, want_rd=True)
+    for i, (mag, neg, orient) in enumerate(blocks):
+        data, numbps, numpasses, passes = t1_np.encode_cblk(mag, neg, orient)
+        gdata, gbps, gpasses, gp = got[i]
+        assert gdata == data and gbps == numbps and gpasses == numpasses
+        assert len(gp) == len(passes)
+        for k, (hp, dp) in enumerate(zip(passes, gp)):
+            assert dp.rate == hp.rate, (
+                f"block {i} pass {k}: rate {dp.rate} != {hp.rate}")
+            assert dp.terminated == hp.terminated
+            tol = 1e-4 * max(1.0, abs(hp.distortion))
+            assert abs(dp.distortion - hp.distortion) <= tol, (
+                f"block {i} pass {k}: dist {dp.distortion} "
+                f"!= {hp.distortion}")
+
+
+def test_pass_rates_and_distortion():
+    rng = np.random.default_rng(21)
+    blocks = []
+    for dens, mb, hi in [(0.5, 6, 60), (0.05, 8, 250), (1.0, 4, 15)]:
+        for orient in (0, 2):
+            blocks.append(_rand_block(rng, 16, 16, dens, mb, hi, orient))
+    _check_rd(blocks)
+
+
+def test_pass_rates_mixed_nbps_lanes():
+    # lanes with fewer bitplanes than the group's max: their pass list
+    # starts at the CLN of their own MSB plane
+    rng = np.random.default_rng(22)
+    blocks = [
+        _rand_block(rng, 8, 8, 0.4, 3, 7, 0),
+        _rand_block(rng, 8, 8, 0.4, 9, 500, 1),
+        _rand_block(rng, 8, 8, 0.1, 1, 1, 2),
+    ]
+    _check_rd(blocks)
+
+
+def test_pass_rates_natural_64():
+    rng = np.random.default_rng(23)
+    yy, xx = np.mgrid[0:64, 0:64]
+    v = (40 * np.sin(yy / 9.0) * np.cos(xx / 7.0)
+         + rng.normal(0, 6, (64, 64)))
+    mag = np.abs(v).astype(np.uint32)
+    neg = (v < 0).astype(np.uint8)
+    _check_rd([(mag, neg, 0)])
+
+
+def _psnr(a, b, peak=255.0):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(peak * peak / mse)
+
+
+def test_pcrd_encode_via_device_backend(monkeypatch):
+    """End-to-end rate-controlled encode with the device MQ coder
+    supplying per-pass R-D tables: meets the byte budget, decodes, and
+    matches the host allocation's quality (identical truncation rates;
+    distortions differ only by float32 summation noise)."""
+    from grokimagecompression_tpu.codestream import decoder, encoder
+    from grokimagecompression_tpu.core.image import Component, Image
+    from grokimagecompression_tpu.core.params import EncoderParams
+
+    rng = np.random.default_rng(31)
+    yy, xx = np.mgrid[0:128, 0:128]
+    data = ((128 + 60 * np.sin(yy / 17.0) * np.cos(xx / 11.0)
+             + rng.normal(0, 10, (128, 128))).clip(0, 255)).astype(np.int32)
+    img = Image(xsiz=128, ysiz=128, components=[
+        Component(data=data, prec=8, signed=False, dx=1, dy=1)])
+    params = EncoderParams(numresolutions=4, rates=(12.0, 4.0))
+
+    cs_host = encoder.encode(img, params)
+    monkeypatch.setenv("GROK_TPU_T1", "device")
+    cs_dev = encoder.encode(img, params)
+    monkeypatch.delenv("GROK_TPU_T1")
+
+    budget = 128 * 128 // 4
+    assert len(cs_dev) <= budget + 512
+    assert abs(len(cs_dev) - len(cs_host)) <= max(64, len(cs_host) // 20)
+    out_h = decoder.decode(cs_host)
+    out_d = decoder.decode(cs_dev)
+    ph = _psnr(out_h.components[0].data, data)
+    pd = _psnr(out_d.components[0].data, data)
+    assert abs(ph - pd) < 0.1, (ph, pd)
