@@ -80,7 +80,7 @@ def bench_device_batch(mq: bool = False):
     return ("encode_throughput_device_batch_512", mps, GROK_SINGLE_CORE_MPS)
 
 
-def bench_chip(mq: bool = False):
+def bench_chip(mq: bool = False, lossy_rd: bool = False):
     """Per-chip fused-pipeline throughput with frame data resident in HBM.
 
     Measures the complete on-device encode pipeline (DC shift -> MCT ->
@@ -108,8 +108,19 @@ def bench_chip(mq: bool = False):
     from grokimagecompression_tpu.core.params import EncoderParams
     from grokimagecompression_tpu.models import fused_encode
 
-    params = EncoderParams(numresolutions=6,
-                           cblk_style=0 if mq else 0x40)
+    from grokimagecompression_tpu.core.params import Transform
+
+    if lossy_rd:
+        # The production lossy-serving program: ICT-free gray 9/7 with
+        # device deadzone quantization AND per-pass R-D table emission
+        # (the PCRD inputs), i.e. everything the chip contributes to a
+        # rate-controlled encode.
+        mq = True
+        params = EncoderParams(numresolutions=6,
+                               transform=Transform.DWT_97)
+    else:
+        params = EncoderParams(numresolutions=6,
+                               cblk_style=0 if mq else 0x40)
     chunk = int(os.environ.get("BENCH_CHUNK", "32"))
     nchunks = int(os.environ.get("BENCH_CHUNKS", "2"))
     imgs = [_config1_image(shift=i) for i in range(chunk * nchunks)]
@@ -119,7 +130,8 @@ def bench_chip(mq: bool = False):
     tr = tile_rect(0, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
                    siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
     plan = fused_encode.build_plan(siz, cod, qcd, tr,
-                                   coder="mq" if mq else "ht")
+                                   coder="mq" if mq else "ht",
+                                   want_rd=lossy_rd)
     assert plan is not None
     chunks = []
     for ci in range(nchunks):
@@ -150,8 +162,9 @@ def bench_chip(mq: bool = False):
         best = min(best, time.perf_counter() - t0)
     nframes = passes * nchunks * chunk
     mps = nframes * 512 * 512 / best / 1e6
-    name = ("encode_mps_per_chip_mq_pipeline_512" if mq
-            else "encode_mps_per_chip_fused_pipeline_512")
+    name = ("encode_mps_per_chip_97_rd_pipeline_512" if lossy_rd
+            else ("encode_mps_per_chip_mq_pipeline_512" if mq
+                  else "encode_mps_per_chip_fused_pipeline_512"))
     return (name, mps,
             GROK_SINGLE_CORE_MQ_MPS if mq else GROK_SINGLE_CORE_MPS)
 
@@ -208,6 +221,8 @@ def main():
         name, mps, denom = bench_chip()
     elif mode == "chip-mq":
         name, mps, denom = bench_chip(mq=True)
+    elif mode == "chip-rd":
+        name, mps, denom = bench_chip(lossy_rd=True)
     elif mode in ("device", "serving"):
         name, mps, denom = bench_device_batch()
     elif mode == "host":

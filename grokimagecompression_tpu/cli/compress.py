@@ -305,7 +305,8 @@ def main(argv=None) -> int:
             prof = profiles.apply_broadcast(params, image, **kw)
         for w in prof.warnings:
             print(f"warning: {w}", file=sys.stderr)
-        cs = profiles.encode_with_profile(image, prof)
+        cs = profiles.encode_with_profile(image, prof,
+                                          device=args.device)
     else:
         cs = encoder.encode(image, params, device=args.device,
                             rsiz=args.rsiz)

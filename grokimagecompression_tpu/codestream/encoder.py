@@ -491,19 +491,28 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
     # _device_mq_ok() initializes the jax backend (on a tunneled TPU
     # that can block for seconds — or hang if the link is down), so it
     # must only be consulted when the caller asked for device encode.
-    mq_fusable = (device and cod.cblk_style == 0 and layer_alloc is None
-                  and _device_mq_ok())
+    # PCRD callers fuse too: the MQ program emits per-pass R-D tables
+    # (want_rd) that feed the host allocator directly.
+    mq_fusable = (device and cod.cblk_style == 0 and _device_mq_ok())
     if (device and (is_ht or mq_fusable) and custom_coding_matrix is None
             and mesh is None and roishifts is None
             and _t1_segments_by_tile is None
-            and cod.transform == Transform.DWT_53):
+            # precomputed transforms (HT rate-control step search) must
+            # not re-enter the fused transform+code program: each step
+            # candidate would compile a fresh program (stepsize is part
+            # of the plan), and the cache exists precisely to avoid
+            # recomputing the transform
+            and _coeff_bands_by_tile is None
+            and cod.transform in (Transform.DWT_53, Transform.DWT_97)):
         from ..models import fused_encode as fused_mod
         coder = "ht" if is_ht else "mq"
+        want_rd = coder == "mq" and layer_alloc is not None
         for t in range(numtiles):
             tr = tile_rect(t, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
                            siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
             plan = fused_mod.build_plan(siz, cod, qcd, tr,
-                                        cod_comp=cod_comp, coder=coder)
+                                        cod_comp=cod_comp, coder=coder,
+                                        want_rd=want_rd)
             if plan is None:
                 fused_handles.clear()
                 break
@@ -708,7 +717,7 @@ def encode_batch(images: List[Image], params: Optional[EncoderParams] = None,
     same_geom = all(_geom(im) == _geom(images[0]) for im in images)
     fusable = (device and (is_ht or is_mq) and same_geom
                and len(images) > 1
-               and params.transform == Transform.DWT_53
+               and params.transform in (Transform.DWT_53, Transform.DWT_97)
                and not params.rates and not params.quality_psnr
                and params.custom_mct is None
                and (params.roi_comp is None or params.roi_shift == 0))

@@ -437,8 +437,12 @@ def apply_imf(params: EncoderParams, image, variant: str = "2k",
         warnings=warnings)
 
 
-def encode_with_profile(image, profiled: ProfiledParams) -> bytes:
-    """Encode applying the profile's rsiz and byte caps."""
+def encode_with_profile(image, profiled: ProfiledParams,
+                        device=None) -> bytes:
+    """Encode applying the profile's rsiz and byte caps. `device=True`
+    runs the fused device pipeline (transform + quantization + entropy
+    coding + per-pass R-D tables on the TPU); the profile's PCRD caps
+    are enforced by the same host allocator either way."""
     from . import encoder as enc_mod
     from .pcrd import PCRDAllocator
 
@@ -453,5 +457,5 @@ def encode_with_profile(image, profiled: ProfiledParams) -> bytes:
             max_abs_bytes=budget,
             max_comp_bytes=profiled.max_comp_bytes)
     cs = enc_mod.encode(image, params, layer_alloc=layer_alloc,
-                        rsiz=profiled.rsiz)
+                        rsiz=profiled.rsiz, device=device)
     return cs

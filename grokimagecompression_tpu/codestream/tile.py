@@ -308,11 +308,15 @@ def encode_tile(
     if t1_segments is not None:
         # Segments precoded on device (fused pipeline): T1 is done.
         # HT entries are raw segment bytes; MQ entries are
-        # (data, numbps, numpasses) tuples.
+        # (data, numbps, numpasses) tuples, or (data, numbps, numpasses,
+        # passes) with full per-pass R-D tables when the fused program
+        # ran with want_rd (PCRD callers).
         from ..t1.t1_np import PassInfo
         t1_results = []
         for d in t1_segments:
-            if isinstance(d, tuple):
+            if isinstance(d, tuple) and len(d) == 4:
+                t1_results.append(d)
+            elif isinstance(d, tuple):
                 data, nb, npas = d
                 t1_results.append(
                     (data, nb, npas,

@@ -23,9 +23,17 @@ reference's ojph_block_encoder.cpp:465), and the gather/quantize stage
 reproduces the native block gather exactly for the reversible path
 (integer magnitudes; no rounding freedom).
 
-Restrictions (callers fall back to the staged path): reversible 5/3
-only (irreversible deadzone quantization needs float64 semantics the
-TPU lacks), standard RCT/no-MCT, HT (0x40) block style.
+Scope: standard RCT/ICT or no MCT; HT (0x40) or default-MQ block
+style. Both transforms are in scope: the reversible 5/3 path is
+byte-identical to the host encoder; the irreversible 9/7 path
+quantizes on device in float32 (the TPU has no float64), so a
+coefficient landing exactly on a deadzone boundary can round to the
+adjacent magnitude vs the host's float64 quantizer — the streams are
+equally conformant and equal-quality but not byte-identical
+(tests/test_fused_encode.py asserts PSNR/size parity instead). With
+`want_rd` the MQ program also returns per-pass truncation rates
+(byte-identical to the host coder's) and device-summed distortion
+decreases, so PCRD rate control runs directly on fused device encodes.
 """
 
 from __future__ import annotations
@@ -52,6 +60,7 @@ class BlockSpec:
     h: int
     w: int
     kmax: int                   # band M_b (guard bits + expn - 1)
+    step: float = 1.0           # band stepsize (irreversible quant)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -65,11 +74,14 @@ class FusedPlan:
     # order[g][j] = global t1-desc index of group g's j-th block
     order: Tuple[Tuple[int, ...], ...]
     coder: str = "ht"
+    # emit per-pass R-D tables from the MQ program (PCRD callers)
+    want_rd: bool = False
 
 
 def build_plan(siz, cod, qcd, tile: Rect,
                cod_comp=None, qcd_comp=None,
-               coder: str = "ht") -> Optional[FusedPlan]:
+               coder: str = "ht",
+               want_rd: bool = False) -> Optional[FusedPlan]:
     """Build the fused plan for one tile, or None when out of scope.
 
     The block iteration order (comp -> resolution -> band -> precinct ->
@@ -78,7 +90,9 @@ def build_plan(siz, cod, qcd, tile: Rect,
 
     `coder` selects the device entropy stage: "ht" (Part-15 cleanup
     coder, ops/ht_jax.py) or "mq" (Part-1 EBCOT bitplane passes + MQ
-    scan, ops/mq_jax.py; default code-block style only).
+    scan, ops/mq_jax.py; default code-block style only). `want_rd`
+    (MQ only) makes the program also return per-pass truncation rates
+    and distortion tables for PCRD.
     """
     from ..codestream.tile import build_comp_plan
     from ..core.params import Transform
@@ -88,8 +102,9 @@ def build_plan(siz, cod, qcd, tile: Rect,
             for c in range(ncomps)]
     qcds = [qcd_comp[c] if qcd_comp and qcd_comp[c] else qcd
             for c in range(ncomps)]
-    if any(cc.transform != Transform.DWT_53 for cc in cods):
-        return None
+    if any(cc.transform != cods[0].transform for cc in cods):
+        return None  # mixed per-component transforms: staged path
+    reversible = cods[0].transform == Transform.DWT_53
     if cod.mct not in (0, 1):
         return None
     plans = [build_comp_plan(siz, cods[c], qcds[c], tile, c)
@@ -107,7 +122,9 @@ def build_plan(siz, cod, qcd, tile: Rect,
                             comp=c, key=(res.r, band.orient),
                             y0=cb.rect.y0 - band.rect.y0,
                             x0=cb.rect.x0 - band.rect.x0,
-                            h=cb.rect.h, w=cb.rect.w, kmax=bp.kmax)
+                            h=cb.rect.h, w=cb.rect.w, kmax=bp.kmax,
+                            step=1.0 if reversible
+                            else float(bp.stepsize))
                         if coder == "ht":
                             gk = ((spec.h + 1) // 2, (spec.w + 1) // 2)
                         else:
@@ -122,7 +139,8 @@ def build_plan(siz, cod, qcd, tile: Rect,
         order.append(tuple(i for (i, _) in entries))
     return FusedPlan(cfg=pipeline.config_for_tile(siz, cod, tile),
                      groups=tuple(gtuple), nblocks=gi,
-                     order=tuple(order), coder=coder)
+                     order=tuple(order), coder=coder,
+                     want_rd=bool(want_rd and coder == "mq"))
 
 
 @functools.lru_cache(maxsize=64)
@@ -162,7 +180,15 @@ def _jitted_fused(plan: FusedPlan, nframes: int):
             # (N, B, 2qh, 2qw) frame-major so a frame's blocks are
             # contiguous in the packed output
             v = jnp.stack(mats, axis=1).reshape(-1, 2 * qh, 2 * qw)
-            mag = jnp.abs(v).astype(jnp.uint32)
+            if plan.cfg.reversible:
+                mag = jnp.abs(v).astype(jnp.uint32)
+            else:
+                # deadzone quantization on device (float32; see module
+                # docstring for the host-float64 boundary caveat)
+                inv = np.tile(np.asarray(
+                    [1.0 / b.step for b in blocks], np.float32), nframes)
+                mag = jnp.floor(jnp.abs(v)
+                                * inv[:, None, None]).astype(jnp.uint32)
             neg = (v < 0).astype(jnp.uint8)
             kmaxs = np.asarray([b.kmax for b in blocks], np.int32)
             mbs = jnp.asarray(np.tile(kmaxs, nframes))
@@ -219,6 +245,7 @@ def _jitted_fused_mq(plan: FusedPlan, nframes: int):
     def run(*comps):
         bands_list = pipeline._fwd_transform(plan.cfg, comps)
         smalls = []
+        dists_l = []
         comp2s = []
         for (h, w, blocks) in plan.groups:
             hp = -(-h // 4) * 4
@@ -232,7 +259,14 @@ def _jitted_fused_mq(plan: FusedPlan, nframes: int):
             b_pad = -(-B // 128) * 128
             vt = v.reshape(B, h, w).transpose(1, 2, 0)   # (h, w, B)
             vt = jnp.pad(vt, ((0, hp - h), (0, 0), (0, b_pad - B)))
-            mag = jnp.abs(vt).astype(jnp.uint32)
+            if plan.cfg.reversible:
+                mag = jnp.abs(vt).astype(jnp.uint32)
+            else:
+                # device deadzone quantization (float32; module docstring)
+                inv = np.zeros((b_pad,), np.float32)
+                inv[:B] = np.tile(np.asarray(
+                    [1.0 / b.step for b in blocks], np.float32), nframes)
+                mag = jnp.floor(jnp.abs(vt) * inv).astype(jnp.uint32)
             neg = (vt < 0).astype(jnp.int32)
             orients = jnp.asarray(np.tile(
                 np.array([b.key[1] for b in blocks], np.int32), nframes))
@@ -243,12 +277,17 @@ def _jitted_fused_mq(plan: FusedPlan, nframes: int):
             kmaxg = max(b.kmax for b in blocks)
             for k in range(kmaxg):
                 nbps = jnp.where((mx >> np.uint32(k)) != 0, k + 1, nbps)
-            slots = mq_jax.build_slot_stream(
-                jnp, lax, mag, neg, orients[None, None, :],
-                nbps[None, None, :], kmaxg, geo)
+            if plan.want_rd:
+                slots, dists = mq_jax.build_slot_stream(
+                    jnp, lax, mag, neg, orients[None, None, :],
+                    nbps[None, None, :], kmaxg, geo, want_dist=True)
+            else:
+                slots = mq_jax.build_slot_stream(
+                    jnp, lax, mag, neg, orients[None, None, :],
+                    nbps[None, None, :], kmaxg, geo)
             slots = jax.lax.optimization_barrier(slots)
-            words, m8, _nbo, st = mq_jax.run_mq_scans_blocked(jnp, lax,
-                                                              slots)
+            words, m8, nbo, st = mq_jax.run_mq_scans_blocked(jnp, lax,
+                                                             slots)
             comp2, counts2, nbytes, overflow = mq_jax._compact_words(
                 jnp, words, m8, st)
             metrics = jnp.stack(
@@ -256,11 +295,21 @@ def _jitted_fused_mq(plan: FusedPlan, nframes: int):
                  overflow.astype(jnp.int32),
                  nbps.reshape(nbytes.shape)], axis=-1)
             metrics = metrics.reshape(-1, mq_jax.NMETRICS)[:B]
-            smalls.append(jnp.concatenate(
-                [metrics.reshape(-1),
-                 counts2.reshape(counts2.shape[0], -1)[:, :B].reshape(-1)]))
+            parts = [metrics.reshape(-1),
+                     counts2.reshape(counts2.shape[0], -1)[:, :B]
+                     .reshape(-1)]
+            if plan.want_rd:
+                cumbo = mq_jax.pass_cum_byteouts(jnp, nbo, h, w, kmaxg)
+                parts.append(cumbo.reshape(3 * kmaxg, -1)[:, :B]
+                             .reshape(-1))
+                dists_l.append(dists.reshape(3 * kmaxg, -1)[:, :B]
+                               .reshape(-1))
+            smalls.append(jnp.concatenate(parts))
             comp2s.append(comp2)
-        return (jnp.concatenate(smalls),) + tuple(comp2s)
+        out = (jnp.concatenate(smalls),)
+        if plan.want_rd:
+            out = out + (jnp.concatenate(dists_l),)
+        return out + tuple(comp2s)
 
     return jax.jit(run)
 
@@ -338,13 +387,17 @@ def _collect_mq(plan: FusedPlan, nframes: int, outs) -> List[Optional[List]]:
     from ..ops import mq_jax
 
     small_np = np.asarray(outs[0])
+    dists_np = np.asarray(outs[1], np.float64) if plan.want_rd else None
+    cidx = 2 if plan.want_rd else 1
     res: List[Optional[List]] = [
         [None] * plan.nblocks for _ in range(nframes)]
     bad_frames = set()
     pos = 0
+    dpos = 0
     for gidx, (h, w, blocks) in enumerate(plan.groups):
         B = nframes * len(blocks)
-        comp2_np = np.asarray(outs[1 + gidx])
+        kmaxg = max(b.kmax for b in blocks)
+        comp2_np = np.asarray(outs[cidx + gidx])
         ngrp, cap2 = comp2_np.shape[0], comp2_np.shape[1]
         comp2_np = comp2_np.reshape(ngrp, cap2, -1)[:, :, :B]
         nsm = B * mq_jax.NMETRICS + ngrp * B
@@ -353,6 +406,15 @@ def _collect_mq(plan: FusedPlan, nframes: int, outs) -> List[Optional[List]]:
         counts2_np = small_np[pos + B * mq_jax.NMETRICS:pos + nsm].reshape(
             ngrp, B)
         pos += nsm
+        cumbo_np = None
+        gdists = None
+        if plan.want_rd:
+            cumbo_np = small_np[pos:pos + 3 * kmaxg * B].reshape(
+                3 * kmaxg, B)
+            pos += 3 * kmaxg * B
+            gdists = dists_np[dpos:dpos + 3 * kmaxg * B].reshape(
+                3 * kmaxg, B)
+            dpos += 3 * kmaxg * B
         words = mq_jax.splice_mq_words(comp2_np, counts2_np, metrics_np)
         segs = mq_jax.assemble_mq_segments(words, metrics_np)
         nb0 = len(blocks)
@@ -363,9 +425,16 @@ def _collect_mq(plan: FusedPlan, nframes: int, outs) -> List[Optional[List]]:
                     bad_frames.add(f)
                     continue
                 nbps = int(metrics_np[lane, 7])
-                res[f][plan.order[gidx][j]] = (
-                    segs[lane] if nbps > 0 else b"", nbps,
-                    3 * nbps - 2 if nbps > 0 else 0)
+                data = segs[lane] if nbps > 0 else b""
+                npas = 3 * nbps - 2 if nbps > 0 else 0
+                if plan.want_rd:
+                    passes = mq_jax._lane_passes(
+                        data, nbps, kmaxg, cumbo_np[:, lane],
+                        gdists[:, lane])
+                    res[f][plan.order[gidx][j]] = (data, nbps, npas,
+                                                   passes)
+                else:
+                    res[f][plan.order[gidx][j]] = (data, nbps, npas)
     for f in bad_frames:
         res[f] = None
     return res

@@ -11,6 +11,20 @@ array.  Set GROK_TPU_TESTS=1 to run the suite on the real device instead.
 
 import os
 
+# The suite jit-compiles hundreds of XLA CPU programs; their code/data
+# mappings exceed the kernel's default vm.max_map_count (65530), which
+# kills the process with SIGSEGV inside mmap-ing XLA code (observed at
+# ~61k maps, always at the first compile/deserialize past the cap).
+# Raise the cap when we can (root in the dev container); otherwise the
+# suite still runs — just keep an eye on very long sessions.
+try:
+    with open("/proc/sys/vm/max_map_count") as f:
+        if int(f.read()) < 262144:
+            with open("/proc/sys/vm/max_map_count", "w") as f:
+                f.write("1048576")
+except (OSError, ValueError):
+    pass
+
 if os.environ.get("GROK_TPU_TESTS", "") != "1":
     import jax
 

@@ -111,17 +111,77 @@ def test_encode_batch_mq_matches_sequential(force_device_mq):
         assert cs == encoder.encode(im, params, device=False)
 
 
-def test_build_plan_rejects_irreversible():
-    from grokimagecompression_tpu.codestream.encoder import (build_cod,
-                                                             build_siz)
-    from grokimagecompression_tpu.codestream.tile import default_qcd
-    from grokimagecompression_tpu.core.geometry import Rect
+def _psnr(a, b, peak):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(peak * peak / mse)
+
+
+def mk_natural(w, h, ncomp=1):
+    yy, xx = np.mgrid[0:h, 0:w]
+    comps = []
+    for c in range(ncomp):
+        d = (128 + 60 * np.sin(yy / (13.0 + 3 * c)) * np.cos(xx / 11.0)
+             + rng.normal(0, 8, (h, w))).clip(0, 255).astype(np.int32)
+        comps.append(Component(data=d, prec=8, signed=False, dx=1, dy=1))
+    return Image(xsiz=w, ysiz=h, components=comps)
+
+
+def _decode_psnrs(cs, img):
+    dec = decoder.decode(cs)
+    return [_psnr(dec.components[c].data, img.components[c].data, 255.0)
+            for c in range(img.numcomps)]
+
+
+def test_fused_irreversible_quality_parity():
+    """Device 9/7 encodes quantize in float32 (no float64 on TPU), so
+    the bytes can differ from the host's float64 deadzone at boundary
+    coefficients — quality and size must still match."""
     from grokimagecompression_tpu.core.params import Transform
-    from grokimagecompression_tpu.models import fused_encode
-    img = mk(64, 64)
-    params = EncoderParams(transform=Transform.DWT_97, cblk_style=0x40)
-    siz = build_siz(img, params)
-    cod = build_cod(img, params)
-    qcd = default_qcd(siz, cod, 1)
-    assert fused_encode.build_plan(
-        siz, cod, qcd, Rect(0, 0, 64, 64)) is None
+    img = mk_natural(128, 96, 3)
+    params = EncoderParams(numresolutions=4, transform=Transform.DWT_97,
+                           mct=True, cblk_style=0x40)
+    fused = encoder.encode(img, params, device=True)
+    host = encoder.encode(img, params, device=False)
+    assert abs(len(fused) - len(host)) <= max(64, len(host) // 50)
+    pf = _decode_psnrs(fused, img)
+    ph = _decode_psnrs(host, img)
+    for a, b in zip(pf, ph):
+        assert abs(a - b) < 0.05, (pf, ph)
+
+
+def test_fused_mq_pcrd_rate_control(force_device_mq):
+    """Fused device MQ encode with PCRD: the device-supplied per-pass
+    R-D tables must drive the allocator to the same truncation quality
+    as the host path (identical rates; float32 distortion noise only),
+    within the byte budget."""
+    from grokimagecompression_tpu.core.params import Transform
+    img = mk_natural(128, 128)
+    params = EncoderParams(numresolutions=4, transform=Transform.DWT_97,
+                           rates=(10.0,))
+    fused = encoder.encode(img, params, device=True)
+    import os
+    os.environ["GROK_TPU_T1"] = "native"
+    host = encoder.encode(img, params, device=False)
+    budget = 128 * 128 // 10
+    assert len(fused) <= budget + 512
+    assert abs(len(fused) - len(host)) <= max(64, len(host) // 20)
+    pf = _decode_psnrs(fused, img)[0]
+    ph = _decode_psnrs(host, img)[0]
+    assert abs(pf - ph) < 0.15, (pf, ph)
+
+
+def test_fused_mq_pcrd_lossless_rates_reversible(force_device_mq):
+    """Reversible fused PCRD: rates are exact (integers), so the
+    device allocation matches the host byte-for-byte except float32
+    distortion summation; assert the decoded output is identical and
+    sizes agree tightly."""
+    img = mk_natural(96, 96)
+    params = EncoderParams(numresolutions=3, rates=(8.0, 0.0))
+    fused = encoder.encode(img, params, device=True)
+    import os
+    os.environ["GROK_TPU_T1"] = "native"
+    host = encoder.encode(img, params, device=False)
+    # final layer is lossless in both: decode must reproduce the input
+    dec = decoder.decode(fused)
+    assert np.array_equal(dec.components[0].data, img.components[0].data)
+    assert abs(len(fused) - len(host)) <= max(64, len(host) // 20)
