@@ -715,10 +715,15 @@ def encode_batch(images: List[Image], params: Optional[EncoderParams] = None,
     # encode(): a tunneled-TPU backend init can block)
     is_mq = device and params.cblk_style == 0 and _device_mq_ok()
     same_geom = all(_geom(im) == _geom(images[0]) for im in images)
+    # Rate/quality targets fuse on the MQ path (the device program
+    # returns per-pass R-D tables; the per-image allocator runs on the
+    # host during collect). HT + rates uses the step-search path.
+    needs_rc = bool(params.rates) or bool(params.quality_psnr)
     fusable = (device and (is_ht or is_mq) and same_geom
                and len(images) > 1
                and params.transform in (Transform.DWT_53, Transform.DWT_97)
-               and not params.rates and not params.quality_psnr
+               and not (needs_rc and is_ht)
+               and not (needs_rc and not is_mq)
                and params.custom_mct is None
                and (params.roi_comp is None or params.roi_shift == 0))
     if not fusable:
@@ -749,7 +754,8 @@ def encode_batch(images: List[Image], params: Optional[EncoderParams] = None,
                        siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
         plans[t] = fused_encode.build_plan(siz, cod, qcd, tr,
                                            cod_comp=cod_comp,
-                                           coder="ht" if is_ht else "mq")
+                                           coder="ht" if is_ht else "mq",
+                                           want_rd=needs_rc and not is_ht)
         if plans[t] is None:
             return [encode(im, params, device=device, rsiz=rsiz)
                     for im in images]

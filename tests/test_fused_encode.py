@@ -185,3 +185,19 @@ def test_fused_mq_pcrd_lossless_rates_reversible(force_device_mq):
     dec = decoder.decode(fused)
     assert np.array_equal(dec.components[0].data, img.components[0].data)
     assert abs(len(fused) - len(host)) <= max(64, len(host) // 20)
+
+
+def test_encode_batch_rate_controlled(force_device_mq):
+    """Batched serving with rate control: the fused device programs
+    supply per-pass R-D tables per frame; each frame's PCRD runs on the
+    host during collect. Outputs must meet budgets and match the
+    per-image encode path."""
+    from grokimagecompression_tpu.core.params import Transform
+    imgs = [mk_natural(96, 64) for _ in range(3)]
+    params = EncoderParams(numresolutions=3, transform=Transform.DWT_97,
+                           rates=(6.0,))
+    outs = encoder.encode_batch(imgs, params, device=True, chunk=2)
+    budget = 96 * 64 // 6
+    for im, cs in zip(imgs, outs):
+        assert len(cs) <= budget + 512
+        assert cs == encoder.encode(im, params, device=True)
