@@ -305,8 +305,10 @@ def main(argv=None) -> int:
             prof = profiles.apply_broadcast(params, image, **kw)
         for w in prof.warnings:
             print(f"warning: {w}", file=sys.stderr)
+        # None (not False) when -D wasn't given, so the GROK_TPU_DEVICE
+        # env opt-in inside encode() still applies to profile encodes
         cs = profiles.encode_with_profile(image, prof,
-                                          device=args.device)
+                                          device=args.device or None)
     else:
         cs = encoder.encode(image, params, device=args.device,
                             rsiz=args.rsiz)

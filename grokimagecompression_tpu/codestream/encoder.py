@@ -717,12 +717,15 @@ def encode_batch(images: List[Image], params: Optional[EncoderParams] = None,
     same_geom = all(_geom(im) == _geom(images[0]) for im in images)
     # Rate/quality targets fuse on the MQ path (the device program
     # returns per-pass R-D tables; the per-image allocator runs on the
-    # host during collect). HT + rates uses the step-search path.
-    needs_rc = bool(params.rates) or bool(params.quality_psnr)
+    # host during collect). HT + rates takes the per-image step-search
+    # path — is_mq is False whenever is_ht, so one clause covers it.
+    # Same positive-rate condition as encode(): rates=(0.0,) is
+    # explicit-lossless and must not pay for R-D tables.
+    needs_rc = bool(params.rates and any(r > 0 for r in params.rates)) \
+        or bool(params.quality_psnr)
     fusable = (device and (is_ht or is_mq) and same_geom
                and len(images) > 1
                and params.transform in (Transform.DWT_53, Transform.DWT_97)
-               and not (needs_rc and is_ht)
                and not (needs_rc and not is_mq)
                and params.custom_mct is None
                and (params.roi_comp is None or params.roi_shift == 0))

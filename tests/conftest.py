@@ -48,3 +48,33 @@ if os.environ.get("GROK_TPU_TESTS", "") != "1":
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     except Exception:
         pass
+
+
+# ---- shared test helpers (import-light; numpy only) ----------------------
+
+def psnr(a, b, peak=255.0):
+    """PSNR in dB between two integer sample arrays."""
+    import numpy as np
+    mse = np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64))
+                  ** 2)
+    return 99.0 if mse == 0 else float(10 * np.log10(peak * peak / mse))
+
+
+def natural_image(w, h, ncomp=1, seed=None, prec=8):
+    """Natural-image-like content (smooth waves + noise): realistic T1
+    workloads and meaningful rate-control targets, unlike max-entropy
+    noise."""
+    import numpy as np
+    from grokimagecompression_tpu.core.image import Component, Image
+    rng = np.random.default_rng(17 if seed is None else seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    mid = 1 << (prec - 1)
+    amp = mid // 2
+    comps = []
+    for c in range(ncomp):
+        d = (mid + amp * np.sin(yy / (13.0 + 3 * c)) * np.cos(xx / 11.0)
+             + rng.normal(0, mid / 16.0, (h, w))).clip(
+                 0, (1 << prec) - 1).astype(np.int32)
+        comps.append(Component(data=d, prec=prec, signed=False,
+                               dx=1, dy=1))
+    return Image(xsiz=w, ysiz=h, components=comps)

@@ -111,19 +111,8 @@ def test_encode_batch_mq_matches_sequential(force_device_mq):
         assert cs == encoder.encode(im, params, device=False)
 
 
-def _psnr(a, b, peak):
-    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
-    return 99.0 if mse == 0 else 10 * np.log10(peak * peak / mse)
-
-
-def mk_natural(w, h, ncomp=1):
-    yy, xx = np.mgrid[0:h, 0:w]
-    comps = []
-    for c in range(ncomp):
-        d = (128 + 60 * np.sin(yy / (13.0 + 3 * c)) * np.cos(xx / 11.0)
-             + rng.normal(0, 8, (h, w))).clip(0, 255).astype(np.int32)
-        comps.append(Component(data=d, prec=8, signed=False, dx=1, dy=1))
-    return Image(xsiz=w, ysiz=h, components=comps)
+from conftest import natural_image as mk_natural
+from conftest import psnr as _psnr
 
 
 def _decode_psnrs(cs, img):

@@ -134,9 +134,7 @@ def test_pass_rates_natural_64():
     _check_rd([(mag, neg, 0)])
 
 
-def _psnr(a, b, peak=255.0):
-    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
-    return 99.0 if mse == 0 else 10 * np.log10(peak * peak / mse)
+from conftest import psnr as _psnr
 
 
 def test_pcrd_encode_via_device_backend(monkeypatch):
