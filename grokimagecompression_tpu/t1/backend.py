@@ -184,6 +184,10 @@ def decode_cblk_batch_bands(blocks, bands, placements, cblk_style: int = 0,
             and _device_ht_decode_bands(blocks, bands, placements,
                                         stepsizes):
         return True
+    if cblk_style == 0 and _use_device_t1() \
+            and _device_mq_decode_bands(blocks, bands, placements,
+                                        stepsizes):
+        return True
     if nat is None:
         return False
     if cblk_style & CBLKSTY_HT:
@@ -216,6 +220,43 @@ def _device_ht_decode_bands(blocks, bands, placements, stepsizes) -> bool:
     res = ht_dec_jax.ht_decode_blocks(dev_blocks)
     if any(r is None for r in res):
         return False
+    for (mag, neg), i in zip(res, live):
+        bi, x0, y0 = placements[i][:3]
+        h, w = mag.shape
+        plane = bands[bi]
+        if stepsizes is not None and plane.dtype == _np.float32:
+            mm = mag.astype(_np.float32)
+            mm = _np.where(mag != 0, mm + _np.float32(0.5), mm)
+            v = mm * _np.float32(stepsizes[bi])
+            plane[y0:y0 + h, x0:x0 + w] = _np.where(neg != 0, -v, v)
+        else:
+            m = mag.astype(_np.int32)
+            plane[y0:y0 + h, x0:x0 + w] = _np.where(neg != 0, -m, m)
+    return True
+
+
+def _device_mq_decode_bands(blocks, bands, placements, stepsizes) -> bool:
+    """Device (TPU) Part-1 MQ entropy decode (ops/mq_dec_jax.py):
+    lane-parallel slot-walk scan, bit-exact with the host decoder.
+    Default code-block style / single codeword segment only; returns
+    False when any block is out of scope so the native path keeps
+    ownership."""
+    import numpy as _np
+
+    from ..ops import mq_dec_jax
+    dev_blocks = []
+    live = []
+    for i, (d, s, w, h, o, nb, np_, kmax) in enumerate(blocks):
+        if s is not None and len(s) > 1:
+            return False  # terminated/bypass segment layout
+        d = bytes(d)
+        if s is not None and len(s) == 1:
+            d = d[:int(s[0])]
+        if nb <= 0 or np_ <= 0:
+            continue  # plane stays zero
+        dev_blocks.append((d, w, h, o, nb, np_))
+        live.append(i)
+    res = mq_dec_jax.decode_blocks(dev_blocks)
     for (mag, neg), i in zip(res, live):
         bi, x0, y0 = placements[i][:3]
         h, w = mag.shape
