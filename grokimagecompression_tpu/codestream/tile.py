@@ -846,7 +846,8 @@ def decode_tile(
     # inverse transform.
     _dev_entropy = os.environ.get("GROK_TPU_T1") == "device" \
         or os.environ.get("GROK_TPU_DEC_ENTROPY") == "device"
-    if (use_device and _dev_entropy and (cod.cblk_style & 0x40)
+    if (use_device and _dev_entropy
+            and ((cod.cblk_style & 0x40) or cod.cblk_style == 0)
             and window is None
             and reduce == 0 and not cod_comp and cod.mct != 2
             and not roishifts

@@ -55,28 +55,44 @@ class FusedDecPlan:
     groups: Tuple[Tuple[int, int, Tuple[DecBlock, ...]], ...]
     band_shapes: Tuple[Tuple[int, int, int, int], ...]  # (comp,key...)
     stepsizes: Tuple[float, ...]      # per band (same order), 1.0 if rev
+    coder: str = "ht"
 
 
 @functools.lru_cache(maxsize=32)
 def _jitted_fused_dec(plan: FusedDecPlan,
-                      word_dims: Tuple[Tuple[int, int, int], ...]):
-    """One XLA program: per-group dense stream words -> component sample
-    arrays for the tile."""
+                      word_dims: Tuple[Tuple[int, ...], ...]):
+    """One XLA program: per-group entropy inputs -> component sample
+    arrays for the tile. HT groups take 3 dense stream-word arrays;
+    MQ groups take (seg, end, nbps, npasses, orient) and run the
+    lane-parallel slot-walk decoder (ops/mq_dec_jax.py) in-program."""
     import jax
     import jax.numpy as jnp
+
+    from ..ops import mq_dec_jax
 
     cfg = plan.cfg
     keys = pipeline._band_keys(cfg.numresolutions)
     ncomps = len(cfg.tc_rects)
     rev = cfg.reversible
+    nargs = 3 if plan.coder == "ht" else 5
 
     def run(*words):
         # decode every group
         grids = []
         for gi, (w, h, lanes) in enumerate(plan.groups):
-            mel_w, vlc_w, ms_w = words[3 * gi: 3 * gi + 3]
-            mags, signs = ht_dec_jax.decode_group_core(w, h)(
-                mel_w, vlc_w, ms_w)
+            if plan.coder == "ht":
+                mel_w, vlc_w, ms_w = words[3 * gi: 3 * gi + 3]
+                mags, signs = ht_dec_jax.decode_group_core(w, h)(
+                    mel_w, vlc_w, ms_w)
+            else:
+                seg, end, nbps, npas, ori = words[nargs * gi:
+                                                  nargs * gi + nargs]
+                B, npl = word_dims[gi][0], word_dims[gi][1]
+                magf, negf = mq_dec_jax.decode_core(h, w, B, npl)(
+                    seg, end, nbps, npas, ori)
+                # (HW, B) -> (B, h, w) lane grids like the HT core
+                mags = magf.T.reshape(B, h, w).astype(jnp.uint32)
+                signs = negf.T.reshape(B, h, w)
             grids.append((mags, signs))
         # band planes
         bands: Dict[Tuple[int, Tuple[int, int]], object] = {}
@@ -138,16 +154,23 @@ def decode_tile_device(t1_jobs, t1_job_slots, plans, cods, siz, cod,
             steps.append(1.0 if rev else float(
                 stepsizes_by_band[(c, k)]))
 
+    coder = "ht" if (cod.cblk_style & 0x40) else "mq"
     # group blocks by sample dims; skip empty segments (stay zero)
     groups: Dict[Tuple[int, int], List[Tuple[int, DecBlock]]] = {}
     for i, ((c, key, cb), job) in enumerate(zip(t1_job_slots, t1_jobs)):
         data = job[0]
         w, h = int(job[2]), int(job[3])
-        if len(data) < 2:
-            continue
-        scup = (data[-1] << 4) + (data[-2] & 0xF)
-        if scup > len(data) or scup < 2:
-            return None  # structurally invalid: host path owns errors
+        if coder == "ht":
+            if len(data) < 2:
+                continue
+            scup = (data[-1] << 4) + (data[-2] & 0xF)
+            if scup > len(data) or scup < 2:
+                return None  # structurally invalid: host path owns errors
+        else:
+            if job[1] is not None and len(job[1]) > 1:
+                return None  # multi-segment layout: host path
+            if int(job[5]) <= 0 or int(job[6]) <= 0:
+                continue
         band = None
         for res in plans[c].layout.resolutions:
             for bd in res.bands:
@@ -162,30 +185,58 @@ def decode_tile_device(t1_jobs, t1_job_slots, plans, cods, siz, cod,
     words = []
     word_dims = []
     import jax.numpy as jnp
+
+    from ..ops import mq_dec_jax
     for (w, h) in sorted(groups.keys()):
         entries = groups[(w, h)]
         segs = [bytes(t1_jobs[i][0]) for (i, _) in entries]
-        lcups = [len(s) for s in segs]
-        scups = [(s[-1] << 4) + (s[-2] & 0xF) for s in segs]
-        wm_mel = ht_dec_jax.bucket_words(
-            (8 * (max(scups) + 7)) // 32 + 4)
-        wm_vlc = ht_dec_jax.bucket_words(
-            (8 * (max(scups) + 7)) // 32 + 4)
-        wm_ms = ht_dec_jax.bucket_words(
-            (8 * (max(lc - sc for lc, sc in zip(lcups, scups)) + 8))
-            // 32 + 4)
-        words.append(jnp.asarray(
-            ht_dec_jax._prepass_mel(segs, lcups, scups, wm_mel)))
-        words.append(jnp.asarray(
-            ht_dec_jax._prepass_vlc(segs, lcups, scups, wm_vlc)))
-        words.append(jnp.asarray(
-            ht_dec_jax._prepass_ms(segs, lcups, scups, wm_ms)))
-        word_dims.append((wm_mel, wm_vlc, wm_ms))
+        if coder == "ht":
+            lcups = [len(s) for s in segs]
+            scups = [(s[-1] << 4) + (s[-2] & 0xF) for s in segs]
+            wm_mel = ht_dec_jax.bucket_words(
+                (8 * (max(scups) + 7)) // 32 + 4)
+            wm_vlc = ht_dec_jax.bucket_words(
+                (8 * (max(scups) + 7)) // 32 + 4)
+            wm_ms = ht_dec_jax.bucket_words(
+                (8 * (max(lc - sc for lc, sc in zip(lcups, scups)) + 8))
+                // 32 + 4)
+            words.append(jnp.asarray(
+                ht_dec_jax._prepass_mel(segs, lcups, scups, wm_mel)))
+            words.append(jnp.asarray(
+                ht_dec_jax._prepass_vlc(segs, lcups, scups, wm_vlc)))
+            words.append(jnp.asarray(
+                ht_dec_jax._prepass_ms(segs, lcups, scups, wm_ms)))
+            word_dims.append((wm_mel, wm_vlc, wm_ms))
+        else:
+            jobs = [t1_jobs[i] for (i, _) in entries]
+            if any(j[1] is not None and len(j[1]) == 1
+                   and int(j[1][0]) != len(s)
+                   for j, s in zip(jobs, segs)):
+                segs = [s[:int(j[1][0])] if j[1] else s
+                        for j, s in zip(jobs, segs)]
+            npl = max(int(j[5]) for j in jobs)
+            L = mq_dec_jax._bucket(max(len(s) for s in segs) + 2)
+            B = mq_dec_jax._bucket(len(entries), 8)
+            seg = np.zeros((L, B), np.uint8)
+            end = np.zeros((B,), np.int32)
+            nbps = np.zeros((B,), np.int32)
+            npas = np.zeros((B,), np.int32)
+            ori = np.zeros((B,), np.int32)
+            for k, (j, s) in enumerate(zip(jobs, segs)):
+                seg[:len(s), k] = np.frombuffer(s, np.uint8)
+                end[k] = len(s)
+                ori[k] = int(j[4])
+                nbps[k] = int(j[5])
+                npas[k] = int(j[6])
+            words += [jnp.asarray(seg), jnp.asarray(end),
+                      jnp.asarray(nbps), jnp.asarray(npas),
+                      jnp.asarray(ori)]
+            word_dims.append((B, npl, L))
         gtuple.append((w, h, tuple(b for (_, b) in entries)))
 
     plan = FusedDecPlan(cfg=cfg, groups=tuple(gtuple),
                         band_shapes=tuple(band_shapes),
-                        stepsizes=tuple(steps))
+                        stepsizes=tuple(steps), coder=coder)
     key = (plan, tuple(word_dims))
     fn = _jitted_fused_dec(plan, tuple(word_dims))
     if key in _compiled:

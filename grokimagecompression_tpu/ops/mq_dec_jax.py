@@ -284,9 +284,12 @@ def _sc_ctx_rows(jnp, nbsig, nbneg):
 
 
 @functools.lru_cache(maxsize=64)
-def _jitted_mq_decode(h: int, w: int, B: int, nplanes: int, L: int):
-    """One jitted program: (L, B) uint8 segments (+ per-lane end/nbps/
-    npasses/orient) -> decoded (HW, B) magnitudes and signs."""
+def decode_core(h: int, w: int, B: int, nplanes: int):
+    """Traceable decode core for one shape group: fn(seg (L, B) uint8,
+    end, nbps, npasses, orient) -> ((HW, B) int32 magnitudes, signs).
+    Un-jitted so callers can compose it into larger fused programs
+    (models/fused_decode.py); _jitted_mq_decode wraps it for the
+    standalone block API."""
     import jax
     import jax.numpy as jnp
 
@@ -446,7 +449,15 @@ def _jitted_mq_decode(h: int, w: int, B: int, nplanes: int, L: int):
         magf, negf = carry[5], carry[6]
         return magf[:HW].astype(jnp.int32), negf[:HW]
 
-    return jax.jit(run)
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_mq_decode(h: int, w: int, B: int, nplanes: int, L: int):
+    """One jitted program: (L, B) uint8 segments (+ per-lane end/nbps/
+    npasses/orient) -> decoded (HW, B) magnitudes and signs."""
+    import jax
+    return jax.jit(decode_core(h, w, B, nplanes))
 
 
 def _bucket(n: int, lo: int = 16) -> int:

@@ -91,3 +91,26 @@ def test_end_to_end_device_mq_decode(monkeypatch):
         monkeypatch.delenv("GROK_TPU_T1")
         assert np.array_equal(dev.components[0].data,
                               host.components[0].data)
+
+
+def test_fused_device_decode_mq(monkeypatch):
+    """Fused device decode for MQ streams (entropy decode -> inverse
+    transform as one program): pixel-identical to the host decoder."""
+    from grokimagecompression_tpu.codestream import decoder, encoder
+    from grokimagecompression_tpu.core.params import EncoderParams, Transform
+
+    for img, params in (
+            (natural_image(96, 80, seed=4), EncoderParams(numresolutions=3)),
+            (natural_image(80, 64, 3, seed=5),
+             EncoderParams(numresolutions=3, transform=Transform.DWT_97,
+                           mct=True, rates=(10.0,)))):
+        cs = encoder.encode(img, params)
+        host = decoder.decode(cs)
+        monkeypatch.setenv("GROK_TPU_T1", "device")
+        monkeypatch.setenv("GROK_TPU_DEVICE", "1")
+        dev = decoder.decode(cs)
+        monkeypatch.delenv("GROK_TPU_T1")
+        monkeypatch.delenv("GROK_TPU_DEVICE")
+        for c in range(img.numcomps):
+            assert np.array_equal(dev.components[c].data,
+                                  host.components[c].data)
