@@ -214,7 +214,8 @@ def decode_tile_device(t1_jobs, t1_job_slots, plans, cods, siz, cod,
                    for j, s in zip(jobs, segs)):
                 segs = [s[:int(j[1][0])] if j[1] else s
                         for j, s in zip(jobs, segs)]
-            npl = max(int(j[5]) for j in jobs)
+            # even-bucketed plane count: stable jit keys across content
+            npl = -(-max(int(j[5]) for j in jobs) // 2) * 2
             L = mq_dec_jax._bucket(max(len(s) for s in segs) + 2)
             B = mq_dec_jax._bucket(len(entries), 8)
             seg = np.zeros((L, B), np.uint8)

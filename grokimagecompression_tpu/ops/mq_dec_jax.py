@@ -483,7 +483,10 @@ def decode_blocks(blocks) -> List[Optional[Tuple[np.ndarray, np.ndarray]]]:
             continue
         groups.setdefault((h, w), []).append(bi)
     for (h, w), idxs in sorted(groups.items()):
-        npl = max(blocks[i][4] for i in idxs)
+        # round plane count up to even: lanes idle through the extra
+        # top plane (their pass window starts later), and the jit
+        # signature stays stable across content depth
+        npl = -(-max(blocks[i][4] for i in idxs) // 2) * 2
         L = _bucket(max(len(blocks[i][0]) for i in idxs) + 2)
         B = _bucket(len(idxs), 8)
         seg = np.zeros((L, B), np.uint8)
