@@ -209,30 +209,11 @@ def decode_tile_device(t1_jobs, t1_job_slots, plans, cods, siz, cod,
             word_dims.append((wm_mel, wm_vlc, wm_ms))
         else:
             jobs = [t1_jobs[i] for (i, _) in entries]
-            if any(j[1] is not None and len(j[1]) == 1
-                   and int(j[1][0]) != len(s)
-                   for j, s in zip(jobs, segs)):
-                segs = [s[:int(j[1][0])] if j[1] else s
-                        for j, s in zip(jobs, segs)]
-            # even-bucketed plane count: stable jit keys across content
-            npl = -(-max(int(j[5]) for j in jobs) // 2) * 2
-            L = mq_dec_jax._bucket(max(len(s) for s in segs) + 2)
-            B = mq_dec_jax._bucket(len(entries), 8)
-            seg = np.zeros((L, B), np.uint8)
-            end = np.zeros((B,), np.int32)
-            nbps = np.zeros((B,), np.int32)
-            npas = np.zeros((B,), np.int32)
-            ori = np.zeros((B,), np.int32)
-            for k, (j, s) in enumerate(zip(jobs, segs)):
-                seg[:len(s), k] = np.frombuffer(s, np.uint8)
-                end[k] = len(s)
-                ori[k] = int(j[4])
-                nbps[k] = int(j[5])
-                npas[k] = int(j[6])
-            words += [jnp.asarray(seg), jnp.asarray(end),
-                      jnp.asarray(nbps), jnp.asarray(npas),
-                      jnp.asarray(ori)]
-            word_dims.append((B, npl, L))
+            arrays, dims = mq_dec_jax.pack_lanes(
+                [(s, int(j[4]), int(j[5]), int(j[6]))
+                 for j, s in zip(jobs, segs)])
+            words += [jnp.asarray(a) for a in arrays]
+            word_dims.append(dims)
         gtuple.append((w, h, tuple(b for (_, b) in entries)))
 
     plan = FusedDecPlan(cfg=cfg, groups=tuple(gtuple),

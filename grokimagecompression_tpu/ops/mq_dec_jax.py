@@ -24,7 +24,7 @@ by its (numbps, numpasses) window.
 Scope: default code-block style (no bypass/termination/VSC), encoder
 segment layout (one codeword segment). Callers with other styles use
 the host coder. Bit-exact with t1/t1_np.decode_cblk (the Annex-D
-oracle); enforced by tests/test_mq_device.py.
+oracle); enforced by tests/test_mq_dec_device.py.
 
 Reference counterpart: the scalar triple-pass decoder
 src/lib/jp2/t1/t1_part1/t1.cpp:1038 + mqc.cpp (opj_mqc_decode); there
@@ -39,7 +39,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ..t1.mq import CTX_MAG, CTX_RL, CTX_SC, CTX_UNI, CTX_ZC, MQ_TABLE
-from .mq_jax import NCTX_WORDS, _CTX_INIT_PACKED, _TBL_PACKED
+from .mq_jax import NCTX_WORDS, _CTX_INIT_PACKED, tbl_select
 
 # slot kinds
 K_SPP_ZC, K_SPP_SC, K_MRP = 0, 1, 2
@@ -131,13 +131,6 @@ def _dec_schedule(h: int, w: int):
     )
 
 
-def _tbl_select(jnp, idx):
-    row = jnp.full_like(idx, _TBL_PACKED[0])
-    for k in range(1, 47):
-        row = jnp.where(idx == k, _TBL_PACKED[k], row)
-    return row
-
-
 def _bytein(jnp, c, ct, pos, seg, end, en):
     """Masked BYTEIN (C.3.4 decoder form, mirrors t1/mq.py _bytein)."""
     L = seg.shape[0]
@@ -174,7 +167,7 @@ def mq_dec_step(jnp, regs, cps, seg, end, cx, en):
     p = (pw >> sh) & 0x7F
     idx = p >> 1
     mps = p & 1
-    row = _tbl_select(jnp, idx)
+    row = tbl_select(jnp, idx)
     qe = (row >> 13).astype(jnp.uint32)
     nmps = (row >> 7) & 63
     nlps = (row >> 1) & 63
@@ -296,7 +289,6 @@ def decode_core(h: int, w: int, B: int, nplanes: int):
     sched = _dec_schedule(h, w)
     HW = h * w
     Tp = len(sched["kind"])
-    g0_of = 3 * (nplanes - 1)  # pass number of plane q: 3*q + ptype
 
     xs = {
         k: jnp.asarray(np.tile(sched[k], (nplanes,) + (1,) * (
@@ -467,6 +459,30 @@ def _bucket(n: int, lo: int = 16) -> int:
     return b
 
 
+def pack_lanes(lanes):
+    """Pack [(data, orient, numbps, numpasses), ...] into the decoder's
+    lane arrays with stable jit-key buckets: batch and byte capacity
+    round to powers of two, the plane count rounds up to even (lanes
+    idle through the extra top plane — their pass window starts later).
+    Shared by the staged route (decode_blocks) and the fused decode
+    program (models/fused_decode.py) so the two paths cannot drift."""
+    npl = -(-max(nb for (_, _, nb, _) in lanes) // 2) * 2
+    L = _bucket(max(len(d) for (d, _, _, _) in lanes) + 2)
+    B = _bucket(len(lanes), 8)
+    seg = np.zeros((L, B), np.uint8)
+    end = np.zeros((B,), np.int32)
+    nbps = np.zeros((B,), np.int32)
+    npas = np.zeros((B,), np.int32)
+    ori = np.zeros((B,), np.int32)
+    for k, (d, o, nb, np_) in enumerate(lanes):
+        seg[:len(d), k] = np.frombuffer(d, np.uint8)
+        end[k] = len(d)
+        ori[k] = o
+        nbps[k] = nb
+        npas[k] = np_
+    return (seg, end, nbps, npas, ori), (B, npl, L)
+
+
 def decode_blocks(blocks) -> List[Optional[Tuple[np.ndarray, np.ndarray]]]:
     """blocks: [(data bytes, w, h, orient, numbps, numpasses), ...] ->
     [(mag (h, w) uint32, neg (h, w) uint8), ...] for the default
@@ -483,24 +499,9 @@ def decode_blocks(blocks) -> List[Optional[Tuple[np.ndarray, np.ndarray]]]:
             continue
         groups.setdefault((h, w), []).append(bi)
     for (h, w), idxs in sorted(groups.items()):
-        # round plane count up to even: lanes idle through the extra
-        # top plane (their pass window starts later), and the jit
-        # signature stays stable across content depth
-        npl = -(-max(blocks[i][4] for i in idxs) // 2) * 2
-        L = _bucket(max(len(blocks[i][0]) for i in idxs) + 2)
-        B = _bucket(len(idxs), 8)
-        seg = np.zeros((L, B), np.uint8)
-        end = np.zeros((B,), np.int32)
-        nbps = np.zeros((B,), np.int32)
-        npas = np.zeros((B,), np.int32)
-        ori = np.zeros((B,), np.int32)
-        for k, i in enumerate(idxs):
-            data = blocks[i][0]
-            seg[:len(data), k] = np.frombuffer(data, np.uint8)
-            end[k] = len(data)
-            ori[k] = blocks[i][3]
-            nbps[k] = blocks[i][4]
-            npas[k] = blocks[i][5]
+        lanes = [(blocks[i][0], blocks[i][3], blocks[i][4], blocks[i][5])
+                 for i in idxs]
+        (seg, end, nbps, npas, ori), (B, npl, L) = pack_lanes(lanes)
         fn = _jitted_mq_decode(h, w, B, npl, L)
         magf, negf = fn(jnp.asarray(seg), jnp.asarray(end),
                         jnp.asarray(nbps), jnp.asarray(npas),

@@ -57,6 +57,15 @@ _CTX_INIT[CTX_ZC] = 4 << 1
 _CTX_INIT[CTX_RL] = 3 << 1
 _CTX_INIT[CTX_UNI] = 46 << 1
 
+def tbl_select(jnp, idx):
+    """47-way select of the packed MQ table row (shared by the encoder
+    and decoder steps)."""
+    row = jnp.full_like(idx, _TBL_PACKED[0])
+    for k in range(1, 47):
+        row = jnp.where(idx == k, _TBL_PACKED[k], row)
+    return row
+
+
 # Context states packed 4-per-int32 (8 bits each; values fit 7 bits):
 # word k holds contexts 4k..4k+3. Five packed planes instead of 19
 # keeps the scan's live state inside the vector register file — the
@@ -444,9 +453,7 @@ def mq_step(jnp, carry, slot):
     idx = p >> 1
     mps = p & 1
 
-    row = jnp.full_like(p, _TBL_PACKED[0])
-    for k in range(1, 47):
-        row = jnp.where(idx == k, _TBL_PACKED[k], row)
+    row = tbl_select(jnp, idx)
     qe = row >> 13
     nmps = (row >> 7) & 63
     nlps = (row >> 1) & 63

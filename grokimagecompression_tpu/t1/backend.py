@@ -220,6 +220,15 @@ def _device_ht_decode_bands(blocks, bands, placements, stepsizes) -> bool:
     res = ht_dec_jax.ht_decode_blocks(dev_blocks)
     if any(r is None for r in res):
         return False
+    _scatter_decoded(res, live, bands, placements, stepsizes)
+    return True
+
+
+def _scatter_decoded(res, live, bands, placements, stepsizes) -> None:
+    """Scatter device-decoded (mag, neg) blocks into band planes with
+    the mid-point dequantizer (shared by the HT and MQ device decode
+    routes; must track quant.dequantize's reconstruction convention)."""
+    import numpy as _np
     for (mag, neg), i in zip(res, live):
         bi, x0, y0 = placements[i][:3]
         h, w = mag.shape
@@ -232,7 +241,6 @@ def _device_ht_decode_bands(blocks, bands, placements, stepsizes) -> bool:
         else:
             m = mag.astype(_np.int32)
             plane[y0:y0 + h, x0:x0 + w] = _np.where(neg != 0, -m, m)
-    return True
 
 
 def _device_mq_decode_bands(blocks, bands, placements, stepsizes) -> bool:
@@ -257,18 +265,7 @@ def _device_mq_decode_bands(blocks, bands, placements, stepsizes) -> bool:
         dev_blocks.append((d, w, h, o, nb, np_))
         live.append(i)
     res = mq_dec_jax.decode_blocks(dev_blocks)
-    for (mag, neg), i in zip(res, live):
-        bi, x0, y0 = placements[i][:3]
-        h, w = mag.shape
-        plane = bands[bi]
-        if stepsizes is not None and plane.dtype == _np.float32:
-            mm = mag.astype(_np.float32)
-            mm = _np.where(mag != 0, mm + _np.float32(0.5), mm)
-            v = mm * _np.float32(stepsizes[bi])
-            plane[y0:y0 + h, x0:x0 + w] = _np.where(neg != 0, -v, v)
-        else:
-            m = mag.astype(_np.int32)
-            plane[y0:y0 + h, x0:x0 + w] = _np.where(neg != 0, -m, m)
+    _scatter_decoded(res, live, bands, placements, stepsizes)
     return True
 
 
