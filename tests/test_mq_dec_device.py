@@ -114,3 +114,23 @@ def test_fused_device_decode_mq(monkeypatch):
         for c in range(img.numcomps):
             assert np.array_equal(dev.components[c].data,
                                   host.components[c].data)
+
+
+def test_arbitrary_byte_truncation_matches_host():
+    """Mid-pass byte truncations (not just pass boundaries): the device
+    decoder must degrade exactly like the host oracle (both feed 0xFF
+    past the segment end, C.3.3)."""
+    trng = np.random.default_rng(57)
+    mag = trng.integers(0, 120, (16, 16)).astype(np.uint32)
+    mag = np.where(trng.random((16, 16)) < 0.5, 0, mag).astype(np.uint32)
+    neg = trng.integers(0, 2, (16, 16)).astype(np.uint8)
+    data, nb, npas, _ = t1_np.encode_cblk(mag, neg, 0)
+    cuts = sorted({int(v) for v in trng.integers(1, max(2, len(data)),
+                                                 8)})
+    blocks = [(data[:cut], 16, 16, 0, nb, npas) for cut in cuts]
+    got = mq_dec_jax.decode_blocks(blocks)
+    for (cut, (gm, gn)) in zip(cuts, got):
+        em, en = t1_np.decode_cblk(data[:cut], None, 16, 16, 0, nb, npas)
+        assert np.array_equal(gm, em), f"cut {cut}: magnitudes differ"
+        live = em != 0
+        assert np.array_equal(gn[live], en[live]), f"cut {cut}: signs"
