@@ -213,10 +213,35 @@ def bench_decode():
             GROK_SINGLE_CORE_DEC_MPS)
 
 
+def _device_reachable(timeout_s: int = 240) -> bool:
+    """Probe the accelerator in a SUBPROCESS with a timeout: when the
+    TPU tunnel is down, jax backend init blocks forever (observed in
+    round 2), which would hang the whole bench. A dead probe downgrades
+    to the host bench instead of wedging the driver."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.default_backend() != 'cpu'; "
+             "import jax.numpy as jnp; "
+             "(jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
 def main():
     mode = os.environ.get("GROK_TPU_BENCH", "chip")
     if os.environ.get("GROK_TPU_BENCH_MQ", "") == "1":  # legacy switch
         mode = "mq"
+    if mode in ("chip", "chip-mq", "chip-rd", "device", "serving",
+                "mq-device", "mq-device-single") \
+            and not _device_reachable():
+        sys.stderr.write(
+            "bench: accelerator unreachable (tunnel down?) — "
+            "falling back to the host bench\n")
+        mode = "host"
     if mode == "chip":
         name, mps, denom = bench_chip()
     elif mode == "chip-mq":
