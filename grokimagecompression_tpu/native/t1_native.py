@@ -18,14 +18,18 @@ import numpy as np
 from ..t1.t1_np import PassInfo
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SO = os.path.join(_DIR, "libgrok_t1.so")
+# GROK_T1_LIB selects an alternate build of the native runtime (the
+# sanitizer targets `make asan` / `make tsan`; tests/tools/run_sanitized.sh)
+_SO = os.path.join(_DIR, os.environ.get("GROK_T1_LIB", "libgrok_t1.so"))
 
 MAX_PASSES = 3 * 32 - 2
 
 
 def _build() -> None:
-    subprocess.run(["make", "-s"], cwd=_DIR, check=True,
-                   capture_output=True)
+    target = {"libgrok_t1_asan.so": "asan",
+              "libgrok_t1_tsan.so": "tsan"}.get(os.path.basename(_SO))
+    cmd = ["make", "-s"] + ([target] if target else [])
+    subprocess.run(cmd, cwd=_DIR, check=True, capture_output=True)
 
 
 def _load() -> ctypes.CDLL:
