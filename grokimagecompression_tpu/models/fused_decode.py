@@ -200,12 +200,11 @@ def decode_tile_device(t1_jobs, t1_job_slots, plans, cods, siz, cod,
             wm_ms = ht_dec_jax.bucket_words(
                 (8 * (max(lc - sc for lc, sc in zip(lcups, scups)) + 8))
                 // 32 + 4)
-            words.append(jnp.asarray(
-                ht_dec_jax._prepass_mel(segs, lcups, scups, wm_mel)))
-            words.append(jnp.asarray(
-                ht_dec_jax._prepass_vlc(segs, lcups, scups, wm_vlc)))
-            words.append(jnp.asarray(
-                ht_dec_jax._prepass_ms(segs, lcups, scups, wm_ms)))
+            mel_np, vlc_np, ms_np = ht_dec_jax.prepass_all(
+                segs, lcups, scups, wm_mel, wm_vlc, wm_ms)
+            words.append(jnp.asarray(mel_np))
+            words.append(jnp.asarray(vlc_np))
+            words.append(jnp.asarray(ms_np))
             word_dims.append((wm_mel, wm_vlc, wm_ms))
         else:
             jobs = [t1_jobs[i] for (i, _) in entries]

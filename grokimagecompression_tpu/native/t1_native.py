@@ -120,6 +120,12 @@ def _load() -> ctypes.CDLL:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ctypes.c_int,
     ]
+    lib.grok_ht_dec_prepass.restype = ctypes.c_int
+    lib.grok_ht_dec_prepass.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+    ]
     lib.grok_rct_fwd.restype = ctypes.c_int
     lib.grok_rct_fwd.argtypes = [ctypes.c_void_p] * 6 + [
         ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -609,3 +615,30 @@ def decode_cblk_batch_bands(blocks, bands: List[np.ndarray],
         nthreads if nthreads is not None else default_threads())
     if rc != 0:
         raise RuntimeError("T1 fused band decode failed")
+
+
+def ht_dec_prepass(segs: List[bytes], lcups, scups, wm_mel: int,
+                   wm_vlc: int, wm_ms: int,
+                   nthreads: Optional[int] = None
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Expand HT cleanup segments into the three dense unstuffed
+    stream-word matrices ((wm, B) uint32, lanes-last) consumed by the
+    device decoder — bit-identical native mirror of
+    ops.ht_dec_jax._prepass_{mel,vlc,ms}."""
+    B = len(segs)
+    data = np.frombuffer(b"".join(segs) or b"\x00", dtype=np.uint8)
+    offs = np.zeros(B + 1, np.int64)
+    np.cumsum([len(s) for s in segs], out=offs[1:])
+    lc = np.asarray(lcups, np.int32)
+    sc = np.asarray(scups, np.int32)
+    out_mel = np.zeros((wm_mel, B), np.uint32)
+    out_vlc = np.zeros((wm_vlc, B), np.uint32)
+    out_ms = np.zeros((wm_ms, B), np.uint32)
+    rc = _lib.grok_ht_dec_prepass(
+        data.ctypes.data, offs.ctypes.data, lc.ctypes.data, sc.ctypes.data,
+        B, wm_mel, wm_vlc, wm_ms, out_mel.ctypes.data, out_vlc.ctypes.data,
+        out_ms.ctypes.data,
+        nthreads if nthreads is not None else default_threads())
+    if rc != 0:
+        raise RuntimeError("HT decode prepass failed")
+    return out_mel, out_vlc, out_ms

@@ -342,6 +342,26 @@ def _prepass_vlc(segs: List[bytes], lcups, scups, nwords: int) -> np.ndarray:
     return _deposit_lsb(mat, d_bits, nwords)
 
 
+def prepass_all(segs: List[bytes], lcups, scups, wm_mel: int, wm_vlc: int,
+                wm_ms: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(MEL, VLC, MagSgn) stream-word matrices for a segment batch.
+    Prefers the native mirror (one OpenMP call; the numpy scatters here
+    cost ~60 ms per 512^2 tile and dominate fused decode). Set
+    GROK_TPU_PREPASS=numpy to force the numpy path (oracle/tests)."""
+    import os
+    if os.environ.get("GROK_TPU_PREPASS", "") != "numpy":
+        try:
+            from ..native import t1_native
+            return t1_native.ht_dec_prepass(
+                [bytes(s) for s in segs], lcups, scups,
+                wm_mel, wm_vlc, wm_ms)
+        except ImportError:  # pragma: no cover - native build unavailable
+            pass
+    return (_prepass_mel(segs, lcups, scups, wm_mel),
+            _prepass_vlc(segs, lcups, scups, wm_vlc),
+            _prepass_ms(segs, lcups, scups, wm_ms))
+
+
 # ---------------------------------------------------------------------------
 # Jitted scan decoder (one shape group)
 # ---------------------------------------------------------------------------
@@ -764,12 +784,11 @@ def ht_decode_blocks(blocks) -> List[Optional[Tuple[np.ndarray,
                 return a
             return np.pad(a, ((0, 0), (0, b_pad - a.shape[1])))
 
-        mel_w = jnp.asarray(_padded(
-            _prepass_mel(segs, lcups, scups, wm_mel)))
-        vlc_w = jnp.asarray(_padded(
-            _prepass_vlc(segs, lcups, scups, wm_vlc)))
-        ms_w = jnp.asarray(_padded(
-            _prepass_ms(segs, lcups, scups, wm_ms)))
+        mel_np, vlc_np, ms_np = prepass_all(segs, lcups, scups,
+                                            wm_mel, wm_vlc, wm_ms)
+        mel_w = jnp.asarray(_padded(mel_np))
+        vlc_w = jnp.asarray(_padded(vlc_np))
+        ms_w = jnp.asarray(_padded(ms_np))
         fn = _jitted_decode(w, h, wm_mel, wm_vlc, wm_ms)
         mags, signs = fn(mel_w, vlc_w, ms_w)
         mags = np.asarray(mags)[:B, :h, :w]

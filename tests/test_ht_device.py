@@ -186,3 +186,36 @@ def test_decode_prepass_vectorized_matches_scalar():
     np.testing.assert_array_equal(mel_v, mel_s)
     np.testing.assert_array_equal(vlc_v, vlc_s)
     np.testing.assert_array_equal(ms_v, ms_s)
+
+
+def test_decode_prepass_native_matches_numpy():
+    """The C++ prepass (grok_ht_dec_prepass) must reproduce the numpy
+    stream expanders bit for bit across content extremes, including the
+    bucketed-pad regions the device fetches clamp into."""
+    from grokimagecompression_tpu.ops import ht_dec_jax as hd
+    rng = np.random.default_rng(43)
+    cases = []
+    for i in range(10):
+        mag = (rng.random((64, 64)) < rng.uniform(0.02, 0.98)) * \
+            rng.integers(1, 1 << rng.integers(2, 12), (64, 64))
+        cases.append((mag.astype(np.uint32),
+                      (rng.random((64, 64)) < 0.5).astype(np.uint8), 12))
+    z = np.zeros((64, 64), np.uint32)
+    cases.append((z, z.astype(np.uint8), 8))          # all-MEL stream
+    cases.append((np.full((64, 64), 255, np.uint32),  # stuffing-heavy
+                  np.ones((64, 64), np.uint8), 10))
+    segs = [bytes(s) for s in t1_native.ht_encode_cblk_batch(cases)]
+    lcups = [len(s) for s in segs]
+    scups = [(s[-1] << 4) + (s[-2] & 0xF) for s in segs]
+    wm_mel = hd.bucket_words((8 * (max(scups) + 7)) // 32 + 4)
+    wm_vlc = wm_mel
+    wm_ms = hd.bucket_words(
+        (8 * (max(lc - sc for lc, sc in zip(lcups, scups)) + 8)) // 32 + 4)
+    mel_n, vlc_n, ms_n = t1_native.ht_dec_prepass(
+        segs, lcups, scups, wm_mel, wm_vlc, wm_ms)
+    np.testing.assert_array_equal(
+        mel_n, hd._prepass_mel(segs, lcups, scups, wm_mel))
+    np.testing.assert_array_equal(
+        vlc_n, hd._prepass_vlc(segs, lcups, scups, wm_vlc))
+    np.testing.assert_array_equal(
+        ms_n, hd._prepass_ms(segs, lcups, scups, wm_ms))
