@@ -424,3 +424,101 @@ def decode(data: bytes, params: Optional[DecoderParams] = None,
         for c in range(len(siz.comps))
     ]
     return Image(components=comps, x0=ax0, y0=ay0, xsiz=ax1, ysiz=ay1)
+
+
+def decode_batch(datas: List[bytes],
+                 params: Optional[DecoderParams] = None,
+                 device: Optional[bool] = None,
+                 chunk: int = 32) -> List[Image]:
+    """Decode many same-geometry codestreams (a serving batch).
+
+    With `device=True` and the HT block coder, frames are decoded in
+    chunks through ONE fused XLA program per chunk (lane-parallel
+    entropy decode -> inverse transform; models/fused_decode.py): all
+    chunks are submitted before any result is collected, so device
+    compute and host T2 parsing/prepass pipeline. Falls back to
+    per-stream `decode` whenever the batch is out of scope. Decode
+    mirror of encoder.encode_batch.
+    """
+    import os as _os
+
+    params = params or DecoderParams()
+    if device is None:
+        device = _os.environ.get("GROK_TPU_DEVICE", "") == "1"
+
+    def _fallback():
+        return [decode(d, params, device=device) for d in datas]
+
+    if not datas:
+        return []
+    if not device or params.window is not None or params.reduce \
+            or params.layers or params.tile_index is not None:
+        return _fallback()
+    from . import jp2
+    datas = [jp2.extract_codestream(d) if jp2.is_jp2(d) else d
+             for d in datas]
+    try:
+        hdrs = [read_header(d) for d in datas]
+    except ValueError:
+        return _fallback()
+    h0 = hdrs[0]
+    if any((h.siz, h.cod, h.qcd) != (h0.siz, h0.cod, h0.qcd)
+           for h in hdrs[1:]):
+        return _fallback()
+    siz, cod, qcd = h0.siz, h0.cod, h0.qcd
+    ntx, nty = tile_grid_size(siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
+                              siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
+    if (ntx * nty != 1 or not (cod.cblk_style & 0x40)
+            or cod.mct not in (0, 1)
+            or any(h.cod_comp or h.qcd_comp or h.pocs or h.roishifts
+                   or h.custom_mct or h.ppm_sections for h in hdrs)):
+        return _fallback()
+    tr = tile_rect(0, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
+                   siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
+
+    def _jobs(i: int):
+        body = b"".join(tp.body for tp in
+                        iter_tile_parts(datas[i], hdrs[i].main_header_end)
+                        if tp.tile_index == 0)
+        r = decode_tile(body, siz, cod, qcd, tr, _return_jobs=True)
+        assert isinstance(r, tuple) and r[0] == "jobs"
+        return r
+
+    import concurrent.futures as _cf
+    nw = min(len(datas), 2 * (_os.cpu_count() or 1))
+    with _cf.ThreadPoolExecutor(max_workers=nw) as ex:
+        parsed = list(ex.map(_jobs, range(len(datas))))
+
+    plans, cods = parsed[0][3], parsed[0][4]
+    steps_by_band = {
+        (c, (res.r, band.orient)):
+            plans[c].bands[(res.r, band.orient)].stepsize
+        for c in range(len(plans))
+        for res in plans[c].layout.resolutions
+        for band in res.bands}
+
+    from ..models import fused_decode
+    handles = []
+    for k in range(0, len(parsed), chunk):
+        frames = [(p[1], p[2]) for p in parsed[k:k + chunk]]
+        hnd = fused_decode.decode_tiles_device_submit(
+            frames, plans, cods, siz, cod, tr, steps_by_band)
+        if hnd is None:
+            return _fallback()
+        handles.append(hnd)
+
+    out: List[Image] = []
+    origins = [(plans[c].layout.tc_rect.x0, plans[c].layout.tc_rect.y0)
+               for c in range(len(plans))]
+    for hnd in handles:
+        for comps in fused_decode.decode_tiles_device_collect(hnd):
+            comp_objs = [
+                Component(data=np.asarray(a, np.int32),
+                          dx=siz.comps[c].dx, dy=siz.comps[c].dy,
+                          prec=siz.comps[c].prec,
+                          signed=siz.comps[c].signed)
+                for c, a in enumerate(comps)
+            ]
+            out.append(Image(components=comp_objs, x0=siz.xosiz,
+                             y0=siz.yosiz, xsiz=siz.xsiz, ysiz=siz.ysiz))
+    return out

@@ -671,6 +671,7 @@ def decode_tile(
     packed_headers: Optional[bytes] = None,
     device: Optional[bool] = None,
     _return_bands: bool = False,
+    _return_jobs: bool = False,
 ) -> List[np.ndarray]:
     """Decode one tile's packet body back to component sample arrays.
 
@@ -834,6 +835,12 @@ def decode_tile(
                                     cb.geom.rect.h, band.orient, cb.numbps,
                                     cb.numpasses, bp_d.kmax))
                     t1_job_slots.append((c, (res.r, band.orient), cb))
+
+    if _return_jobs:
+        # Batched-decode prepass (decoder.decode_batch): hand back the
+        # parsed entropy jobs + geometry plans; the caller fuses many
+        # same-geometry tiles into one device program.
+        return ("jobs", t1_jobs, t1_job_slots, plans, cods)
 
     use_device = device
     if use_device is None:

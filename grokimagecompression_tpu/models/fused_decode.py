@@ -56,6 +56,7 @@ class FusedDecPlan:
     band_shapes: Tuple[Tuple[int, int, int, int], ...]  # (comp,key...)
     stepsizes: Tuple[float, ...]      # per band (same order), 1.0 if rev
     coder: str = "ht"
+    backend: str = "xla"              # entropy-core backend (xla|pallas)
 
 
 @functools.lru_cache(maxsize=32)
@@ -82,8 +83,8 @@ def _jitted_fused_dec(plan: FusedDecPlan,
         for gi, (w, h, lanes) in enumerate(plan.groups):
             if plan.coder == "ht":
                 mel_w, vlc_w, ms_w = words[3 * gi: 3 * gi + 3]
-                mags, signs = ht_dec_jax.decode_group_core(w, h)(
-                    mel_w, vlc_w, ms_w)
+                mags, signs = ht_dec_jax.decode_group_backend(
+                    w, h, plan.backend)(mel_w, vlc_w, ms_w)
             else:
                 seg, end, nbps, npas, ori = words[nargs * gi:
                                                   nargs * gi + nargs]
@@ -122,6 +123,31 @@ def _jitted_fused_dec(plan: FusedDecPlan,
         return pipeline._inv_transform(cfg, bands_list)
 
     return jax.jit(run)
+
+
+
+def _entropy_backend(plans, coder: str) -> str:
+    """Pick the group-decoder backend: the Pallas window-refill kernel
+    on real accelerator hardware (ops/ht_dec_pallas.py), the lax.scan
+    core otherwise. The kernel's window invariant needs every MagSgn
+    read <= 32 bits, i.e. U_p <= 32 — guaranteed when the band bit-plane
+    budget kmax + 3 fits (every encoder-legal stream at <= 16-bit
+    precision). GROK_TPU_DEC_PALLAS=0 forces the scan core."""
+    import os
+    if coder != "ht" or os.environ.get("GROK_TPU_DEC_PALLAS", "1") == "0":
+        return "xla"
+    try:
+        import jax
+        if jax.default_backend() == "cpu":
+            return "xla"
+    except Exception:  # pragma: no cover - backend probe
+        return "xla"
+    kmax = 0
+    for p in plans:
+        for res in p.layout.resolutions:
+            for band in res.bands:
+                kmax = max(kmax, p.bands[(res.r, band.orient)].kmax)
+    return "pallas" if kmax + 3 <= 32 else "xla"
 
 
 def decode_tile_device(t1_jobs, t1_job_slots, plans, cods, siz, cod,
@@ -217,7 +243,8 @@ def decode_tile_device(t1_jobs, t1_job_slots, plans, cods, siz, cod,
 
     plan = FusedDecPlan(cfg=cfg, groups=tuple(gtuple),
                         band_shapes=tuple(band_shapes),
-                        stepsizes=tuple(steps), coder=coder)
+                        stepsizes=tuple(steps), coder=coder,
+                        backend=_entropy_backend(plans, coder))
     key = (plan, tuple(word_dims))
     fn = _jitted_fused_dec(plan, tuple(word_dims))
     if key in _compiled:
@@ -229,3 +256,181 @@ def decode_tile_device(t1_jobs, t1_job_slots, plans, cods, siz, cod,
             comps = fn(*words)
             _compiled.add(key)
     return [np.asarray(a) for a in comps]
+
+
+# ---------------------------------------------------------------------------
+# Batched (multi-frame) fused decode: serving mirror of fused_encode's
+# chunked submit/collect. One XLA program decodes F same-geometry tiles:
+# lanes are frame-major (frame f's blocks at f*B..), content-dependent
+# emptiness is a per-lane validity input (NOT a compile constant), so
+# one compile serves any content mix.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_fused_dec_batch(plan: FusedDecPlan,
+                            word_dims: Tuple[Tuple[int, ...], ...],
+                            nframes: int):
+    """Program: per-group (mel, vlc, ms, valid) -> per-component
+    (F, th, tw) sample arrays. HT only (the serving coder)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = plan.cfg
+    keys = pipeline._band_keys(cfg.numresolutions)
+    ncomps = len(cfg.tc_rects)
+    rev = cfg.reversible
+
+    def run(*args):
+        grids = []
+        for gi, (w, h, lanes) in enumerate(plan.groups):
+            mel_w, vlc_w, ms_w, valid = args[4 * gi: 4 * gi + 4]
+            mags, signs = ht_dec_jax.decode_group_backend(
+                w, h, plan.backend)(mel_w, vlc_w, ms_w)
+            B = len(lanes)
+            vm = valid.astype(mags.dtype)[:, None, None]
+            mags = (mags * vm).reshape(nframes, B, *mags.shape[1:])
+            signs = (signs * vm.astype(signs.dtype)).reshape(
+                nframes, B, *signs.shape[1:])
+            grids.append((mags, signs))
+        bands: Dict[Tuple[int, Tuple[int, int]], object] = {}
+        steps: Dict[Tuple[int, Tuple[int, int]], float] = {}
+        for (c, r, o, bh, bw), st in zip(plan.band_shapes,
+                                         plan.stepsizes):
+            dt = jnp.int32 if rev else jnp.float32
+            bands[(c, (r, o))] = jnp.zeros((nframes, bh, bw), dt)
+            steps[(c, (r, o))] = st
+        for gi, (w, h, lanes) in enumerate(plan.groups):
+            mags, signs = grids[gi]
+            for li, b in enumerate(lanes):
+                m = mags[:, li, :b.h, :b.w]
+                s = signs[:, li, :b.h, :b.w]
+                if rev:
+                    v = jnp.where(s != 0, -(m.astype(jnp.int32)),
+                                  m.astype(jnp.int32))
+                else:
+                    mm = m.astype(jnp.float32)
+                    mm = jnp.where(m != 0, mm + jnp.float32(0.5), mm)
+                    v = mm * jnp.float32(steps[(b.comp, b.key)])
+                    v = jnp.where(s != 0, -v, v)
+                bands[(b.comp, b.key)] = jax.lax.dynamic_update_slice(
+                    bands[(b.comp, b.key)], v, (0, b.y0, b.x0))
+        bands_list = [{k: bands[(c, k)] for k in keys}
+                      for c in range(ncomps)]
+        return pipeline._inv_transform(cfg, bands_list)
+
+    return jax.jit(run)
+
+
+def decode_tiles_device_submit(frames, plans, cods, siz, cod, tile: Rect,
+                               stepsizes_by_band):
+    """Submit F same-geometry tiles for one fused batched device decode.
+
+    frames: list of (t1_jobs, t1_job_slots) — every frame MUST carry the
+    same slot layout (same tile geometry; slots are geometry-derived).
+    Returns an opaque handle for decode_tiles_device_collect, or None
+    when out of scope (caller runs per-frame paths).
+    """
+    import jax.numpy as jnp
+
+    if cod.mct not in (0, 1) or not (cod.cblk_style & 0x40):
+        return None
+    cfg = pipeline.config_for_tile(siz, cod, tile)
+    rev = cfg.reversible
+    keys = pipeline._band_keys(cfg.numresolutions)
+    ncomps = len(plans)
+    nframes = len(frames)
+    if nframes == 0:
+        return None
+
+    band_shapes = []
+    steps = []
+    for c in range(ncomps):
+        for k in keys:
+            br = None
+            for res in plans[c].layout.resolutions:
+                for band in res.bands:
+                    if (res.r, band.orient) == k:
+                        br = band.rect
+            if br is None:
+                return None
+            band_shapes.append((c, k[0], k[1], br.h, br.w))
+            steps.append(1.0 if rev else float(stepsizes_by_band[(c, k)]))
+
+    # Lane layout from the SLOT list (geometry), not content: group all
+    # blocks by (w, h); a frame whose block is empty/invalid gets a
+    # dummy zero segment and valid=0 in that lane.
+    slots0 = frames[0][1]
+    for jobs, slots in frames[1:]:
+        if len(slots) != len(slots0):
+            return None
+    groups: Dict[Tuple[int, int], List[Tuple[int, DecBlock]]] = {}
+    for i, ((c, key, cb), job) in enumerate(zip(slots0, frames[0][0])):
+        w, h = int(job[2]), int(job[3])
+        band = None
+        for res in plans[c].layout.resolutions:
+            for bd in res.bands:
+                if (res.r, bd.orient) == key:
+                    band = bd
+        blk = DecBlock(comp=c, key=key,
+                       y0=cb.geom.rect.y0 - band.rect.y0,
+                       x0=cb.geom.rect.x0 - band.rect.x0, h=h, w=w)
+        groups.setdefault((w, h), []).append((i, blk))
+
+    gtuple = []
+    words = []
+    word_dims = []
+    for (w, h) in sorted(groups.keys()):
+        entries = groups[(w, h)]
+        segs: List[bytes] = []
+        valid = np.zeros(nframes * len(entries), np.int32)
+        li = 0
+        for jobs, _slots in frames:
+            for (i, _) in entries:
+                data = bytes(jobs[i][0])
+                ok = len(data) >= 2
+                if ok:
+                    scup = (data[-1] << 4) + (data[-2] & 0xF)
+                    ok = 2 <= scup <= len(data)
+                if ok:
+                    segs.append(data)
+                    valid[li] = 1
+                else:
+                    segs.append(b"\x00\x00")
+                li += 1
+        lcups = [len(s) for s in segs]
+        scups = [(s[-1] << 4) + (s[-2] & 0xF) if v else 2
+                 for s, v in zip(segs, valid)]
+        wm_mel = ht_dec_jax.bucket_words((8 * (max(scups) + 7)) // 32 + 4)
+        wm_vlc = wm_mel
+        wm_ms = ht_dec_jax.bucket_words(
+            (8 * (max(lc - sc for lc, sc in zip(lcups, scups)) + 8))
+            // 32 + 4)
+        mel_np, vlc_np, ms_np = ht_dec_jax.prepass_all(
+            segs, lcups, scups, wm_mel, wm_vlc, wm_ms)
+        words += [jnp.asarray(mel_np), jnp.asarray(vlc_np),
+                  jnp.asarray(ms_np), jnp.asarray(valid)]
+        word_dims.append((wm_mel, wm_vlc, wm_ms))
+        gtuple.append((w, h, tuple(b for (_, b) in entries)))
+
+    plan = FusedDecPlan(cfg=cfg, groups=tuple(gtuple),
+                        band_shapes=tuple(band_shapes),
+                        stepsizes=tuple(steps), coder="ht",
+                        backend=_entropy_backend(plans, "ht"))
+    key = (plan, tuple(word_dims), nframes)
+    fn = _jitted_fused_dec_batch(plan, tuple(word_dims), nframes)
+    if key in _compiled:
+        out = fn(*words)
+    else:
+        with _compile_locks.setdefault(key, _threading.Lock()):
+            out = fn(*words)
+            _compiled.add(key)
+    return out
+
+
+def decode_tiles_device_collect(handle) -> List[list]:
+    """Block on a submitted batch; returns per-frame lists of per-comp
+    sample arrays (tile-component layout)."""
+    comps = [np.asarray(a) for a in handle]
+    nframes = comps[0].shape[0]
+    return [[a[f] for a in comps] for f in range(nframes)]

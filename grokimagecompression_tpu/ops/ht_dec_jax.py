@@ -797,3 +797,13 @@ def ht_decode_blocks(blocks) -> List[Optional[Tuple[np.ndarray,
             out[i] = (mags[k].astype(np.uint32),
                       signs[k].astype(np.uint8))
     return out
+
+
+def decode_group_backend(w: int, h: int, backend: str = "xla"):
+    """Group decoder selected by plan backend: the Pallas window-refill
+    kernel on real TPU hardware (ops/ht_dec_pallas.py, ~35x the scan) or
+    the lax.scan core everywhere else."""
+    if backend == "pallas":
+        from . import ht_dec_pallas
+        return ht_dec_pallas.decode_group_pallas(w, h)
+    return decode_group_core(w, h)

@@ -102,3 +102,30 @@ def test_fused_device_decode_pixel_identical(monkeypatch):
     diff = np.abs(h2.components[0].data.astype(np.int64)
                   - d2.components[0].data)
     assert diff.max() <= 1
+
+
+def test_decode_batch_device_pixel_identical():
+    """decode_batch through the fused Pallas program == per-frame host
+    decode, including a frame with all-empty blocks."""
+    from grokimagecompression_tpu.codestream import decoder, encoder
+    from grokimagecompression_tpu.core.image import Component, Image
+    from grokimagecompression_tpu.core.params import (EncoderParams,
+                                                      Transform)
+    rng = np.random.default_rng(5)
+    frames = []
+    for i in range(5):
+        if i == 2:
+            d = np.zeros((96, 128), np.int32)
+            d[10, 10] = 200
+        else:
+            d = rng.integers(0, 256, (96, 128)).astype(np.int32)
+        frames.append(Image(xsiz=128, ysiz=96, components=[
+            Component(data=d, prec=8, signed=False, dx=1, dy=1)]))
+    for tf in (Transform.DWT_53, Transform.DWT_97):
+        p = EncoderParams(numresolutions=4, cblk_style=0x40, transform=tf)
+        css = [encoder.encode(f, p, device=False) for f in frames]
+        ref = [decoder.decode(cs) for cs in css]
+        got = decoder.decode_batch(css, device=True, chunk=3)
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(r.components[0].data,
+                                          g.components[0].data)
