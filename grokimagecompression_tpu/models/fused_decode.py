@@ -323,13 +323,15 @@ def _jitted_fused_dec_batch(plan: FusedDecPlan,
 
 
 def decode_tiles_device_submit(frames, plans, cods, siz, cod, tile: Rect,
-                               stepsizes_by_band):
+                               stepsizes_by_band, _prepare_only=False):
     """Submit F same-geometry tiles for one fused batched device decode.
 
     frames: list of (t1_jobs, t1_job_slots) — every frame MUST carry the
     same slot layout (same tile geometry; slots are geometry-derived).
     Returns an opaque handle for decode_tiles_device_collect, or None
     when out of scope (caller runs per-frame paths).
+    `_prepare_only` returns (fn, staged word arrays) without dispatching
+    (bench.py chip-dec stages chunks ahead and times dispatches alone).
     """
     import jax.numpy as jnp
 
@@ -419,6 +421,8 @@ def decode_tiles_device_submit(frames, plans, cods, siz, cod, tile: Rect,
                         backend=_entropy_backend(plans, "ht"))
     key = (plan, tuple(word_dims), nframes)
     fn = _jitted_fused_dec_batch(plan, tuple(word_dims), nframes)
+    if _prepare_only:
+        return fn, words
     if key in _compiled:
         out = fn(*words)
     else:
