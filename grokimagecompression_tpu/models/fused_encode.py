@@ -137,6 +137,21 @@ def build_plan(siz, cod, qcd, tile: Rect,
         entries = groups[gk]
         gtuple.append((gk[0], gk[1], tuple(s for (_, s) in entries)))
         order.append(tuple(i for (i, _) in entries))
+    if coder == "mq":
+        # HBM gate: the MQ scan materializes (slots, lanes) words + m8 +
+        # nbo dense in HBM. A whole 2048^2 RGB tile reaches ~350k slots
+        # x 3k lanes = 13 GB — beyond a v5e chip. Estimate the footprint
+        # (slots ~= planes x 3.5 x h x w upper bound) and fall back to
+        # the host coder above the budget (GROK_TPU_MQ_HBM_MB, def 1536).
+        import os
+        budget = int(os.environ.get("GROK_TPU_MQ_HBM_MB", "1536")) << 20
+        total = 0
+        for (gh, gw, specs) in gtuple:
+            kmax = max(sp.kmax for sp in specs)
+            lanes = -(-len(specs) // 128) * 128
+            total += int(kmax * 3.5 * gh * gw) * lanes * 4 * 3
+        if total > budget:
+            return None
     return FusedPlan(cfg=pipeline.config_for_tile(siz, cod, tile),
                      groups=tuple(gtuple), nblocks=gi,
                      order=tuple(order), coder=coder,

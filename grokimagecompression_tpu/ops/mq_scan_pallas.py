@@ -52,13 +52,28 @@ def mq_scan_blocked(slots, s: int):
     nstate = mq_jax.NSTATE
     init = list(mq_jax.STATE_INIT)
 
-    def kernel(s_ref, out_w, out_m, out_b, st_ref, scratch):
-        i = pl.program_id(0)
+    # Lane-tile the sublane axis so per-cell VMEM stays bounded: a
+    # whole-tile MQ batch can reach s = 24+ sublanes (3072+ blocks),
+    # and (256, s, 128) x 4 double-buffered blocks would blow the 16 MB
+    # scoped-vmem budget. Grid = (lane_tiles, step_chunks); step chunks
+    # run innermost with the coder state carried in scratch, so the
+    # 256-step chunk-local word-index semantics (m8, downstream
+    # compaction) are unchanged.
+    st = s
+    for cand in (8, 4, 2, 1):
+        if s % cand == 0:
+            st = cand
+            break
+    st = min(st, s)
+    n_lane = s // st
 
-        @pl.when(i == 0)
+    def kernel(s_ref, out_w, out_m, out_b, st_ref, scratch):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
         def _():
             for k, v in enumerate(init):
-                scratch[k, :, :] = jnp.full((s, 128), v, jnp.int32)
+                scratch[k, :, :] = jnp.full((st, 128), v, jnp.int32)
 
         def body(t, carry):
             cnt = carry[-1]
@@ -71,7 +86,7 @@ def mq_scan_blocked(slots, s: int):
             return carry + (cnt,)
 
         carry = tuple(scratch[k, :, :] for k in range(nstate))
-        carry = carry + (jnp.zeros((s, 128), jnp.int32),)
+        carry = carry + (jnp.zeros((st, 128), jnp.int32),)
         carry = lax.fori_loop(0, _CHUNK, body, carry)
         for k in range(nstate):
             scratch[k, :, :] = carry[k]
@@ -83,25 +98,19 @@ def mq_scan_blocked(slots, s: int):
         jax.ShapeDtypeStruct((t_pad, s, 128), jnp.int32),
         jax.ShapeDtypeStruct((nstate, s, 128), jnp.int32),
     ]
+    blk = pl.BlockSpec((_CHUNK, st, 128), lambda i, j: (j, i, 0),
+                       memory_space=pltpu.VMEM)
     words, m8, nbo, state = pl.pallas_call(
         kernel,
-        grid=(t_pad // _CHUNK,),
-        in_specs=[
-            pl.BlockSpec((_CHUNK, s, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        grid=(n_lane, t_pad // _CHUNK),
+        in_specs=[blk],
         out_specs=[
-            pl.BlockSpec((_CHUNK, s, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK, s, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK, s, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nstate, s, 128), lambda i: (0, 0, 0),
+            blk, blk, blk,
+            pl.BlockSpec((nstate, st, 128), lambda i, j: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((nstate, s, 128), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((nstate, st, 128), jnp.int32)],
     )(sl)
     return words, m8, nbo, state
 
