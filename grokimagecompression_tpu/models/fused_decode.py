@@ -75,7 +75,10 @@ def _jitted_fused_dec(plan: FusedDecPlan,
     keys = pipeline._band_keys(cfg.numresolutions)
     ncomps = len(cfg.tc_rects)
     rev = cfg.reversible
-    nargs = 3 if plan.coder == "ht" else 5
+    if plan.coder == "ht":
+        nargs = 3
+    else:
+        nargs = 4 if plan.backend == "pallas" else 5
 
     def run(*words):
         # decode every group
@@ -85,6 +88,16 @@ def _jitted_fused_dec(plan: FusedDecPlan,
                 mel_w, vlc_w, ms_w = words[3 * gi: 3 * gi + 3]
                 mags, signs = ht_dec_jax.decode_group_backend(
                     w, h, plan.backend)(mel_w, vlc_w, ms_w)
+            elif plan.backend == "pallas":
+                from ..ops import mq_dec_pallas
+                wrd, g0, gend, ori = words[nargs * gi: nargs * gi + nargs]
+                S, npl, Lw = word_dims[gi]
+                packed = mq_dec_pallas.decode_core_pallas(
+                    h, w, S, npl, Lw)(wrd, g0, gend, ori)
+                B = S * 128
+                pu = packed.astype(jnp.uint32)
+                mags = (pu & jnp.uint32(0x7FFFFFFF)).T.reshape(B, h, w)
+                signs = (pu >> 31).astype(jnp.int32).T.reshape(B, h, w)
             else:
                 seg, end, nbps, npas, ori = words[nargs * gi:
                                                   nargs * gi + nargs]
@@ -127,14 +140,16 @@ def _jitted_fused_dec(plan: FusedDecPlan,
 
 
 def _entropy_backend(plans, coder: str) -> str:
-    """Pick the group-decoder backend: the Pallas window-refill kernel
-    on real accelerator hardware (ops/ht_dec_pallas.py), the lax.scan
-    core otherwise. The kernel's window invariant needs every MagSgn
-    read <= 32 bits, i.e. U_p <= 32 — guaranteed when the band bit-plane
-    budget kmax + 3 fits (every encoder-legal stream at <= 16-bit
-    precision). GROK_TPU_DEC_PALLAS=0 forces the scan core."""
+    """Pick the group-decoder backend: the Pallas kernels on real
+    accelerator hardware (ops/ht_dec_pallas.py window-refill scan /
+    ops/mq_dec_pallas.py column-step walk), the lax.scan cores
+    otherwise. Scope gates: the HT kernel's window invariant needs
+    every MagSgn read <= 32 bits (U_p <= 32, i.e. band kmax + 3 fits);
+    the MQ kernel packs the sign in bit 31 (kmax <= 30). Both hold for
+    every encoder-legal stream at <= 16-bit precision.
+    GROK_TPU_DEC_PALLAS=0 forces the scan cores."""
     import os
-    if coder != "ht" or os.environ.get("GROK_TPU_DEC_PALLAS", "1") == "0":
+    if os.environ.get("GROK_TPU_DEC_PALLAS", "1") == "0":
         return "xla"
     try:
         import jax
@@ -147,14 +162,18 @@ def _entropy_backend(plans, coder: str) -> str:
         for res in p.layout.resolutions:
             for band in res.bands:
                 kmax = max(kmax, p.bands[(res.r, band.orient)].kmax)
-    return "pallas" if kmax + 3 <= 32 else "xla"
+    if coder == "ht":
+        return "pallas" if kmax + 3 <= 32 else "xla"
+    return "pallas" if kmax <= 30 else "xla"
 
 
 def decode_tile_device(t1_jobs, t1_job_slots, plans, cods, siz, cod,
-                       tile: Rect, stepsizes_by_band) -> Optional[list]:
+                       tile: Rect, stepsizes_by_band,
+                       _prepare_only=False) -> Optional[list]:
     """Full fused device decode of one tile. Returns [per-comp sample
     array] in tile-component layout, or None when out of scope (caller
-    runs the host path)."""
+    runs the host path). `_prepare_only` returns (fn, staged word
+    arrays) without dispatching (bench.py chip-mq-dec)."""
     from ..core.params import Transform
 
     if cod.mct not in (0, 1):
@@ -207,12 +226,13 @@ def decode_tile_device(t1_jobs, t1_job_slots, plans, cods, siz, cod,
                        x0=cb.geom.rect.x0 - band.rect.x0, h=h, w=w)
         groups.setdefault((w, h), []).append((i, blk))
 
+    backend = _entropy_backend(plans, coder)
     gtuple = []
     words = []
     word_dims = []
     import jax.numpy as jnp
 
-    from ..ops import mq_dec_jax
+    from ..ops import mq_dec_jax, mq_dec_pallas
     for (w, h) in sorted(groups.keys()):
         entries = groups[(w, h)]
         segs = [bytes(t1_jobs[i][0]) for (i, _) in entries]
@@ -234,9 +254,12 @@ def decode_tile_device(t1_jobs, t1_job_slots, plans, cods, siz, cod,
             word_dims.append((wm_mel, wm_vlc, wm_ms))
         else:
             jobs = [t1_jobs[i] for (i, _) in entries]
-            arrays, dims = mq_dec_jax.pack_lanes(
-                [(s, int(j[4]), int(j[5]), int(j[6]))
-                 for j, s in zip(jobs, segs)])
+            lanes = [(s, int(j[4]), int(j[5]), int(j[6]))
+                     for j, s in zip(jobs, segs)]
+            if backend == "pallas":
+                arrays, dims = mq_dec_pallas.pack_field_lanes(lanes)
+            else:
+                arrays, dims = mq_dec_jax.pack_lanes(lanes)
             words += [jnp.asarray(a) for a in arrays]
             word_dims.append(dims)
         gtuple.append((w, h, tuple(b for (_, b) in entries)))
@@ -244,9 +267,11 @@ def decode_tile_device(t1_jobs, t1_job_slots, plans, cods, siz, cod,
     plan = FusedDecPlan(cfg=cfg, groups=tuple(gtuple),
                         band_shapes=tuple(band_shapes),
                         stepsizes=tuple(steps), coder=coder,
-                        backend=_entropy_backend(plans, coder))
+                        backend=backend)
     key = (plan, tuple(word_dims))
     fn = _jitted_fused_dec(plan, tuple(word_dims))
+    if _prepare_only:
+        return fn, words
     if key in _compiled:
         comps = fn(*words)
     else:

@@ -243,15 +243,34 @@ def _scatter_decoded(res, live, bands, placements, stepsizes) -> None:
             plane[y0:y0 + h, x0:x0 + w] = _np.where(neg != 0, -m, m)
 
 
+def _mq_pallas_ok(max_nbps: int) -> bool:
+    """Route MQ device decode through the Pallas column-step kernel
+    (ops/mq_dec_pallas.py) on real accelerator hardware; the lax.scan
+    core otherwise. The kernel packs the sign in bit 31, so magnitudes
+    must fit 31 bits (numbps <= 30 — true for every <= 16-bit image).
+    GROK_TPU_DEC_PALLAS=0 forces the scan core."""
+    import os
+    if max_nbps > 30:
+        return False
+    if os.environ.get("GROK_TPU_DEC_PALLAS", "1") == "0":
+        return False
+    try:
+        import jax
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover - backend probe
+        return False
+
+
 def _device_mq_decode_bands(blocks, bands, placements, stepsizes) -> bool:
-    """Device (TPU) Part-1 MQ entropy decode (ops/mq_dec_jax.py):
-    lane-parallel slot-walk scan, bit-exact with the host decoder.
-    Default code-block style / single codeword segment only; returns
-    False when any block is out of scope so the native path keeps
-    ownership."""
+    """Device (TPU) Part-1 MQ entropy decode: the Pallas column-step
+    kernel (ops/mq_dec_pallas.py) on accelerator hardware, the
+    lane-parallel slot-walk scan (ops/mq_dec_jax.py) elsewhere — both
+    bit-exact with the host decoder. Default code-block style / single
+    codeword segment only; returns False when any block is out of
+    scope so the native path keeps ownership."""
     import numpy as _np
 
-    from ..ops import mq_dec_jax
+    from ..ops import mq_dec_jax, mq_dec_pallas
     dev_blocks = []
     live = []
     for i, (d, s, w, h, o, nb, np_, kmax) in enumerate(blocks):
@@ -264,7 +283,10 @@ def _device_mq_decode_bands(blocks, bands, placements, stepsizes) -> bool:
             continue  # plane stays zero
         dev_blocks.append((d, w, h, o, nb, np_))
         live.append(i)
-    res = mq_dec_jax.decode_blocks(dev_blocks)
+    if dev_blocks and _mq_pallas_ok(max(b[4] for b in dev_blocks)):
+        res = mq_dec_pallas.decode_blocks(dev_blocks)
+    else:
+        res = mq_dec_jax.decode_blocks(dev_blocks)
     _scatter_decoded(res, live, bands, placements, stepsizes)
     return True
 

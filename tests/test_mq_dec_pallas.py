@@ -1,0 +1,121 @@
+"""Pallas MQ decode kernel (ops/mq_dec_pallas.py) vs the Annex-D
+oracle. The kernel only runs on real TPU hardware; these tests skip on
+the CPU backend (scan-core coverage runs everywhere via
+test_mq_dec_device.py)."""
+
+import numpy as np
+import pytest
+
+from grokimagecompression_tpu.t1 import t1_np
+
+rng = np.random.default_rng(117)
+
+
+def _tpu():
+    import jax
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(
+    not _tpu(), reason="Pallas kernel needs real TPU hardware")
+
+
+def _mk(h, w, dens, hi, orient):
+    mag = rng.integers(0, hi, (h, w)).astype(np.uint32)
+    mag = np.where(rng.random((h, w)) < 1 - dens, 0, mag).astype(np.uint32)
+    neg = rng.integers(0, 2, (h, w)).astype(np.uint8)
+    return mag, neg, orient
+
+
+def _check(cases, trunc=None):
+    from grokimagecompression_tpu.ops import mq_dec_pallas
+
+    blocks = []
+    for (mag, neg, o) in cases:
+        data, nb, npas, passes = t1_np.encode_cblk(mag, neg, o)
+        h, w = mag.shape
+        if trunc is not None and passes:
+            k = min(trunc, npas)
+            data = data[:passes[k - 1].rate]
+            npas = k
+        blocks.append((data, w, h, o, nb, npas))
+    got = mq_dec_pallas.decode_blocks(blocks)
+    for i, (gm, gn) in enumerate(got):
+        d, w, h, o, nb, npas = blocks[i]
+        em, en = t1_np.decode_cblk(d, None, w, h, o, nb, npas)
+        assert np.array_equal(gm, em), f"case {i}: magnitudes differ"
+        live = em != 0
+        assert np.array_equal(gn[live], en[live]), f"case {i}: signs"
+
+
+def test_small_blocks_all_orients():
+    cases = []
+    for orient in (0, 1, 2, 3):
+        for dens, hi in [(0.5, 60), (0.06, 250), (1.0, 15)]:
+            cases.append(_mk(8, 8, dens, hi, orient))
+    _check(cases)
+
+
+def test_edge_shapes():
+    cases = [_mk(h, w, 0.5, 30, 2)
+             for (h, w) in [(1, 1), (1, 8), (8, 1), (3, 5), (5, 3),
+                            (4, 4), (7, 7), (9, 2), (2, 9), (13, 11)]]
+    _check(cases)
+
+
+def test_partial_stripes_and_runs():
+    # tall blocks exercise the RL aggregation + partial bottom stripes
+    cases = [_mk(h, w, d, hi, o)
+             for (h, w, d, hi, o) in [(17, 16, 0.02, 400, 0),
+                                      (18, 16, 0.01, 80, 1),
+                                      (19, 8, 0.3, 20, 2),
+                                      (21, 4, 0.6, 10, 3)]]
+    _check(cases)
+
+
+def test_32x32_dense_and_sparse():
+    cases = [_mk(32, 32, d, hi, o)
+             for (d, hi, o) in [(0.5, 300, 0), (0.02, 1000, 1),
+                                (0.9, 7, 2), (0.15, 64, 3)]]
+    _check(cases)
+
+
+def test_64x64():
+    cases = [_mk(64, 64, d, hi, o)
+             for (d, hi, o) in [(0.3, 120, 0), (0.01, 2000, 2)]]
+    _check(cases)
+
+
+def test_truncated_streams():
+    cases = [_mk(16, 16, 0.4, 120, o) for o in (0, 1, 2, 3)]
+    for k in (1, 2, 5, 8):
+        _check(cases, trunc=k)
+
+
+def test_mixed_length_buckets():
+    # one long segment + many short ones: exercises the per-bucket
+    # grouping (short segments must not ride the long bucket)
+    cases = [_mk(16, 16, 0.95, 4000, 0)]
+    cases += [_mk(16, 16, 0.01, 4, o % 4) for o in range(9)]
+    _check(cases)
+
+
+def test_vs_scan_core_batch():
+    # large batch: pallas output == scan-core output lane for lane
+    from grokimagecompression_tpu.ops import mq_dec_jax, mq_dec_pallas
+
+    blocks = []
+    for i in range(40):
+        mag, neg, o = _mk(8, 8, 0.4, 90, i % 4)
+        data, nb, npas, _ = t1_np.encode_cblk(mag, neg, o)
+        blocks.append((data, 8, 8, o, nb, npas))
+    ref = mq_dec_jax.decode_blocks(blocks)
+    got = mq_dec_pallas.decode_blocks(blocks)
+    for i, ((rm, rn), (gm, gn)) in enumerate(zip(ref, got)):
+        assert np.array_equal(rm.astype(np.uint32), gm), f"lane {i} mag"
+        live = rm != 0
+        assert np.array_equal(gn[live].astype(np.int32),
+                              rn[live].astype(np.int32)), f"lane {i} sign"
