@@ -193,6 +193,83 @@ def bench_single(ht: bool, device: bool, device_t1: bool = False):
             else GROK_SINGLE_CORE_MQ_MPS)
 
 
+def bench_chip_mq_dec():
+    """Per-chip fused Part-1 MQ DECODE throughput (Pallas column-step
+    kernel, ops/mq_dec_pallas.py), data resident in HBM. Mirror of
+    bench_chip_dec with the MQ coder: frames are host-encoded
+    (config-1, default cblk style), T2-parsed and field-prepassed once,
+    then the batched fused decode program (entropy decode -> inverse
+    DWT -> DC unshift) is dispatched pipelined over pre-staged chunks
+    and synced once."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from grokimagecompression_tpu.codestream import encoder
+    from grokimagecompression_tpu.codestream.decoder import (
+        iter_tile_parts, read_header)
+    from grokimagecompression_tpu.codestream.tile import decode_tile
+    from grokimagecompression_tpu.core.geometry import tile_rect
+    from grokimagecompression_tpu.core.params import EncoderParams
+    from grokimagecompression_tpu.models import fused_decode
+
+    chunk = int(os.environ.get("BENCH_CHUNK", "16"))
+    nchunks = int(os.environ.get("BENCH_CHUNKS", "2"))
+    params = EncoderParams(numresolutions=6, cblk_style=0)
+    css = [encoder.encode(_config1_image(shift=i), params, device=False)
+           for i in range(chunk * nchunks)]
+    hdr = read_header(css[0])
+    siz, cod, qcd = hdr.siz, hdr.cod, hdr.qcd
+    tr = tile_rect(0, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
+                   siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
+    parsed = []
+    for cs in css:
+        h = read_header(cs)
+        body = b"".join(tp.body for tp in
+                        iter_tile_parts(cs, h.main_header_end))
+        parsed.append(decode_tile(body, siz, cod, qcd, tr,
+                                  _return_jobs=True))
+    plans, cods = parsed[0][3], parsed[0][4]
+    steps = {(c, (res.r, b.orient)):
+             plans[c].bands[(res.r, b.orient)].stepsize
+             for c in range(len(plans))
+             for res in plans[c].layout.resolutions for b in res.bands}
+    staged = []
+    fn = None
+    for ci in range(nchunks):
+        frames = [(p[1], p[2]) for p in
+                  parsed[ci * chunk:(ci + 1) * chunk]]
+        got = fused_decode.decode_tiles_device_submit(
+            frames, plans, cods, siz, cod, tr, steps,
+            _prepare_only=True)
+        assert got is not None, "MQ batch decode out of scope"
+        fn, words = got
+        staged.append([jnp.asarray(a) for a in words])
+
+    def sync(r):
+        return np.asarray(r[0][-1, :1, :1])
+
+    sync(fn(*staged[0]))  # warm / compile
+    fetch = os.environ.get("BENCH_FETCH", "") == "1"
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    passes = int(os.environ.get("BENCH_PASSES", "2"))
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        outs = []
+        for p in range(passes):
+            for wds in staged:
+                outs.append(fn(*wds))
+        if fetch:
+            for r in outs:
+                np.asarray(r[0])
+        sync(outs[-1])
+        best = min(best, time.perf_counter() - t0)
+    nframes = passes * nchunks * chunk
+    mps = nframes * 512 * 512 / best / 1e6
+    return ("decode_mps_per_chip_mq_pipeline_512", mps,
+            GROK_SINGLE_CORE_DEC_MPS)
+
+
 def bench_chip_dec():
     """Per-chip fused-pipeline DECODE throughput, data resident in HBM.
 
@@ -315,8 +392,8 @@ def main():
     mode = os.environ.get("GROK_TPU_BENCH", "chip")
     if os.environ.get("GROK_TPU_BENCH_MQ", "") == "1":  # legacy switch
         mode = "mq"
-    if mode in ("chip", "chip-mq", "chip-rd", "chip-dec", "device",
-                "serving", "mq-device", "mq-device-single") \
+    if mode in ("chip", "chip-mq", "chip-rd", "chip-dec", "chip-mq-dec",
+                "device", "serving", "mq-device", "mq-device-single") \
             and not _device_reachable():
         sys.stderr.write(
             "bench: accelerator unreachable (tunnel down?) — "
@@ -330,6 +407,8 @@ def main():
         name, mps, denom = bench_chip(lossy_rd=True)
     elif mode == "chip-dec":
         name, mps, denom = bench_chip_dec()
+    elif mode == "chip-mq-dec":
+        name, mps, denom = bench_chip_mq_dec()
     elif mode in ("device", "serving"):
         name, mps, denom = bench_device_batch()
     elif mode == "host":

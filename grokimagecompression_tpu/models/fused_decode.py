@@ -296,8 +296,9 @@ def decode_tile_device(t1_jobs, t1_job_slots, plans, cods, siz, cod,
 def _jitted_fused_dec_batch(plan: FusedDecPlan,
                             word_dims: Tuple[Tuple[int, ...], ...],
                             nframes: int):
-    """Program: per-group (mel, vlc, ms, valid) -> per-component
-    (F, th, tw) sample arrays. HT only (the serving coder)."""
+    """Program: per-group (mel, vlc, ms, valid) [HT] or (words, g0,
+    gend, ori) [MQ pallas] -> per-component (F, th, tw) sample
+    arrays."""
     import jax
     import jax.numpy as jnp
 
@@ -309,10 +310,23 @@ def _jitted_fused_dec_batch(plan: FusedDecPlan,
     def run(*args):
         grids = []
         for gi, (w, h, lanes) in enumerate(plan.groups):
+            B = len(lanes)
+            if plan.coder == "mq":
+                from ..ops import mq_dec_pallas
+                wrd, g0, gend, ori = args[4 * gi: 4 * gi + 4]
+                S, npl, Lw = word_dims[gi]
+                packed = mq_dec_pallas.decode_core_pallas(
+                    h, w, S, npl, Lw)(wrd, g0, gend, ori)
+                pu = packed.astype(jnp.uint32)[:, :nframes * B]
+                mags = (pu & jnp.uint32(0x7FFFFFFF)).T.reshape(
+                    nframes, B, h, w)
+                signs = (pu >> 31).astype(jnp.int32).T.reshape(
+                    nframes, B, h, w)
+                grids.append((mags, signs))
+                continue
             mel_w, vlc_w, ms_w, valid = args[4 * gi: 4 * gi + 4]
             mags, signs = ht_dec_jax.decode_group_backend(
                 w, h, plan.backend)(mel_w, vlc_w, ms_w)
-            B = len(lanes)
             vm = valid.astype(mags.dtype)[:, None, None]
             mags = (mags * vm).reshape(nframes, B, *mags.shape[1:])
             signs = (signs * vm.astype(signs.dtype)).reshape(
@@ -360,8 +374,12 @@ def decode_tiles_device_submit(frames, plans, cods, siz, cod, tile: Rect,
     """
     import jax.numpy as jnp
 
-    if cod.mct not in (0, 1) or not (cod.cblk_style & 0x40):
+    if cod.mct not in (0, 1):
         return None
+    coder = "ht" if (cod.cblk_style & 0x40) else "mq"
+    backend = _entropy_backend(plans, coder)
+    if coder == "mq" and (cod.cblk_style != 0 or backend != "pallas"):
+        return None  # MQ batch rides the Pallas kernel only
     cfg = pipeline.config_for_tile(siz, cod, tile)
     rev = cfg.reversible
     keys = pipeline._band_keys(cfg.numresolutions)
@@ -409,6 +427,24 @@ def decode_tiles_device_submit(frames, plans, cods, siz, cod, tile: Rect,
     word_dims = []
     for (w, h) in sorted(groups.keys()):
         entries = groups[(w, h)]
+        if coder == "mq":
+            from ..ops import mq_dec_pallas
+            lanes = []
+            for jobs, _slots in frames:
+                for (i, _) in entries:
+                    j = jobs[i]
+                    if j[1] is not None and len(j[1]) > 1:
+                        return None  # multi-segment layout: host path
+                    nb, npas = int(j[5]), int(j[6])
+                    if nb <= 0 or npas <= 0:
+                        lanes.append((b"", 0, 0, 0))  # idle lane
+                    else:
+                        lanes.append((bytes(j[0]), int(j[4]), nb, npas))
+            arrays, dims = mq_dec_pallas.pack_field_lanes(lanes)
+            words += [jnp.asarray(a) for a in arrays]
+            word_dims.append(dims)
+            gtuple.append((w, h, tuple(b for (_, b) in entries)))
+            continue
         segs: List[bytes] = []
         valid = np.zeros(nframes * len(entries), np.int32)
         li = 0
@@ -442,8 +478,8 @@ def decode_tiles_device_submit(frames, plans, cods, siz, cod, tile: Rect,
 
     plan = FusedDecPlan(cfg=cfg, groups=tuple(gtuple),
                         band_shapes=tuple(band_shapes),
-                        stepsizes=tuple(steps), coder="ht",
-                        backend=_entropy_backend(plans, "ht"))
+                        stepsizes=tuple(steps), coder=coder,
+                        backend=backend)
     key = (plan, tuple(word_dims), nframes)
     fn = _jitted_fused_dec_batch(plan, tuple(word_dims), nframes)
     if _prepare_only:

@@ -50,7 +50,7 @@ from .mq_dec_jax import _zc_ctx_rows, _sc_ctx_rows
 # feed the decoder's infinite-1s tail (Annex C.3.4 past-the-end rule).
 _PAD_WORD = 0x00FF00FF
 
-_NST = 9 + NCTX_WORDS  # a c ct wp bo w0 w1 w2 w3 + packed ctx words
+_NST = 5 + 16 + NCTX_WORDS  # a c ct wpb bo + 16 window words + ctx
 
 
 # ---------------------------------------------------------------------------
@@ -115,7 +115,13 @@ def pack_field_lanes(lanes, max_vmem_bytes: int = 10 << 20):
         ori[k] = o
     words = (fields[:, 0::2].astype(np.uint32)
              | (fields[:, 1::2].astype(np.uint32) << 16)).astype(np.int32)
-    words = np.ascontiguousarray(words.T).reshape(Lw, S, 128)
+    # 8-word sublane blocks: (Lw/8, 8, S, 128). The kernel's window
+    # refill one-hot then sums (8, s, 128) full-vreg rows over Lw/8
+    # block indices instead of Lw sub-vreg rows — 8x cheaper at s = 1.
+    Lwb = Lw // 8
+    words = np.ascontiguousarray(
+        words.reshape(Btot, Lwb, 8).transpose(1, 2, 0)).reshape(
+            Lwb, 8, S, 128)
 
     def lane3(a):
         return a.reshape(1, S, 128)
@@ -189,38 +195,44 @@ def _build_kernel(h: int, w: int, Lw: int, nplanes: int, ncols: int,
 
         lax.fori_loop(0, HWp // 128, zinit, 0)
 
-        def fetch_word(wpi):
-            iota = lax.broadcasted_iota(jnp.int32, (Lw, s, 128), 0)
-            m = iota == wpi
-            v = jnp.sum(jnp.where(m, words_ref[...], 0), axis=0,
-                        keepdims=True)
-            return jnp.where(wpi >= Lw, jnp.int32(_PAD_WORD), v)
+        Lwb = Lw // 8
+        NWIN = 16  # window words (two 8-word blocks, 32 entries)
 
-        def entry_at(w0, w1, w2, w3, bo):
-            wsel = jnp.where(bo < 2, w0,
-                             jnp.where(bo < 4, w1,
-                                       jnp.where(bo < 6, w2, w3)))
+        def fetch_block(bi):
+            """8-word stream block bi as (8, s, 128): one-hot sum over
+            the block axis — full-vreg rows, Lw/8 of them."""
+            iota = lax.broadcasted_iota(jnp.int32, (Lwb, 8, s, 128), 0)
+            m = iota == bi.reshape(1, 1, s, 128)
+            v = jnp.sum(jnp.where(m, words_ref[...], 0), axis=0)
+            return jnp.where(
+                (bi >= Lwb).reshape(1, s, 128), jnp.int32(_PAD_WORD), v)
+
+        def entry_at(win, bo):
+            wi = bo >> 1
+            wsel = win[0]
+            for j in range(1, NWIN):
+                wsel = jnp.where(wi == j, win[j], wsel)
             sh16 = _u((bo & 1) << 4)
             return _i((_u(wsel) >> sh16) & jnp.uint32(0xFFFF))
 
         def refill(st):
-            (a, c, ct, wp, bo, w0, w1, w2, w3) = st[:9]
-            for _ in range(2):
-                need = bo >= 2
-                nw = fetch_word(wp + 4)
-                w0 = jnp.where(need, w1, w0)
-                w1 = jnp.where(need, w2, w1)
-                w2 = jnp.where(need, w3, w2)
-                w3 = jnp.where(need, nw, w3)
-                wp = wp + need.astype(jnp.int32)
-                bo = bo - 2 * need.astype(jnp.int32)
-            return (a, c, ct, wp, bo, w0, w1, w2, w3) + st[9:]
+            (a, c, ct, wpb, bo) = st[:5]
+            win = list(st[5:5 + NWIN])
+            need = bo >= 16
+            nb = fetch_block(wpb + 2)
+            for j in range(8):
+                win[j] = jnp.where(need, win[j + 8], win[j])
+                win[j + 8] = jnp.where(need, nb[j:j + 1], win[j + 8])
+            wpb = wpb + need.astype(jnp.int32)
+            bo = bo - 16 * need.astype(jnp.int32)
+            return (a, c, ct, wpb, bo) + tuple(win) + st[5 + NWIN:]
 
         def mq_unit(st, cx, en):
             """One masked MQ decode (mirrors mq_dec_jax.mq_dec_step,
             window bytein instead of segment gathers)."""
-            (a, c, ct, wp, bo, w0, w1, w2, w3) = st[:9]
-            cps = list(st[9:])
+            (a, c, ct, wpb, bo) = st[:5]
+            win = st[5:5 + NWIN]
+            cps = list(st[5 + NWIN:])
             cw = cx >> 2
             sh8 = _u((cx & 3) << 3)
             pw = cps[0]
@@ -280,7 +292,7 @@ def _build_kernel(h: int, w: int, Lw: int, nplanes: int, ncols: int,
             nrem = n
             for _ in range(3):
                 bi = en & (nrem > 0) & (ct3 == 0)
-                e = entry_at(w0, w1, w2, w3, bo)
+                e = entry_at(win, bo)
                 c3 = jnp.where(bi, c3 + (_u(e & 0x1FF) << 8), c3)
                 ct3 = jnp.where(bi, 8 - (e >> 15), ct3)
                 bo = bo + bi.astype(jnp.int32)
@@ -291,15 +303,15 @@ def _build_kernel(h: int, w: int, Lw: int, nplanes: int, ncols: int,
             c3 = _i(jnp.where(en, c3, _u(c)))
             ct3 = jnp.where(en, ct3, ct)
             d = jnp.where(en, d, 0)
-            st = (a3, c3, ct3, wp, bo, w0, w1, w2, w3) + tuple(cps)
+            st = (a3, c3, ct3, wpb, bo) + tuple(win) + tuple(cps)
             return d, refill(st)
 
         # ---- INITDEC ----
         vshape = (1, s, 128)
-        w0 = _i(words_ref[0:1, :, :])
-        w1 = _i(words_ref[1:2, :, :])
-        w2 = _i(words_ref[2:3, :, :])
-        w3 = _i(words_ref[3:4, :, :])
+        win0 = [_i(jnp.reshape(words_ref[b:b + 1, j:j + 1, :, :],
+                               (1, s, 128)))
+                for b in range(2) for j in range(8)]
+        w0 = win0[0]
         e0 = w0 & 0xFFFF
         c = (_u(e0 & 0x1FF) << 16)
         e1 = _i((_u(w0) >> 16)) & 0xFFFF
@@ -308,11 +320,10 @@ def _build_kernel(h: int, w: int, Lw: int, nplanes: int, ncols: int,
         c = _i(c << 7)
         ct = ct - 7
         a = jnp.full(vshape, 0x8000, jnp.int32)
-        wp = jnp.zeros(vshape, jnp.int32)
+        wpb = jnp.zeros(vshape, jnp.int32)
         bo = jnp.full(vshape, 2, jnp.int32)
-        st = (a, c, ct, wp, bo, w0, w1, w2, w3) + tuple(
+        st = (a, c, ct, wpb, bo) + tuple(win0) + tuple(
             jnp.full(vshape, v, jnp.int32) for v in _CTX_INIT_PACKED)
-        st = refill(st)
 
         def box_reads(ci):
             """SMEM scalars + the 18 box indices (sentinel HW)."""
@@ -471,11 +482,24 @@ def _build_kernel(h: int, w: int, Lw: int, nplanes: int, ncols: int,
     return kernel
 
 
+def _lane_tile(HW: int, Lw: int, S_tot: int) -> int:
+    """Sublane count per kernel call, bounded by the VMEM budget for
+    2 state planes + stream words + the out block."""
+    HWp = -(-(HW + 1) // 128) * 128
+    budget = (10 << 20) // 4 // 128
+    s = 1
+    while s * 2 <= 8 and (2 * HWp + Lw + HW) * (s * 2) <= budget:
+        s *= 2
+    return min(s, S_tot)
+
+
 @functools.lru_cache(maxsize=64)
-def _pallas_mq_decoder(h: int, w: int, Lw: int, S_tot: int, nplanes: int):
-    """Compiled pallas decoder for one geometry bucket. Takes the
-    pack_field_lanes arrays; returns (HW, S_tot*128) packed int32
-    (sign<<31 | magnitude)."""
+def _pallas_mq_decoder_tile(h: int, w: int, Lw: int, s: int,
+                            nplanes: int):
+    """One-kernel-call decoder for an s-sublane lane tile (grid of 1:
+    Mosaic requires lane-vector block sublane dims to equal the array's,
+    so batches wider than the VMEM budget are split into separate calls
+    by _pallas_mq_decoder rather than grid-tiled)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -483,40 +507,65 @@ def _pallas_mq_decoder(h: int, w: int, Lw: int, S_tot: int, nplanes: int):
 
     HW = h * w
     HWp = -(-(HW + 1) // 128) * 128
-    # lane tile by VMEM budget: 2 state planes + words + out block
-    budget = (10 << 20) // 4 // 128
-    s = 1
-    while (s * 2 <= 8 and S_tot % (s * 2) == 0
-           and (2 * HWp + Lw + HW) * (s * 2) <= budget):
-        s *= 2
-    n_lane = S_tot // s
     i0_np, fl_np = _col_schedule(h, w)
     ncols = len(i0_np)
     kernel = _build_kernel(h, w, Lw, nplanes, ncols, s, HWp)
 
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    lane_spec = pl.BlockSpec((1, s, 128), lambda i: (0, i, 0),
+    lane_spec = pl.BlockSpec((1, s, 128), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM)
 
     def run(words, g0, gend, ori):
-        out = pl.pallas_call(
+        return pl.pallas_call(
             kernel,
-            grid=(n_lane,),
+            grid=(1,),
             in_specs=[
                 smem_spec, smem_spec,
                 lane_spec, lane_spec, lane_spec,
-                pl.BlockSpec((Lw, s, 128), lambda i: (0, i, 0),
+                pl.BlockSpec((Lw // 8, 8, s, 128),
+                             lambda i: (0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((HW, s, 128), lambda i: (0, i, 0),
+            out_specs=pl.BlockSpec((HW, s, 128), lambda i: (0, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((HW, S_tot, 128), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((HW, s, 128), jnp.int32),
             scratch_shapes=[
                 pltpu.VMEM((HWp, s, 128), jnp.int32),
                 pltpu.VMEM((HWp, s, 128), jnp.int32),
             ],
         )(jnp.asarray(i0_np), jnp.asarray(fl_np), g0, gend, ori, words)
-        return out.reshape(HW, S_tot * 128)
+
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def _pallas_mq_decoder(h: int, w: int, Lw: int, S_tot: int, nplanes: int):
+    """Traceable decoder for one geometry bucket. Takes the
+    pack_field_lanes arrays; returns (HW, S_tot*128) packed int32
+    (sign<<31 | magnitude). Splits the batch into VMEM-sized lane
+    tiles, one kernel call each (XLA queues them back to back)."""
+    import jax.numpy as jnp
+
+    HW = h * w
+    s = _lane_tile(HW, Lw, S_tot)
+    tile = _pallas_mq_decoder_tile(h, w, Lw, s, nplanes)
+
+    S_pad = -(-S_tot // s) * s
+
+    def run(words, g0, gend, ori):
+        if S_pad != S_tot:
+            # pad lanes idle: g0 == gend == 0 never enables a pass
+            pad = ((0, 0), (0, S_pad - S_tot), (0, 0))
+            g0, gend, ori = (jnp.pad(a, pad) for a in (g0, gend, ori))
+            words = jnp.pad(
+                words, ((0, 0), (0, 0), (0, S_pad - S_tot), (0, 0)))
+        outs = []
+        for k in range(0, S_pad, s):
+            sl = (slice(None), slice(k, k + s), slice(None))
+            sw = (slice(None), slice(None), slice(k, k + s), slice(None))
+            outs.append(tile(words[sw], g0[sl], gend[sl], ori[sl]))
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+        return out.reshape(HW, S_pad * 128)[:, :S_tot * 128]
 
     return run
 
@@ -525,6 +574,15 @@ def decode_core_pallas(h: int, w: int, S_tot: int, nplanes: int, Lw: int):
     """Traceable core for one shape group: fn(words, g0, gend, ori) ->
     (HW, B) packed int32 (composable into fused decode programs)."""
     return _pallas_mq_decoder(h, w, Lw, S_tot, nplanes)
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_pallas_decode(h: int, w: int, Lw: int, S_tot: int,
+                          nplanes: int):
+    """jit-wrapped standalone entry: without the jit wrapper every call
+    re-traces the (large) kernel on the host — ~1000x the device time."""
+    import jax
+    return jax.jit(_pallas_mq_decoder(h, w, Lw, S_tot, nplanes))
 
 
 def decode_blocks(blocks) -> List[Optional[Tuple[np.ndarray, np.ndarray]]]:
@@ -547,7 +605,7 @@ def decode_blocks(blocks) -> List[Optional[Tuple[np.ndarray, np.ndarray]]]:
         lanes = [(blocks[i][0], blocks[i][3], blocks[i][4], blocks[i][5])
                  for i in idxs]
         (words, g0, gend, ori), (S, npl, Lw) = pack_field_lanes(lanes)
-        fn = _pallas_mq_decoder(h, w, Lw, S, npl)
+        fn = _jitted_pallas_decode(h, w, Lw, S, npl)
         packed = np.asarray(fn(jnp.asarray(words), jnp.asarray(g0),
                                jnp.asarray(gend), jnp.asarray(ori)))
         mags = (packed.astype(np.uint32) & 0x7FFFFFFF)
