@@ -139,7 +139,7 @@ def bench_chip(mq: bool = False, lossy_rd: bool = False):
                           imgs[ci * chunk:(ci + 1) * chunk]])
         chunks.append(jnp.asarray(batch.astype(np.uint8)))
     if mq:
-        fn = fused_encode._jitted_fused_mq(plan, chunk)
+        fn, _, _ = fused_encode._jitted_fused_mq(plan, chunk)
         sync = lambda r: np.asarray(r[0][-1:])  # noqa: E731
     else:
         fn, _, _ = fused_encode._jitted_fused(plan, chunk)
@@ -157,7 +157,11 @@ def bench_chip(mq: bool = False, lossy_rd: bool = False):
                 outs.append(fn(x))
         if fetch:
             for r in outs:
-                np.asarray(r if mq else r)
+                if mq:
+                    np.asarray(r[0])
+                    np.asarray(r[1])
+                else:
+                    np.asarray(r)
         sync(outs[-1])  # device queue is in-order: last done => all done
         best = min(best, time.perf_counter() - t0)
     nframes = passes * nchunks * chunk

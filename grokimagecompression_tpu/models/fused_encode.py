@@ -138,18 +138,22 @@ def build_plan(siz, cod, qcd, tile: Rect,
         gtuple.append((gk[0], gk[1], tuple(s for (_, s) in entries)))
         order.append(tuple(i for (i, _) in entries))
     if coder == "mq":
-        # HBM gate: the MQ scan materializes (slots, lanes) words + m8 +
-        # nbo dense in HBM. A whole 2048^2 RGB tile reaches ~350k slots
-        # x 3k lanes = 13 GB — beyond a v5e chip. Estimate the footprint
-        # (slots ~= planes x 3.5 x h x w upper bound) and fall back to
-        # the host coder above the budget (GROK_TPU_MQ_HBM_MB, def 1536).
+        # HBM gate: with the compacting scan (ops/mq_scan_pallas.
+        # mq_scan_compact_blocked) the stream costs ~1 B/slot-lane in
+        # HBM plus the packed copy and the level-1 grids (~2.5 B total)
+        # — a whole 2048^2 RGB tile is ~2.3 GB, a 4096^2 RGB one ~9 GB.
+        # Fall back to the host coder only past the budget
+        # (GROK_TPU_MQ_HBM_MB, default 6144), which no BASELINE config
+        # reaches.
         import os
-        budget = int(os.environ.get("GROK_TPU_MQ_HBM_MB", "1536")) << 20
+        from ..ops import mq_jax as _mq
+        budget = int(os.environ.get("GROK_TPU_MQ_HBM_MB", "6144")) << 20
         total = 0
         for (gh, gw, specs) in gtuple:
             kmax = max(sp.kmax for sp in specs)
-            lanes = -(-len(specs) // 128) * 128
-            total += int(kmax * 3.5 * gh * gw) * lanes * 4 * 3
+            lanes = -(-(len(specs) * 1) // 128) * 128
+            total += int(kmax * _mq.slots_per_plane(gh, gw)
+                         * lanes * 2.5)
         if total > budget:
             return None
     return FusedPlan(cfg=pipeline.config_for_tile(siz, cod, tile),
@@ -241,27 +245,38 @@ def _jitted_fused(plan: FusedPlan, nframes: int):
 
 @functools.lru_cache(maxsize=64)
 def _jitted_fused_mq(plan: FusedPlan, nframes: int):
-    """One XLA program for the MQ coder: frames' samples in ->
-    (small = per-block metrics + per-group level-2 counts, then one
-    level-2 compacted word grid per group). Host does the ragged splice
-    (ops/mq_jax.splice_mq_words) and the MQ FLUSH tail.
+    """One XLA program for the MQ coder: frames' samples in -> ONE flat
+    int32 array [per-group metrics heads | packed words], fetched with
+    the ht_jax.submit_fetch prefix contract. The packed words are
+    spliced lane-major on device (mq_jax.mq_scatter_flat) at exact
+    per-lane offsets — group-major, frame-major within a group — so
+    the device->host copy moves ~the emitted bytes only (the level-2
+    compaction grid's 15x capacity slack stays on device; over a
+    tunneled link that slack cost 6x the encode program itself).
 
     Per-lane nbps is computed on device (bit-length of the block's max
     magnitude); the scan runs the group's kmax planes with per-lane
     validity masking, so no host round trip is needed before coding.
-    Block/lane order matches the HT path: group-major, frame-major
-    within a group."""
+    Returns (jitted fn, total word bound, metrics-head length)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     from ..ops import mq_jax
 
+    mhead = 0
+    total_bound = 0
+    for (h, w, blocks) in plan.groups:
+        B = nframes * len(blocks)
+        kmaxg = max(b.kmax for b in blocks)
+        mh, tb = mq_jax.mq_flat_sizes(h, w, B, kmaxg, plan.want_rd)
+        mhead += mh
+        total_bound += tb
+
     def run(*comps):
         bands_list = pipeline._fwd_transform(plan.cfg, comps)
         smalls = []
-        dists_l = []
-        comp2s = []
+        gword = []
         for (h, w, blocks) in plan.groups:
             hp = -(-h // 4) * 4
             geo = mq_jax._geometry(h, w)
@@ -301,32 +316,44 @@ def _jitted_fused_mq(plan: FusedPlan, nframes: int):
                     jnp, lax, mag, neg, orients[None, None, :],
                     nbps[None, None, :], kmaxg, geo)
             slots = jax.lax.optimization_barrier(slots)
-            words, m8, nbo, st = mq_jax.run_mq_scans_blocked(jnp, lax,
-                                                             slots)
-            comp2, counts2, nbytes, overflow = mq_jax._compact_words(
-                jnp, words, m8, st)
+            comp1, counts1, nboc, st = mq_jax.run_mq_scans_compact(
+                jnp, lax, slots)
+            comp2, counts2, nbytes, overflow = mq_jax._compact_level2(
+                jnp, comp1, counts1, st)
             metrics = jnp.stack(
                 [nbytes, st[0], st[1], st[2], st[3], st[4],
                  overflow.astype(jnp.int32),
                  nbps.reshape(nbytes.shape)], axis=-1)
             metrics = metrics.reshape(-1, mq_jax.NMETRICS)[:B]
-            parts = [metrics.reshape(-1),
-                     counts2.reshape(counts2.shape[0], -1)[:, :B]
-                     .reshape(-1)]
+            parts = [metrics.reshape(-1)]
             if plan.want_rd:
-                cumbo = mq_jax.pass_cum_byteouts(jnp, nbo, h, w, kmaxg)
+                cumbo = mq_jax.pass_cum_byteouts(jnp, nboc, h, w, kmaxg)
                 parts.append(cumbo.reshape(3 * kmaxg, -1)[:, :B]
                              .reshape(-1))
-                dists_l.append(dists.reshape(3 * kmaxg, -1)[:, :B]
-                               .reshape(-1))
+                parts.append(lax.bitcast_convert_type(
+                    dists.reshape(3 * kmaxg, -1)[:, :B],
+                    jnp.int32).reshape(-1))
             smalls.append(jnp.concatenate(parts))
-            comp2s.append(comp2)
-        out = (jnp.concatenate(smalls),)
-        if plan.want_rd:
-            out = out + (jnp.concatenate(dists_l),)
-        return out + tuple(comp2s)
+            gword.append(((metrics[:, 0] + 3) >> 2, comp2, counts2,
+                          st[4].reshape(-1)[:B], st[5].reshape(-1)[:B]))
+        wctot = jnp.concatenate([g[0] for g in gword])
+        base_all = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(wctot)[:-1].astype(jnp.int32)])
+        out = jnp.zeros((total_bound + 1,), jnp.int32)
+        pos = 0
+        for (nw, comp2, counts2, wacc, wcnt) in gword:
+            B = nw.shape[0]
+            base = lax.dynamic_slice(base_all, (pos,), (B,))
+            out = mq_jax.mq_scatter_flat(jnp, out, base, comp2, counts2,
+                                         wacc, wcnt, B)
+            pos += B
+        # two outputs, not one concat: see mq_jax._jitted_mq_group —
+        # concatenating the scatter result degrades the XLA schedule
+        # by orders of magnitude.
+        return jnp.concatenate(smalls), out
 
-    return jax.jit(run)
+    return jax.jit(run), total_bound, mhead
 
 
 def encode_tile_submit(comps_data: List[np.ndarray], plan: FusedPlan):
@@ -352,14 +379,12 @@ def encode_tile_submit(comps_data: List[np.ndarray], plan: FusedPlan):
             dt = np.int32
         args.append(jnp.asarray((a if a.ndim == 3 else a[None]).astype(dt)))
     if plan.coder == "mq":
-        fn = _jitted_fused_mq(plan, nframes)
-        outs = fn(*args)
-        for a in outs:
-            try:
-                a.copy_to_host_async()
-            except Exception:
-                pass
-        return (plan, nframes, outs)
+        from ..ops import mq_jax
+        fn, total_bound, mhead = _jitted_fused_mq(plan, nframes)
+        head, words = fn(*args)
+        fetch = mq_jax.mq_submit_fetch(head, words, total_bound,
+                                       (plan, nframes))
+        return (plan, nframes, fetch)
     fn, total_bound, mhead = _jitted_fused(plan, nframes)
     flat = fn(*args)
     fetch = ht_jax.submit_fetch(flat, mhead, total_bound, (plan, nframes))
@@ -398,40 +423,63 @@ def encode_tile_collect(handle) -> List[Optional[List]]:
     return res
 
 
-def _collect_mq(plan: FusedPlan, nframes: int, outs) -> List[Optional[List]]:
+def _mq_head_total_words(plan: FusedPlan, nframes: int):
+    """total_words_fn for collect_fetch: walk the per-group metrics
+    heads and sum each lane's ceil(nbytes / 4)."""
     from ..ops import mq_jax
 
-    small_np = np.asarray(outs[0])
-    dists_np = np.asarray(outs[1], np.float64) if plan.want_rd else None
-    cidx = 2 if plan.want_rd else 1
+    def fn(head):
+        head = head.reshape(-1)
+        total = 0
+        pos = 0
+        for (h, w, blocks) in plan.groups:
+            B = nframes * len(blocks)
+            kmaxg = max(b.kmax for b in blocks)
+            m = head[pos:pos + B * mq_jax.NMETRICS].reshape(
+                B, mq_jax.NMETRICS)
+            total += int(((m[:, 0].astype(np.int64) + 3) >> 2).sum())
+            pos += B * mq_jax.NMETRICS
+            if plan.want_rd:
+                pos += 2 * 3 * kmaxg * B
+        return total
+
+    return fn
+
+
+def _collect_mq(plan: FusedPlan, nframes: int, fetch) -> List[Optional[List]]:
+    from ..ops import mq_jax
+
+    head_np, words_np = mq_jax.mq_collect_fetch(
+        fetch, total_words_fn=_mq_head_total_words(plan, nframes))
+    head_np = np.ascontiguousarray(head_np.reshape(-1))
     res: List[Optional[List]] = [
         [None] * plan.nblocks for _ in range(nframes)]
     bad_frames = set()
     pos = 0
-    dpos = 0
+    wpos = 0
     for gidx, (h, w, blocks) in enumerate(plan.groups):
         B = nframes * len(blocks)
         kmaxg = max(b.kmax for b in blocks)
-        comp2_np = np.asarray(outs[cidx + gidx])
-        ngrp, cap2 = comp2_np.shape[0], comp2_np.shape[1]
-        comp2_np = comp2_np.reshape(ngrp, cap2, -1)[:, :, :B]
-        nsm = B * mq_jax.NMETRICS + ngrp * B
-        metrics_np = small_np[pos:pos + B * mq_jax.NMETRICS].reshape(
+        metrics_np = head_np[pos:pos + B * mq_jax.NMETRICS].reshape(
             B, mq_jax.NMETRICS)
-        counts2_np = small_np[pos + B * mq_jax.NMETRICS:pos + nsm].reshape(
-            ngrp, B)
-        pos += nsm
+        pos += B * mq_jax.NMETRICS
         cumbo_np = None
         gdists = None
         if plan.want_rd:
-            cumbo_np = small_np[pos:pos + 3 * kmaxg * B].reshape(
+            cumbo_np = head_np[pos:pos + 3 * kmaxg * B].reshape(
                 3 * kmaxg, B)
             pos += 3 * kmaxg * B
-            gdists = dists_np[dpos:dpos + 3 * kmaxg * B].reshape(
-                3 * kmaxg, B)
-            dpos += 3 * kmaxg * B
-        words = mq_jax.splice_mq_words(comp2_np, counts2_np, metrics_np)
-        segs = mq_jax.assemble_mq_segments(words, metrics_np)
+            gdists = head_np[pos:pos + 3 * kmaxg * B].view(
+                np.float32).astype(np.float64).reshape(3 * kmaxg, B)
+            pos += 3 * kmaxg * B
+        gwords = int(((metrics_np[:, 0].astype(np.int64) + 3) >> 2).sum())
+        segs = mq_jax.assemble_mq_segments(
+            words_np[wpos:wpos + gwords], metrics_np)
+        wpos += gwords
+        if plan.want_rd:
+            totals = np.asarray([len(s) for s in segs], np.int64)
+            rates_t, dcum_t = mq_jax.batch_pass_tables(
+                totals, metrics_np[:, 7], kmaxg, cumbo_np, gdists)
         nb0 = len(blocks)
         for f in range(nframes):
             for j in range(nb0):
@@ -443,9 +491,8 @@ def _collect_mq(plan: FusedPlan, nframes: int, outs) -> List[Optional[List]]:
                 data = segs[lane] if nbps > 0 else b""
                 npas = 3 * nbps - 2 if nbps > 0 else 0
                 if plan.want_rd:
-                    passes = mq_jax._lane_passes(
-                        data, nbps, kmaxg, cumbo_np[:, lane],
-                        gdists[:, lane])
+                    passes = mq_jax._passes_from_tables(
+                        nbps, kmaxg, rates_t[:, lane], dcum_t[:, lane])
                     res[f][plan.order[gidx][j]] = (data, nbps, npas,
                                                    passes)
                 else:

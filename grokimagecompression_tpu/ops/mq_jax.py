@@ -353,6 +353,12 @@ def _plane_slots(jnp, lax, mag, neg, orient, nbps, plane, geo,
     uni2 = _pack_slot(jnp, hit, r4 & 1, jnp.full_like(r4, CTX_UNI))
 
     # ---- assemble in scan order (stripe-major, column-major inside) ----
+    # Each pass section is padded with no-op slots (byte 0: emit=0, a
+    # pure pass-through in mq_step) to a multiple of the scan kernel's
+    # 256-step chunk, so every pass boundary lands exactly on a chunk
+    # boundary and per-chunk byteout sums reconstruct the pass-end
+    # buffer lengths PCRD needs (pass_cum_byteouts) without a dense
+    # per-step nbo array in HBM.
     def scan_order_pairs(a, b):
         st = jnp.stack([a, b], axis=2)                   # (hp, w, 2, B)
         st = st.reshape(ns, 4, w, 2, B).transpose(0, 2, 1, 3, 4)
@@ -361,13 +367,18 @@ def _plane_slots(jnp, lax, mag, neg, orient, nbps, plane, geo,
     def scan_order_single(a):
         return a.reshape(ns, 4, w, B).transpose(0, 2, 1, 3).reshape(-1, B)
 
+    def pad_pass(x):
+        t = x.shape[0]
+        return jnp.pad(x, ((0, _pad256(t) - t), (0, 0)))
+
     spp_flat = scan_order_pairs(spp_zc, spp_sc)          # (8*ns*w, B)
     mrp_flat = scan_order_single(mrp)                    # (4*ns*w, B)
     heads = jnp.stack([rl, uni1, uni2], axis=2)          # (ns, w, 3, B)
     samples = jnp.stack([cln_zc, cln_sc], axis=2).reshape(
         ns, 4, w, 2, B).transpose(0, 2, 1, 3, 4).reshape(ns, w, 8, B)
     cln_flat = jnp.concatenate([heads, samples], axis=2).reshape(-1, B)
-    slots = jnp.concatenate([spp_flat, mrp_flat, cln_flat], axis=0)
+    slots = jnp.concatenate([pad_pass(spp_flat), pad_pass(mrp_flat),
+                             pad_pass(cln_flat)], axis=0)
     if not want_dist:
         return slots
 
@@ -391,9 +402,22 @@ def _plane_slots(jnp, lax, mag, neg, orient, nbps, plane, geo,
     return slots, jnp.stack([d_spp, d_mrp, d_cln], axis=0)
 
 
-def slots_per_plane(h: int, w: int) -> int:
+def _pad256(n: int) -> int:
+    return -(-n // 256) * 256
+
+
+@functools.lru_cache(maxsize=256)
+def pass_spans_padded(h: int, w: int):
+    """(SPP, MRP, CLN) slot-stream section lengths per plane, each
+    padded to a multiple of the scan's 256-step chunk (the no-op pad
+    slots are inserted by _plane_slots)."""
     hp = -(-h // 4) * 4
-    return 3 * hp * w + 11 * (hp // 4) * w
+    nsw = (hp // 4) * w
+    return (_pad256(8 * nsw), _pad256(4 * nsw), _pad256(11 * nsw))
+
+
+def slots_per_plane(h: int, w: int) -> int:
+    return sum(pass_spans_padded(h, w))
 
 
 def build_slot_stream(jnp, lax, mag, neg, orient, nbps, nplanes, geo,
@@ -607,6 +631,17 @@ def _compact_words(jnp, words, m8, st, ccap=MQ_CCAP, grp=MQ_GRP,
         [jnp.sum(jnp.where(idx == j, wrd, 0), axis=1)
          for j in range(ccap)], axis=1)                # (nch, ccap, S, 128)
     counts1 = jnp.max(idx, axis=1) + 1                 # (nch, S, 128)
+    return _compact_level2(jnp, comp1, counts1, st, ccap, grp, cap2)
+
+
+def _compact_level2(jnp, comp1, counts1, st, ccap=MQ_CCAP, grp=MQ_GRP,
+                    cap2=MQ_CAP2):
+    """Level-2 compaction from the level-1 per-chunk word grid (the
+    compacting scan kernel's native output contract): comp1 (nch, ccap,
+    S, 128) = each 256-step chunk's first `ccap` emitted words, counts1
+    (nch, S, 128) = raw (unclamped) per-chunk word counts. Returns the
+    same (comp2, counts2, nbytes, overflow) as _compact_words."""
+    nch, _, S, _ = comp1.shape
     over1 = (counts1 > ccap).any(axis=0)
     cc1 = jnp.minimum(counts1, ccap)
 
@@ -683,6 +718,52 @@ def run_mq_scans_blocked(jnp, lax, slots):
     return (w.reshape(t_pad, S, 128), m8.reshape(t_pad, S, 128),
             nbo.reshape(t_pad, S, 128),
             jnp.stack(st).reshape(NSTATE, S, 128))
+
+
+def run_mq_scans_compact(jnp, lax, slots):
+    """Compacting-scan contract: slots (T, B) int8, B % 128 == 0 ->
+    (comp1 (nch, MQ_CCAP, S, 128) int32 = each 256-step chunk's first
+    CCAP emitted words, counts1 (nch, S, 128) raw per-chunk word
+    counts, nboc (nch, S, 128) per-chunk byteout sums, state
+    (NSTATE, S, 128)); nch = ceil(T / 256).
+
+    This is the production scan: level-1 word compaction happens inside
+    the Pallas kernel, so nothing O(T x B) beyond the 1-byte-per-slot
+    stream itself ever lands in HBM. The dense-words contract
+    (run_mq_scans_blocked) cost 12 B/slot/lane — ~13 GB for a 2048^2
+    RGB tile, which forced a host fallback for exactly the big-tile
+    configs the kernel exists for; this contract costs ~0.15 B of
+    output per slot, so whole-tile MQ fusion holds at any BASELINE
+    geometry (reference never materializes pass state either:
+    src/lib/jp2/t1/t1_part1/t1.cpp:1182 streams per block)."""
+    T, B = slots.shape
+    S = B // 128
+    if _use_pallas():
+        from . import mq_scan_pallas
+        return mq_scan_pallas.mq_scan_compact_blocked(slots, S)
+    return _mq_scans_compact_ref(jnp, lax, slots)
+
+
+def _mq_scans_compact_ref(jnp, lax, slots, ccap=MQ_CCAP):
+    """XLA reference implementation of the compacting-scan contract
+    (CPU fallback / kernel-correctness oracle): runs the dense scan and
+    reduces its outputs to the compact contract."""
+    T, B = slots.shape
+    S = B // 128
+    w, m, nbo, st = _mq_scan_w(jnp, lax, slots.astype(jnp.int32), B)
+    t_pad = -(-T // 256) * 256
+    nch = t_pad // 256
+    w = jnp.pad(w, ((0, t_pad - T), (0, 0))).reshape(nch, 256, S, 128)
+    nbo = jnp.pad(nbo, ((0, t_pad - T), (0, 0))).reshape(nch, 256, S, 128)
+    mv = jnp.pad(m.astype(jnp.int32), ((0, t_pad - T), (0, 0)))
+    mc = mv.reshape(nch, 256, S, 128)
+    m8 = jnp.where(mc > 0, jnp.cumsum(mc, axis=1) - 1, -1)
+    comp1 = jnp.stack(
+        [jnp.sum(jnp.where(m8 == j, w, 0), axis=1)
+         for j in range(ccap)], axis=1)
+    counts1 = jnp.max(m8, axis=1) + 1
+    nboc = nbo.sum(axis=1)
+    return comp1, counts1, nboc, jnp.stack(st).reshape(NSTATE, S, 128)
 
 
 # ---------------------------------------------------------------------------
@@ -763,14 +844,32 @@ def assemble_mq_segments(words_np: np.ndarray,
 NMETRICS = 8  # nbytes, a, c, ct, last, wacc, overflow, nbps
 
 
+def mq_flat_sizes(h: int, w: int, B: int, nplanes: int,
+                  want_rd: bool) -> Tuple[int, int]:
+    """(metrics-head length, packed-word bound) of the flat fused-MQ
+    output for one shape group. Head layout: metrics (B, NMETRICS) ++
+    [want_rd: cumbo (3*nplanes, B) ++ dists bitcast (3*nplanes, B)]."""
+    T = nplanes * slots_per_plane(h, w)
+    nch = -(-T // 256)
+    ngrp = -(-nch // MQ_GRP)
+    mhead = B * NMETRICS + (2 * 3 * nplanes * B if want_rd else 0)
+    return mhead, B * (ngrp * MQ_CAP2 + 1)
+
+
 @functools.lru_cache(maxsize=128)
 def _jitted_mq_group(h: int, w: int, B: int, nplanes: int,
                      want_rd: bool = False):
+    """One XLA program -> ONE flat int32 array: [metrics head | packed
+    words], the ht_jax.submit_fetch/collect_fetch single-prefix-fetch
+    contract. The packed words are spliced lane-major ON DEVICE
+    (mq_scatter_flat) at exact per-lane offsets, so the fetch moves
+    only ~the emitted bytes, not the compaction grid's capacity."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     geo = _geometry(h, w)
+    mhead, total_bound = mq_flat_sizes(h, w, B, nplanes, want_rd)
 
     def run(mag, neg, orient, nbps):
         # mag/neg: (hp, w, B) lanes-last
@@ -787,76 +886,118 @@ def _jitted_mq_group(h: int, w: int, B: int, nplanes: int,
         if b_pad != B:
             slots = jnp.pad(slots, ((0, 0), (0, b_pad - B)))
         slots = jax.lax.optimization_barrier(slots)
-        words, m8, nbo, st = run_mq_scans_blocked(jnp, lax, slots)
-        comp2, counts2, nbytes, overflow = _compact_words(
-            jnp, words, m8, st)
+        comp1, counts1, nboc, st = run_mq_scans_compact(jnp, lax, slots)
+        comp2, counts2, nbytes, overflow = _compact_level2(
+            jnp, comp1, counts1, st)
         nbp = jnp.pad(nbps, (0, b_pad - B)).reshape(nbytes.shape)
         metrics = jnp.stack(
             [nbytes, st[0], st[1], st[2], st[3], st[4],
              overflow.astype(jnp.int32), nbp], axis=-1)  # (S, 128, 8)
         metrics = metrics.reshape(-1, NMETRICS)[:B]
-        parts = [metrics.reshape(-1),
-                 counts2.reshape(counts2.shape[0], -1)[:, :B].reshape(-1)]
+        nw = ((metrics[:, 0] + 3) >> 2)
+        base = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                jnp.cumsum(nw)[:-1].astype(jnp.int32)])
+        out = jnp.zeros((total_bound + 1,), jnp.int32)
+        out = mq_scatter_flat(jnp, out, base, comp2, counts2,
+                              st[4].reshape(-1)[:B],
+                              st[5].reshape(-1)[:B], B)
+        parts = [metrics.reshape(-1)]
         if want_rd:
             # Cumulative byteout counts at each (static) pass boundary:
             # the host coder's buffer length at pass end, the quantity
             # PCRD truncation rates are built from (t1_np.py rate=...+5).
-            parts.append(pass_cum_byteouts(jnp, nbo, h, w,
+            parts.append(pass_cum_byteouts(jnp, nboc, h, w,
                                            nplanes).reshape(-1, b_pad)
                          [:, :B].reshape(-1))
-            return jnp.concatenate(parts), dists.reshape(-1, B), comp2
-        return jnp.concatenate(parts), comp2
+            parts.append(lax.bitcast_convert_type(
+                dists.reshape(-1, B), jnp.int32).reshape(-1))
+        # head and words stay SEPARATE outputs: concatenating the
+        # scatter result with the head makes XLA schedule the scatter
+        # pathologically (minutes instead of ~60 ms on a 5.7M-element
+        # buffer); mq_submit_fetch copies both with one round trip.
+        return jnp.concatenate(parts), out
 
-    return jax.jit(run)
+    return jax.jit(run), total_bound, mhead
 
 
-def pass_cum_byteouts(jnp, nbo, h: int, w: int, nplanes: int):
-    """(t_pad, S, 128) per-step byteout counts -> (3*nplanes, S, 128)
-    cumulative byteouts at each pass boundary. Pass slot ranges are
-    static: per plane [SPP 8nsw | MRP 4nsw | CLN 11nsw] (see
-    _plane_slots assembly)."""
-    hp = -(-h // 4) * 4
-    nsw = (hp // 4) * w
-    tp = slots_per_plane(h, w)
-    sums = []
+def pass_cum_byteouts(jnp, nboc, h: int, w: int, nplanes: int):
+    """nboc (nch, S, 128) per-256-chunk byteout sums -> (3*nplanes, S,
+    128) cumulative byteouts at each pass boundary. Every pass section
+    is padded to a 256-slot multiple (_plane_slots), so pass boundaries
+    coincide with chunk boundaries and the chunk sums reconstruct the
+    pass-end buffer lengths exactly."""
+    sa, sb, sc = pass_spans_padded(h, w)
+    tp = (sa + sb + sc) // 256
+    ca, cb = sa // 256, (sa + sb) // 256
+    cum = jnp.cumsum(nboc, axis=0)
+    rows = []
     for q in range(nplanes):
         base = q * tp
-        for (a, b) in ((base, base + 8 * nsw),
-                       (base + 8 * nsw, base + 12 * nsw),
-                       (base + 12 * nsw, base + 23 * nsw)):
-            sums.append(nbo[a:b].sum(axis=0))
-    return jnp.cumsum(jnp.stack(sums), axis=0)
+        for c in (base + ca, base + cb, base + tp):
+            rows.append(cum[c - 1])
+    return jnp.stack(rows)
 
 
-def splice_mq_words(comp2_np: np.ndarray, counts2_np: np.ndarray,
-                    metrics_np: np.ndarray) -> np.ndarray:
-    """Host-side ragged splice of the level-2 compacted word grid into
-    the contiguous per-lane packed layout assemble_mq_segments expects.
+def mq_scatter_flat(jnp, out, base, comp2, counts2, wacc, wcnt, B):
+    """Scatter one group's level-2 compacted words into the global flat
+    packed word buffer (lane-major, the exact layout
+    assemble_mq_segments expects), on device — the ~15x-slack comp2
+    capacity grid never crosses the device->host link (on a tunneled
+    TPU that transfer cost 6x the whole encode program).
 
-    comp2 (ngrp, cap2, B) int32, counts2 (ngrp, B), metrics (B, 7).
-    numpy boolean indexing does the 'scatter' at memcpy speed.
-    """
-    ngrp, cap2, B = comp2_np.shape
-    nbytes = metrics_np[:, 0].astype(np.int64)
-    nwords = (nbytes + 3) >> 2
-    starts = np.zeros(B + 1, np.int64)
-    np.cumsum(nwords, out=starts[1:])
-    arr = np.ascontiguousarray(comp2_np.transpose(2, 0, 1))  # (B, ngrp, cap2)
-    cc = counts2_np.T                                        # (B, ngrp)
-    msk = np.arange(cap2, dtype=np.int32)[None, None, :] < cc[:, :, None]
-    sel = arr[msk]                      # valid words, lane-major order
-    nsel = cc.sum(axis=1)
-    selstarts = np.zeros(B + 1, np.int64)
-    np.cumsum(nsel, out=selstarts[1:])
-    out = np.zeros(int(starts[B]), np.int32)
-    wacc = metrics_np[:, 5]
-    for b in range(B):
-        o, k = int(starts[b]), int(nsel[b])
-        out[o:o + k] = sel[int(selstarts[b]):int(selstarts[b]) + k]
-        if nbytes[b] & 3:
-            # partial tail bytes ride in wacc as the last word
-            out[o + int(nwords[b]) - 1] = wacc[b]
-    return out
+    out (total_bound + 1,) int32 with out[-1] the drop bin; base (B,)
+    per-lane word starts; comp2 (ngrp, cap2, S, 128) with S*128 >= B;
+    counts2 (ngrp, S, 128); wacc/wcnt (B,) the partial-word accumulator
+    and its byte count (the tail word when nbytes % 4 != 0)."""
+    ngrp, cap2 = comp2.shape[0], comp2.shape[1]
+    c = comp2.reshape(ngrp, cap2, -1)[:, :, :B]
+    cc = counts2.reshape(ngrp, -1)[:, :B]
+    pre = jnp.cumsum(cc, axis=0) - cc              # words before group
+    j = jnp.arange(cap2, dtype=jnp.int32)[None, :, None]
+    pos = base[None, None, :] + pre[:, None, :] + j
+    DROP = out.shape[0] - 1
+    pos = jnp.where(j < cc[:, None, :], pos, DROP)
+    out = out.at[pos.reshape(-1)].set(c.reshape(-1), mode="drop")
+    wcount = cc.sum(axis=0)
+    tpos = jnp.where(wcnt > 0, base + wcount, DROP)
+    return out.at[tpos].set(wacc, mode="drop")
+
+
+def mq_submit_fetch(head, words, total_bound, hint_key):
+    """Start the async device->host copies for a fused-MQ result: the
+    (small) metrics head in full plus a history-predicted prefix of the
+    packed word buffer (ht_jax's bucket-hint scheme; the hint store is
+    shared). Returns a handle for mq_collect_fetch."""
+    from . import ht_jax
+
+    hint = ht_jax._bucket_hints.get(hint_key, max(total_bound // 8, 256))
+    bucket = min(ht_jax._bucket_up(hint), ht_jax._bucket_up(total_bound))
+    pre = words[:bucket]
+    for x in (head, pre):
+        try:
+            x.copy_to_host_async()
+        except Exception:
+            pass
+    return (head, words, pre, bucket, hint_key)
+
+
+def mq_collect_fetch(handle, total_words_fn):
+    """Block on an mq_submit_fetch handle -> (head np array, words np
+    array of exactly total_words_fn(head) words)."""
+    from . import ht_jax
+
+    head, words, pre, bucket, hint_key = handle
+    head_np = np.asarray(head)
+    total = int(total_words_fn(head_np))
+    ht_jax._bucket_hints[hint_key] = max(
+        total + total // 16, (ht_jax._bucket_hints.get(hint_key, 0) * 3) // 4)
+    if total <= bucket:
+        words_np = np.asarray(pre)[:total]
+    else:
+        cap = int(words.shape[0])
+        fetch = min(ht_jax._bucket_up(total), cap)
+        words_np = np.asarray(words[:fetch])[:total]
+    return head_np, words_np
 
 
 def mq_encode_blocks(blocks, want_rd: bool = False) -> List[Tuple]:
@@ -894,36 +1035,35 @@ def mq_encode_blocks(blocks, want_rd: bool = False) -> List[Tuple]:
             negs[:h, :, k] = blocks[i][1]
             orients[k] = blocks[i][2]
             nbps[k] = nb
-        fn = _jitted_mq_group(h, w, Bp, npl, want_rd)
-        outs = fn(jnp.asarray(mags), jnp.asarray(negs),
-                  jnp.asarray(orients), jnp.asarray(nbps))
-        for a in outs:
-            try:
-                a.copy_to_host_async()
-            except Exception:
-                pass
-        handles.append((entries, Bp, npl, outs))
-    for (entries, Bp, npl, outs) in handles:
+        fn, total_bound, mhead = _jitted_mq_group(h, w, Bp, npl, want_rd)
+        head, words_dev = fn(jnp.asarray(mags), jnp.asarray(negs),
+                             jnp.asarray(orients), jnp.asarray(nbps))
+        fetch = mq_submit_fetch(head, words_dev, total_bound,
+                                ("mq", h, w, Bp, npl, want_rd))
+        handles.append((entries, Bp, npl, fetch))
+    for (entries, Bp, npl, fetch) in handles:
+        head_np, words = mq_collect_fetch(
+            fetch,
+            total_words_fn=lambda m, Bp=Bp: int(
+                ((m.reshape(-1)[:Bp * NMETRICS].reshape(Bp, NMETRICS)
+                  [:, 0].astype(np.int64)) + 3 >> 2).sum()))
+        head_np = np.ascontiguousarray(head_np.reshape(-1))
+        metrics_np = head_np[:Bp * NMETRICS].reshape(Bp, NMETRICS)
         if want_rd:
-            small, dists, comp2 = outs
-            dists_np = np.asarray(dists, np.float64)  # (3*npl, Bp)
-        else:
-            small, comp2 = outs
-            dists_np = None
-        small_np = np.asarray(small)
-        metrics_np = small_np[:Bp * NMETRICS].reshape(Bp, NMETRICS)
-        rest = small_np[Bp * NMETRICS:]
-        if want_rd:
-            cumbo_np = rest[-3 * npl * Bp:].reshape(3 * npl, Bp)
-            counts2_np = rest[:-3 * npl * Bp].reshape(-1, Bp)
+            off = Bp * NMETRICS
+            cumbo_np = head_np[off:off + 3 * npl * Bp].reshape(
+                3 * npl, Bp)
+            off += 3 * npl * Bp
+            dists_np = head_np[off:off + 3 * npl * Bp].view(
+                np.float32).astype(np.float64).reshape(3 * npl, Bp)
         else:
             cumbo_np = None
-            counts2_np = rest.reshape(-1, Bp)
-        comp2_np = np.asarray(comp2)
-        ngrp, cap2 = comp2_np.shape[0], comp2_np.shape[1]
-        comp2_np = comp2_np.reshape(ngrp, cap2, -1)[:, :, :Bp]
-        words = splice_mq_words(comp2_np, counts2_np, metrics_np)
+            dists_np = None
         segs = assemble_mq_segments(words, metrics_np)
+        if want_rd:
+            totals = np.asarray([len(s) for s in segs], np.int64)
+            rates_t, dcum_t = batch_pass_tables(
+                totals, metrics_np[:, 7], npl, cumbo_np, dists_np)
         for k, (i, nb) in enumerate(entries):
             if metrics_np[k, 6]:
                 from ..t1 import backend as _t1b
@@ -938,47 +1078,61 @@ def mq_encode_blocks(blocks, want_rd: bool = False) -> List[Tuple]:
                 results[i] = (data, nb, npasses)
                 continue
             results[i] = (data, nb, npasses,
-                          _lane_passes(data, nb, npl, cumbo_np[:, k],
-                                       dists_np[:, k]))
+                          _passes_from_tables(nb, npl, rates_t[:, k],
+                                              dcum_t[:, k]))
     return results
 
 
 def _lane_passes(data: bytes, nb: int, npl: int, cumbo: np.ndarray,
                  dists: np.ndarray):
-    """Build the host-contract PassInfo list for one lane from device
-    cumulative byteouts + per-pass distortion sums.
+    """Build the host-contract PassInfo list for one lane (delegates to
+    the vectorized batch form)."""
+    rates, dcum = batch_pass_tables(
+        np.asarray([len(data)], np.int64), np.asarray([nb], np.int32),
+        npl, cumbo[:, None], dists[:, None])
+    return _passes_from_tables(nb, npl, rates[:, 0], dcum[:, 0])
 
-    Device rows run plane npl-1 .. 0, three passes each (SPP, MRP,
-    CLN); a lane with nb < npl bitplanes starts at the CLN of plane
-    nb-1 (row 3*(npl-nb)+2). Rates follow t1_np.encode_cblk exactly:
-    non-terminated rate = bytes_so_far + 5 clamped into [prev, total];
-    the final (terminated) pass is the exact segment length."""
+
+def batch_pass_tables(totals: np.ndarray, nbs: np.ndarray, npl: int,
+                      cumbo: np.ndarray, dists: np.ndarray):
+    """Vectorized PCRD pass tables for a lane batch.
+
+    totals (B,) segment byte lengths; nbs (B,) per-lane bitplane
+    counts; cumbo/dists (3*npl, B) device cumulative byteouts /
+    4^-plane-scaled distortion sums (rows: plane npl-1..0 x SPP, MRP,
+    CLN). Returns (rates (3*npl, B) int64, dist_cum (3*npl, B)
+    float64). Rates follow t1_np.encode_cblk exactly: non-terminated
+    rate = bytes_so_far + 5 clamped monotone into [prev, total]; the
+    final (terminated) pass is the exact segment length. A pure-numpy
+    reformulation of the per-lane loop: the forward/backward clamp
+    passes are running min/max scans along the pass axis."""
+    nrows = 3 * npl
+    planes = npl - 1 - (np.arange(nrows) // 3)
+    dist_cum = np.cumsum(dists * np.power(4.0, planes)[:, None], axis=0)
+    rates = np.minimum(cumbo.astype(np.int64) + 5, totals[None, :])
+    rates[-1] = totals
+    # backward min scan then forward max scan (the two clamp loops)
+    rates = np.minimum.accumulate(rates[::-1], axis=0)[::-1]
+    rates = np.maximum.accumulate(rates, axis=0)
+    return rates, dist_cum
+
+
+def _passes_from_tables(nb: int, npl: int, rates: np.ndarray,
+                        dcum: np.ndarray):
+    """PassInfo list for one lane from its batch_pass_tables columns.
+    A lane with nb < npl bitplanes starts at the CLN of plane nb-1
+    (row 3*(npl-nb)+2); rows before it carry no distortion (the device
+    masks those planes out), so the cumulative rows are aligned."""
     from ..t1.t1_np import PassInfo
 
     if nb <= 0:
         return []
-    total = len(data)
     j0 = 3 * (npl - nb) + 2
-    rows = range(j0, 3 * npl)
-    # distortion rows are (plane, pass) scaled by 4^-plane; device
-    # plane index q -> real plane npl-1-q
-    dist_cum = 0.0
-    passes = []
     n = 3 * nb - 2
-    for idx, j in enumerate(rows):
-        plane = npl - 1 - (j // 3)
-        dist_cum += float(dists[j]) * float(4.0 ** plane)
-        last = idx == n - 1
-        rate = total if last else min(int(cumbo[j]) + 5, total)
-        passes.append(PassInfo(rate=rate, distortion=dist_cum,
-                               terminated=last))
-    for i in range(n - 2, -1, -1):
-        if passes[i].rate > passes[i + 1].rate:
-            passes[i].rate = passes[i + 1].rate
-    for i in range(1, n):
-        if passes[i].rate < passes[i - 1].rate:
-            passes[i].rate = passes[i - 1].rate
-    return passes
+    last = 3 * npl - 1
+    return [PassInfo(rate=int(rates[j]), distortion=float(dcum[j]),
+                     terminated=j == last)
+            for j in range(j0, 3 * npl)]
 
 
 def _pad_batch(n: int) -> int:

@@ -38,6 +38,110 @@ from . import mq_jax
 _CHUNK = 256
 
 
+def _lane_tile_of(s: int) -> int:
+    st = s
+    for cand in (8, 4, 2, 1):
+        if s % cand == 0:
+            st = cand
+            break
+    return min(st, s)
+
+
+@functools.partial(jax.jit, static_argnames=("s", "interpret"))
+def mq_scan_compact_blocked(slots, s: int, interpret: bool = False):
+    """Compacting MQ scan: slots (T, B) int8 slot bytes, B == s * 128.
+
+    Returns (comp1 (nch, CCAP, s, 128) int32 = each 256-step chunk's
+    first CCAP emitted words, counts1 (nch, s, 128) raw per-chunk word
+    counts, nboc (nch, s, 128) per-chunk byteout sums, state
+    (NSTATE, s, 128)); nch = ceil(T / 256).
+
+    Level-1 word compaction runs INSIDE the kernel: the per-lane
+    chunk-local word counter that mq_scan_blocked exported as m8 is
+    instead used to accumulate each emitted word into one of CCAP
+    masked accumulators, so the dense (T, s, 128) words/m8/nbo arrays
+    (12 B per slot-lane — ~13 GB on a 2048^2 RGB tile, the round-3 HBM
+    gate) never exist. HBM traffic is the 1 B/slot packed stream in and
+    the ~0.15 B/slot compacted grids out. The 4-per-int32 slot packing
+    keeps the stream at byte density without int8 loads in the kernel.
+    """
+    T, B = slots.shape
+    t_pad = -(-T // _CHUNK) * _CHUNK
+    nch = t_pad // _CHUNK
+    ccap = mq_jax.MQ_CCAP
+    nstate = mq_jax.NSTATE
+    init = list(mq_jax.STATE_INIT)
+    sl = jnp.pad(slots.astype(jnp.uint8), ((0, t_pad - T), (0, 0)))
+    sl = sl.reshape(t_pad // 4, 4, s, 128).astype(jnp.int32)
+    sl = (sl[:, 0] | (sl[:, 1] << 8) | (sl[:, 2] << 16)
+          | (sl[:, 3] << 24))
+    st = _lane_tile_of(s)
+    n_lane = s // st
+    nq = _CHUNK // 4
+
+    def kernel(s_ref, c1_ref, cnt_ref, nbo_ref, st_ref, scratch):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            for k, v in enumerate(init):
+                scratch[k, :, :] = jnp.full((st, 128), v, jnp.int32)
+
+        zero = jnp.zeros((st, 128), jnp.int32)
+
+        def body(tq, carry):
+            state = carry[:nstate]
+            cnt, nbos = carry[nstate], carry[nstate + 1]
+            acc = list(carry[nstate + 2:])
+            wq = s_ref[tq]
+            for sub in range(4):
+                slot = (wq >> (8 * sub)) & 0xFF
+                state, word, full, nbo = mq_jax.mq_step(jnp, state, slot)
+                for k in range(ccap):
+                    acc[k] = acc[k] | jnp.where(full & (cnt == k), word, 0)
+                cnt = cnt + full.astype(jnp.int32)
+                nbos = nbos + nbo
+            return tuple(state) + (cnt, nbos) + tuple(acc)
+
+        carry = tuple(scratch[k, :, :] for k in range(nstate))
+        carry = carry + (zero, zero) + tuple(zero for _ in range(ccap))
+        carry = lax.fori_loop(0, nq, body, carry)
+        for k in range(nstate):
+            scratch[k, :, :] = carry[k]
+            st_ref[k, :, :] = carry[k]
+        cnt_ref[0] = carry[nstate]
+        nbo_ref[0] = carry[nstate + 1]
+        for k in range(ccap):
+            c1_ref[0, k] = carry[nstate + 2 + k]
+
+    out_shape = [
+        jax.ShapeDtypeStruct((nch, ccap, s, 128), jnp.int32),
+        jax.ShapeDtypeStruct((nch, s, 128), jnp.int32),
+        jax.ShapeDtypeStruct((nch, s, 128), jnp.int32),
+        jax.ShapeDtypeStruct((nstate, s, 128), jnp.int32),
+    ]
+    in_spec = pl.BlockSpec((nq, st, 128), lambda i, j: (j, i, 0),
+                           memory_space=pltpu.VMEM)
+    ch_spec = pl.BlockSpec((1, st, 128), lambda i, j: (j, i, 0),
+                           memory_space=pltpu.VMEM)
+    comp1, counts1, nboc, state = pl.pallas_call(
+        kernel,
+        grid=(n_lane, nch),
+        in_specs=[in_spec],
+        out_specs=[
+            pl.BlockSpec((1, ccap, st, 128), lambda i, j: (j, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            ch_spec, ch_spec,
+            pl.BlockSpec((nstate, st, 128), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((nstate, st, 128), jnp.int32)],
+        interpret=interpret,
+    )(sl)
+    return comp1, counts1, nboc, state
+
+
 @functools.partial(jax.jit, static_argnames=("s",))
 def mq_scan_blocked(slots, s: int):
     """slots: (T, B) int32/int8 slot bytes with B == s * 128.
@@ -59,12 +163,7 @@ def mq_scan_blocked(slots, s: int):
     # run innermost with the coder state carried in scratch, so the
     # 256-step chunk-local word-index semantics (m8, downstream
     # compaction) are unchanged.
-    st = s
-    for cand in (8, 4, 2, 1):
-        if s % cand == 0:
-            st = cand
-            break
-    st = min(st, s)
+    st = _lane_tile_of(s)
     n_lane = s // st
 
     def kernel(s_ref, out_w, out_m, out_b, st_ref, scratch):
