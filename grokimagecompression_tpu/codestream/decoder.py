@@ -444,7 +444,8 @@ def decode_batch(datas: List[bytes],
 
     params = params or DecoderParams()
     if device is None:
-        device = _os.environ.get("GROK_TPU_DEVICE", "") == "1"
+        from ..utils.device import device_default
+        device = device_default()
 
     def _fallback():
         return [decode(d, params, device=device) for d in datas]

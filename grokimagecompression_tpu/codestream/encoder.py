@@ -337,7 +337,8 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
     """
     import os
     if device is None:
-        device = os.environ.get("GROK_TPU_DEVICE", "") == "1"
+        from ..utils.device import device_default
+        device = device_default()
     params = params or EncoderParams()
     # Layer count follows the rate/quality vectors when they are longer
     # (the reference sets tcp_numlayers from the -r/-q list length:
@@ -701,7 +702,8 @@ def encode_batch(images: List[Image], params: Optional[EncoderParams] = None,
     """
     import os
     if device is None:
-        device = os.environ.get("GROK_TPU_DEVICE", "") == "1"
+        from ..utils.device import device_default
+        device = device_default()
     params = params or EncoderParams()
     if not images:
         return []

@@ -844,7 +844,8 @@ def decode_tile(
 
     use_device = device
     if use_device is None:
-        use_device = os.environ.get("GROK_TPU_DEVICE", "") == "1"
+        from ..utils.device import device_default
+        use_device = device_default()
     # Fully-fused device decode (HT): lane-parallel entropy decode ->
     # band assembly -> inverse DWT/MCT/DC-unshift as ONE XLA program
     # (models/fused_decode.py) — the decode mirror of the fused encoder.
@@ -961,7 +962,8 @@ def decode_tile(
 
     use_device = device
     if use_device is None:
-        use_device = os.environ.get("GROK_TPU_DEVICE", "") == "1"
+        from ..utils.device import device_default
+        use_device = device_default()
     if (use_device and _fused_bands is not None and window is None
             and reduce == 0 and not cod_comp and cod.mct != 2):
         from ..models import pipeline as device_pipeline

@@ -227,12 +227,21 @@ def decode_tile_device(t1_jobs, t1_job_slots, plans, cods, siz, cod,
         groups.setdefault((w, h), []).append((i, blk))
 
     backend = _entropy_backend(plans, coder)
-    gtuple = []
-    words = []
-    word_dims = []
     import jax.numpy as jnp
 
     from ..ops import mq_dec_jax, mq_dec_pallas
+    if coder == "mq" and backend == "pallas":
+        # segment length is decoder input: a legal-but-long segment that
+        # exceeds the kernel's s=1 VMEM tile must take the XLA core
+        # instead of failing Mosaic compilation
+        for (w, h), entries in groups.items():
+            if any(not mq_dec_pallas.mq_pallas_fits(
+                    h, w, len(t1_jobs[i][0])) for (i, _) in entries):
+                backend = "xla"
+                break
+    gtuple = []
+    words = []
+    word_dims = []
     for (w, h) in sorted(groups.keys()):
         entries = groups[(w, h)]
         segs = [bytes(t1_jobs[i][0]) for (i, _) in entries]
@@ -439,6 +448,9 @@ def decode_tiles_device_submit(frames, plans, cods, siz, cod, tile: Rect,
                     if nb <= 0 or npas <= 0:
                         lanes.append((b"", 0, 0, 0))  # idle lane
                     else:
+                        if not mq_dec_pallas.mq_pallas_fits(
+                                h, w, len(j[0])):
+                            return None  # VMEM-oversized segment
                         lanes.append((bytes(j[0]), int(j[4]), nb, npas))
             arrays, dims = mq_dec_pallas.pack_field_lanes(lanes)
             words += [jnp.asarray(a) for a in arrays]

@@ -340,17 +340,22 @@ def _jitted_fused_mq(plan: FusedPlan, nframes: int):
         base_all = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32),
              jnp.cumsum(wctot)[:-1].astype(jnp.int32)])
-        out = jnp.zeros((total_bound + 1,), jnp.int32)
+        keys_l, vals_l = [], []
         pos = 0
         for (nw, comp2, counts2, wacc, wcnt) in gword:
             B = nw.shape[0]
             base = lax.dynamic_slice(base_all, (pos,), (B,))
-            out = mq_jax.mq_scatter_flat(jnp, out, base, comp2, counts2,
+            k, v = mq_jax.mq_splice_keys(jnp, base, comp2, counts2,
                                          wacc, wcnt, B)
+            keys_l.append(k)
+            vals_l.append(v)
             pos += B
+        out = mq_jax.mq_splice_sort(jnp, jnp.concatenate(keys_l),
+                                    jnp.concatenate(vals_l), total_bound)
         # two outputs, not one concat: see mq_jax._jitted_mq_group —
-        # concatenating the scatter result degrades the XLA schedule
-        # by orders of magnitude.
+        # concatenating the splice result into the head degraded the
+        # XLA schedule by orders of magnitude back when it was a
+        # scatter; keep the contract separate regardless.
         return jnp.concatenate(smalls), out
 
     return jax.jit(run), total_bound, mhead

@@ -50,7 +50,10 @@ from .mq_dec_jax import _zc_ctx_rows, _sc_ctx_rows
 # feed the decoder's infinite-1s tail (Annex C.3.4 past-the-end rule).
 _PAD_WORD = 0x00FF00FF
 
-_NST = 5 + 16 + NCTX_WORDS  # a c ct wpb bo + 16 window words + ctx
+# VMEM budget (bytes) the lane tiler sizes kernel calls against; also
+# the scope gate for falling back to the XLA decoder on oversized
+# single-segment buckets (segment length is attacker-controlled).
+_VMEM_BUDGET = 10 << 20
 
 
 # ---------------------------------------------------------------------------
@@ -90,7 +93,7 @@ def _bucket(n: int, lo: int = 16) -> int:
     return b
 
 
-def pack_field_lanes(lanes, max_vmem_bytes: int = 10 << 20):
+def pack_field_lanes(lanes):
     """Pack [(data, orient, numbps, numpasses), ...] into the kernel's
     blocked arrays. Returns ((words (Lw, S, 128) int32, g0, gend, ori
     each (1, S*128 -> (1, S, 128)) int32), (S, npl, Lw, s_tile)).
@@ -482,11 +485,24 @@ def _build_kernel(h: int, w: int, Lw: int, nplanes: int, ncols: int,
     return kernel
 
 
+def mq_pallas_fits(h: int, w: int, seg_len: int) -> bool:
+    """True when a code-block of (h, w) with a segment of seg_len bytes
+    fits the kernel's VMEM budget at the minimum (s = 1) lane tile.
+    Oversized segments (legal but long — the length is
+    attacker-controlled on decode) must take the XLA decoder instead of
+    failing Mosaic compilation."""
+    HW = h * w
+    HWp = -(-(HW + 1) // 128) * 128
+    Lw = _bucket(seg_len + 4, 32) // 2
+    budget = _VMEM_BUDGET // 4 // 128
+    return (2 * HWp + Lw + HW) <= budget
+
+
 def _lane_tile(HW: int, Lw: int, S_tot: int) -> int:
     """Sublane count per kernel call, bounded by the VMEM budget for
     2 state planes + stream words + the out block."""
     HWp = -(-(HW + 1) // 128) * 128
-    budget = (10 << 20) // 4 // 128
+    budget = _VMEM_BUDGET // 4 // 128
     s = 1
     while s * 2 <= 8 and (2 * HWp + Lw + HW) * (s * 2) <= budget:
         s *= 2
@@ -594,13 +610,23 @@ def decode_blocks(blocks) -> List[Optional[Tuple[np.ndarray, np.ndarray]]]:
 
     out: List = [None] * len(blocks)
     groups = {}
+    oversize = []
     for bi, (data, w, h, orient, nb, npas) in enumerate(blocks):
         if nb <= 0 or npas <= 0:
             out[bi] = (np.zeros((h, w), np.uint32),
                        np.zeros((h, w), np.uint8))
             continue
+        if not mq_pallas_fits(h, w, len(data)):
+            # segment too long for the s=1 VMEM tile: XLA decoder
+            oversize.append(bi)
+            continue
         cap = _bucket(len(data) + 4, 32)
         groups.setdefault((h, w, cap), []).append(bi)
+    if oversize:
+        from . import mq_dec_jax
+        big = mq_dec_jax.decode_blocks([blocks[i] for i in oversize])
+        for i, r in zip(oversize, big):
+            out[i] = r
     for (h, w, cap), idxs in sorted(groups.items()):
         lanes = [(blocks[i][0], blocks[i][3], blocks[i][4], blocks[i][5])
                  for i in idxs]

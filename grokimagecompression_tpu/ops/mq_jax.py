@@ -590,9 +590,17 @@ def _mq_scan_w(jnp, lax, slots, B):
     return words, mask, nbo, carry
 
 
-MQ_CCAP = 8       # words kept per lane per 256-step chunk (level 1)
+# Word-compaction caps. Sized for the DENSEST legal emission, not the
+# average: PCRD-quality natural content measures up to 9 words per
+# 256-step chunk and 126 words per 16-chunk group (2048^2 RGB 9/7 at
+# ~3 bpp), and with the on-device lane-major splice the capacity grids
+# never cross the host link, so headroom costs only device FLOPs.
+# Overflow (pathological content beyond these) is flagged per lane and
+# the frame re-encodes on the host coder — a performance knob, never a
+# correctness bound.
+MQ_CCAP = 12      # words kept per lane per 256-step chunk (level 1)
 MQ_GRP = 16       # chunks per level-2 group
-MQ_CAP2 = 32      # words kept per lane per group (level 2)
+MQ_CAP2 = 128     # words kept per lane per group (level 2)
 
 
 def _compact_words(jnp, words, m8, st, ccap=MQ_CCAP, grp=MQ_GRP,
@@ -897,10 +905,10 @@ def _jitted_mq_group(h: int, w: int, B: int, nplanes: int,
         nw = ((metrics[:, 0] + 3) >> 2)
         base = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                 jnp.cumsum(nw)[:-1].astype(jnp.int32)])
-        out = jnp.zeros((total_bound + 1,), jnp.int32)
-        out = mq_scatter_flat(jnp, out, base, comp2, counts2,
-                              st[4].reshape(-1)[:B],
-                              st[5].reshape(-1)[:B], B)
+        keys, vals = mq_splice_keys(jnp, base, comp2, counts2,
+                                    st[4].reshape(-1)[:B],
+                                    st[5].reshape(-1)[:B], B)
+        out = mq_splice_sort(jnp, keys, vals, total_bound)
         parts = [metrics.reshape(-1)]
         if want_rd:
             # Cumulative byteout counts at each (static) pass boundary:
@@ -938,29 +946,43 @@ def pass_cum_byteouts(jnp, nboc, h: int, w: int, nplanes: int):
     return jnp.stack(rows)
 
 
-def mq_scatter_flat(jnp, out, base, comp2, counts2, wacc, wcnt, B):
-    """Scatter one group's level-2 compacted words into the global flat
-    packed word buffer (lane-major, the exact layout
-    assemble_mq_segments expects), on device — the ~15x-slack comp2
-    capacity grid never crosses the device->host link (on a tunneled
-    TPU that transfer cost 6x the whole encode program).
+def mq_splice_keys(jnp, base, comp2, counts2, wacc, wcnt, B):
+    """Per-group (position keys, word values) for the device splice.
 
-    out (total_bound + 1,) int32 with out[-1] the drop bin; base (B,)
-    per-lane word starts; comp2 (ngrp, cap2, S, 128) with S*128 >= B;
-    counts2 (ngrp, S, 128); wacc/wcnt (B,) the partial-word accumulator
-    and its byte count (the tail word when nbytes % 4 != 0)."""
+    Each valid word of the level-2 grid is keyed by its final position
+    in the lane-major packed word buffer (the exact layout
+    assemble_mq_segments expects); invalid capacity slots key to
+    INT32_MAX. base (B,) per-lane word starts (global across groups);
+    comp2 (ngrp, cap2, S, 128) with S*128 >= B; counts2 (ngrp, S, 128);
+    wacc/wcnt (B,) the partial-word accumulator and its byte count (the
+    tail word when nbytes % 4 != 0)."""
     ngrp, cap2 = comp2.shape[0], comp2.shape[1]
     c = comp2.reshape(ngrp, cap2, -1)[:, :, :B]
     cc = counts2.reshape(ngrp, -1)[:, :B]
     pre = jnp.cumsum(cc, axis=0) - cc              # words before group
     j = jnp.arange(cap2, dtype=jnp.int32)[None, :, None]
     pos = base[None, None, :] + pre[:, None, :] + j
-    DROP = out.shape[0] - 1
-    pos = jnp.where(j < cc[:, None, :], pos, DROP)
-    out = out.at[pos.reshape(-1)].set(c.reshape(-1), mode="drop")
+    far = jnp.int32(2**31 - 1)
+    pos = jnp.where(j < cc[:, None, :], pos, far)
     wcount = cc.sum(axis=0)
-    tpos = jnp.where(wcnt > 0, base + wcount, DROP)
-    return out.at[tpos].set(wacc, mode="drop")
+    tpos = jnp.where(wcnt > 0, base + wcount, far)
+    keys = jnp.concatenate([pos.reshape(-1), tpos])
+    vals = jnp.concatenate([c.reshape(-1), wacc])
+    return keys, vals
+
+
+def mq_splice_sort(jnp, keys, vals, total_bound):
+    """Sort the (pos, word) pairs of every group at once: the sorted
+    values ARE the packed lane-major word buffer. A key sort, not an
+    XLA scatter — the TPU lowers the sort ~2x faster than the
+    element-at-a-time scatter at whole-tile size (107 ms vs 190 ms for
+    a 2048^2 RGB tile). Returns (total_bound + 1,) int32."""
+    from jax import lax
+
+    _, sv = lax.sort_key_val(keys, vals)
+    n = total_bound + 1
+    return sv[:n] if sv.shape[0] >= n else jnp.pad(
+        sv, (0, n - sv.shape[0]))
 
 
 def mq_submit_fetch(head, words, total_bound, hint_key):
