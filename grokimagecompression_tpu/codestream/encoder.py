@@ -446,14 +446,34 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
         or bool(params.quality_psnr)
     _global_alloc = False
     if layer_alloc is None and needs_rc:
-        if params.rate_alloc == "global" and (
-                _only_tiles is not None or _tile_results is not None):
-            raise NotImplementedError(
-                "rate_alloc='global' needs every tile's R-D tables in "
-                "one allocation; partial-tile encode (multi-host phase "
-                "split) must use per-tile allocation or the mesh-psum "
-                "collective form")
-        if params.rate_alloc == "global" and ntx * nty > 1:
+        if params.rate_alloc == "global" and _tile_results is not None:
+            # Multi-host assembly phase: every tile arrives pre-encoded
+            # with its final layer allocation; no allocator runs here.
+            if len(_tile_results) < ntx * nty:
+                raise NotImplementedError(
+                    "rate_alloc='global' with partial _tile_results")
+        elif (params.rate_alloc == "global" and _only_tiles is not None
+              and ntx * nty > 1):
+            # Multi-host phase split (SURVEY.md §2.5): each process
+            # registers its OWNED tiles' R-D tables at the local
+            # barrier, then the bisection reduces byte/distortion
+            # totals over the process mesh — every host derives
+            # identical thresholds, so the bytes are deterministic.
+            from .pcrd import GlobalPCRDAllocator
+            image_bytes = sum(
+                c.data.shape[0] * c.data.shape[1] * c.prec
+                for c in image.components) // 8
+            layer_alloc = GlobalPCRDAllocator(
+                rates=params.rates, quality_psnr=params.quality_psnr,
+                image_bytes=image_bytes,
+                numtiles=max(len(_only_tiles), 1),
+                global_numtiles=ntx * nty, numlayers=cod.numlayers,
+                process_reduce=True)
+            _global_alloc = True
+            if not _only_tiles:
+                # A host owning zero tiles still joins the collectives.
+                layer_alloc.participate_empty()
+        elif params.rate_alloc == "global" and ntx * nty > 1:
             from .pcrd import GlobalPCRDAllocator
             image_bytes = sum(
                 c.data.shape[0] * c.data.shape[1] * c.prec
@@ -545,7 +565,8 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
                                    custom_mct_matrix=custom_coding_matrix,
                                    split_headers=split,
                                    want_packet_lengths=params.plt_markers
-                                   or params.tp_flag is not None)
+                                   or params.tp_flag is not None,
+                                   tile_index=t)
         else:
             comps = mesh_comps.get(t)
             if comps is None:
@@ -568,7 +589,8 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
                            split_headers=split,
                            want_packet_lengths=params.plt_markers
                            or params.tp_flag is not None,
-                           t1_segments=t1_segments)
+                           t1_segments=t1_segments,
+                           tile_index=t)
 
     # Host tile parallelism (absent in the reference, which encodes
     # tiles sequentially — SURVEY §2.4): tiles fan out over a thread
@@ -584,7 +606,9 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
         # Global PCRD rendezvous: every tile's thread blocks at the
         # allocator barrier until all tiles have registered their R-D
         # tables, so the pool must admit every tile at once.
-        tile_workers = numtiles
+        # (phase split: the barrier only counts locally-owned tiles)
+        tile_workers = (len(_only_tiles) if _only_tiles is not None
+                        else numtiles)
     if tile_workers > 1:
         import concurrent.futures as _cf
         inner = max(1, (os.cpu_count() or 1) // tile_workers)

@@ -95,6 +95,10 @@ class RateControlCtx:
     # native simulator's buffer, skipping per-object attribute stores
     # during bisection.
     write_layer: Optional[Callable[[int, "np.ndarray", list], None]] = None
+    # Global tile index: orders cross-tile float reductions so the
+    # global allocator is deterministic regardless of which tile thread
+    # (or host) registers first.
+    tile_index: int = -1
 
 
 class _TileTables:
@@ -312,7 +316,9 @@ class GlobalPCRDAllocator:
     def __init__(self, rates: Sequence[float] = (),
                  quality_psnr: Sequence[float] = (),
                  image_bytes: int = 0, numtiles: int = 1,
-                 max_abs_bytes: int = 0, mesh=None):
+                 max_abs_bytes: int = 0, mesh=None,
+                 process_reduce: bool = False, global_numtiles: int = 0,
+                 numlayers: int = 0):
         import threading
         self.rates = tuple(rates)
         self.quality_psnr = tuple(quality_psnr)
@@ -320,10 +326,25 @@ class GlobalPCRDAllocator:
         self.max_abs_bytes = max_abs_bytes
         self.numtiles = numtiles
         self.mesh = mesh
+        # Multi-host phase split (SURVEY.md §2.5): `numtiles` counts the
+        # LOCALLY-owned tiles (the thread barrier); reductions run over
+        # jax processes instead of a device mesh. `global_numtiles`
+        # sizes the padded all-gather rows; `numlayers` lets a process
+        # that owns zero tiles still walk the layer loop in lockstep.
+        self.process_reduce = process_reduce
+        self.global_numtiles = global_numtiles or numtiles
+        self._numlayers_hint = numlayers
         self._lock = threading.Lock()
         self._done = threading.Event()
         self._ctxs: List[RateControlCtx] = []
         self._error: Optional[BaseException] = None
+
+    def participate_empty(self) -> None:
+        """Join the allocation collectives with zero owned tiles (a
+        process in a pod larger than the tile grid must still gather,
+        or every other host deadlocks)."""
+        self._allocate()
+        self._done.set()
 
     def _mesh_sum(self, parts: np.ndarray) -> float:
         """Reduce per-shard partials. With a mesh this runs an actual
@@ -359,6 +380,63 @@ class GlobalPCRDAllocator:
         dt = jnp.int32 if integral else jnp.float32
         return float(np.asarray(self._psum_fn(jnp.asarray(parts, dt))))
 
+    # ---- multi-host collectives (process_reduce mode) ----
+    #
+    # Byte determinism needs every host to derive the SAME float64
+    # reduction values the single-process allocator computes, so floats
+    # cross the wire bit-exactly as 2xint32 words (same-arch pod; the
+    # x64-disabled jax default would silently downcast a float64
+    # gather) and per-tile terms are summed in ascending tile order —
+    # the exact order `_allocate` sums them single-process.
+
+    @staticmethod
+    def _f64w(x: float) -> np.ndarray:
+        return np.frombuffer(np.float64(x).tobytes(), np.int32).copy()
+
+    @staticmethod
+    def _wf64(words: np.ndarray) -> float:
+        return float(np.frombuffer(
+            np.ascontiguousarray(words, np.int32).tobytes(), np.float64)[0])
+
+    def _pg(self, mat: np.ndarray) -> np.ndarray:
+        """All-gather a small int32 matrix over jax processes; returns
+        the stacked (P*rows, cols) matrix. Every process must call in
+        lockstep with the same shape."""
+        from jax.experimental import multihost_utils
+        out = np.asarray(multihost_utils.process_allgather(
+            np.ascontiguousarray(mat, np.int32)))
+        return out.reshape((-1, mat.shape[-1]))
+
+    def _rows_per_proc(self) -> int:
+        import jax
+        p = max(jax.process_count(), 1)
+        return max(-(-self.global_numtiles // p), 1)
+
+    def _psum_tiles(self, pairs) -> float:
+        """Sum (tile_index, float64 value) pairs across all processes in
+        ascending tile order — bit-identical to the single-process
+        accumulation over sorted ctxs."""
+        k = self._rows_per_proc()
+        mat = np.full((k, 3), -1, np.int32)
+        for i, (t, v) in enumerate(pairs):
+            w = self._f64w(v)
+            mat[i] = (t, w[0], w[1])
+        g = self._pg(mat)
+        g = g[g[:, 0] >= 0]
+        g = g[np.argsort(g[:, 0], kind="stable")]
+        total = np.float64(0.0)
+        for row in g:
+            total = total + np.frombuffer(
+                np.ascontiguousarray(row[1:3]).tobytes(), np.float64)[0]
+        return float(total)
+
+    def _sum_live(self, live, fn) -> float:
+        if self.process_reduce:
+            return self._psum_tiles(
+                [(tt.ctx.tile_index, float(fn(tt))) for tt in live])
+        return self._mesh_sum(self._shard_partials(
+            [float(fn(tt)) for tt in live]))
+
     def __call__(self, ctx: RateControlCtx) -> None:
         with self._lock:
             self._ctxs.append(ctx)
@@ -386,37 +464,55 @@ class GlobalPCRDAllocator:
         return parts
 
     def _allocate(self) -> None:
-        ctxs = self._ctxs
+        # Deterministic reduction order: sort by global tile index
+        # (stable, so callers that never set tile_index keep their
+        # registration order as before).
+        ctxs = sorted(self._ctxs, key=lambda c: c.tile_index)
         tables = [_TileTables(c) for c in ctxs]
         live = [tt for tt in tables if tt.slopes]
         for tt in tables:
             if not tt.slopes and tt.ctx.cblks:
                 for cb in tt.ctx.cblks:
                     cb.layer_npasses[-1] = cb.numpasses
-        if not live:
-            return
-        numlayers = ctxs[0].numlayers
-        # Global slope range: an all-reduce in the multi-host picture
-        # (min/max are tiny scalars; psum machinery carries them too).
-        smin = min(min(tt.slopes) for tt in live)
-        smax = max(max(tt.slopes) for tt in live)
-        max_se = self._mesh_sum(self._shard_partials(
-            [float((1 << tt.ctx.max_prec) - 1) ** 2 * tt.ctx.tile_samples
-             for tt in live]))
-        distotal = self._mesh_sum(self._shard_partials(
-            [tt.distotile for tt in live]))
+        if self.process_reduce:
+            # One lockstep stats gather: [n_live, smin words, smax words]
+            lmin = min((min(tt.slopes) for tt in live), default=np.inf)
+            lmax = max((max(tt.slopes) for tt in live), default=-np.inf)
+            stats = np.concatenate([
+                np.asarray([len(live)], np.int32),
+                self._f64w(lmin), self._f64w(lmax)])
+            g = self._pg(stats.reshape(1, -1))
+            if int(g[:, 0].sum()) == 0:
+                return
+            smin = min(self._wf64(row[1:3]) for row in g)
+            smax = max(self._wf64(row[3:5]) for row in g)
+            numlayers = ctxs[0].numlayers if ctxs else self._numlayers_hint
+            if numlayers <= 0:
+                raise ValueError("process_reduce allocation on a host "
+                                 "with no tiles needs numlayers=")
+        else:
+            if not live:
+                return
+            numlayers = ctxs[0].numlayers
+            # Global slope range: an all-reduce in the multi-host picture
+            # (min/max are tiny scalars; psum machinery carries them too).
+            smin = min(min(tt.slopes) for tt in live)
+            smax = max(max(tt.slopes) for tt in live)
+        max_se = self._sum_live(
+            live, lambda tt: float((1 << tt.ctx.max_prec) - 1) ** 2
+            * tt.ctx.tile_samples)
+        distotal = self._sum_live(live, lambda tt: tt.distotile)
 
         def apply_all(thresh: Optional[float], layer: int) -> None:
             for tt in live:
                 tt.apply(thresh, layer)
 
         def total_bytes(layer: int) -> float:
-            return self._mesh_sum(self._shard_partials(
-                [float(tt.ctx.simulate_upto(layer)) for tt in live]))
+            return self._sum_live(
+                live, lambda tt: float(tt.ctx.simulate_upto(layer)))
 
         def total_included(thresh: float) -> float:
-            return self._mesh_sum(self._shard_partials(
-                [tt.included_dist(thresh) for tt in live]))
+            return self._sum_live(live, lambda tt: tt.included_dist(thresh))
 
         for layer in range(numlayers):
             rate = self.rates[layer] if layer < len(self.rates) else 0.0

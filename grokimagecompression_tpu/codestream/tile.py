@@ -219,6 +219,7 @@ def encode_tile(
     split_headers: bool = False,
     want_packet_lengths: bool = False,
     t1_segments: Optional[List[bytes]] = None,
+    tile_index: int = -1,
 ) -> TileEncResult:
     """Encode one tile to its packet body bytes.
 
@@ -565,6 +566,7 @@ def encode_tile(
             simulate_upto=_simulate,
             simulate_comp_upto=_simulate_comps,
             write_layer=_write_layer if _t2_native is not None else None,
+            tile_index=tile_index,
         )
         layer_alloc(ctx)
 

@@ -94,11 +94,17 @@ def encode_multihost(image, params=None, rsiz: int = 0) -> bytes:
 
     Phase 1: each process runs DC shift -> MCT -> DWT -> T1 -> T2 body
     emission only for its owned tiles (tile t -> process t % P) through
-    the one production code path. Phase 2: the per-tile results cross
-    the mesh with `gather_tile_bytes` (an all-reduce of one-hot rows —
-    ICI/DCN collectives, no side channel). Phase 3: every process runs
-    the cheap marker/tile-part assembly over the complete result set;
-    determinism of the packet layout makes the outputs byte-identical.
+    the one production code path. With `rate_alloc='global'`, phase 1
+    also runs the image-wide PCRD collective: every host registers its
+    owned tiles' R-D tables, the bisection reduces byte/distortion
+    totals over the process mesh in deterministic tile order
+    (pcrd.GlobalPCRDAllocator process_reduce mode), and each host
+    derives bit-identical thresholds. Phase 2: the per-tile results
+    cross the mesh with `gather_tile_bytes` (an all-reduce of one-hot
+    rows — ICI/DCN collectives, no side channel). Phase 3: every
+    process runs the cheap marker/tile-part assembly over the complete
+    result set; determinism of the packet layout makes the outputs
+    byte-identical.
     """
     import pickle
 
@@ -109,11 +115,6 @@ def encode_multihost(image, params=None, rsiz: int = 0) -> bytes:
     from ..core.params import EncoderParams
 
     params = params or EncoderParams()
-    if params.rate_alloc == "global":
-        raise NotImplementedError(
-            "multi-host global PCRD: use rate_alloc='tile' (the "
-            "reference's semantics) until the collective allocator is "
-            "wired through the phase split")
     siz = enc.build_siz(image, params)
     ntx, nty = tile_grid_size(siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
                               siz.xtsiz, siz.ytsiz, siz.xtosiz,

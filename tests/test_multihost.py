@@ -22,18 +22,13 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 4)
 sys.path.insert(0, os.environ["GROK_REPO"])
+sys.path.insert(0, os.path.join(os.environ["GROK_REPO"], "tests"))
 from grokimagecompression_tpu.parallel import multihost
-from grokimagecompression_tpu.core.image import Component, Image
-from grokimagecompression_tpu.core.params import EncoderParams
+import multihost_cases
 
 pid = int(sys.argv[1])
 multihost.init_distributed(os.environ["GROK_COORD"], 2, pid)
-rng = np.random.default_rng(5)
-d = rng.integers(0, 256, (192, 256)).astype(np.int32)
-img = Image(xsiz=256, ysiz=192, components=[
-    Component(data=d, prec=8, signed=False, dx=1, dy=1)])
-params = EncoderParams(numresolutions=3, tile_size=(64, 64),
-                       cblk_style=0x40, tlm_markers=True)
+img, params = multihost_cases.make_case(os.environ["GROK_MH_MODE"])
 cs = multihost.encode_multihost(img, params)
 out = os.environ["GROK_OUT"] + f".{pid}"
 open(out, "wb").write(cs)
@@ -41,9 +36,7 @@ print("proc", pid, "bytes", len(cs))
 """
 
 
-@pytest.mark.skipif(os.environ.get("GROK_TPU_SKIP_MULTIHOST") == "1",
-                    reason="multi-process test disabled")
-def test_two_process_encode_byte_identical(tmp_path):
+def _run_two_process_case(tmp_path, mode: str) -> bytes:
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -53,6 +46,7 @@ def test_two_process_encode_byte_identical(tmp_path):
     env["GROK_REPO"] = REPO
     env["GROK_COORD"] = f"localhost:{port}"
     env["GROK_OUT"] = out
+    env["GROK_MH_MODE"] = mode
     env["JAX_PLATFORMS"] = "cpu"
     script = str(tmp_path / "worker.py")
     open(script, "w").write(_WORKER)
@@ -67,16 +61,36 @@ def test_two_process_encode_byte_identical(tmp_path):
     cs0 = open(out + ".0", "rb").read()
     cs1 = open(out + ".1", "rb").read()
     assert cs0 == cs1 and len(cs0) > 0
+    return cs0
+
+
+@pytest.mark.skipif(os.environ.get("GROK_TPU_SKIP_MULTIHOST") == "1",
+                    reason="multi-process test disabled")
+def test_two_process_encode_byte_identical(tmp_path):
+    cs0 = _run_two_process_case(tmp_path, "lossless")
 
     # and byte-identical to a plain single-process encode
     from grokimagecompression_tpu.codestream import encoder
-    from grokimagecompression_tpu.core.image import Component, Image
-    from grokimagecompression_tpu.core.params import EncoderParams
-    rng = np.random.default_rng(5)
-    d = rng.integers(0, 256, (192, 256)).astype(np.int32)
-    img = Image(xsiz=256, ysiz=192, components=[
-        Component(data=d, prec=8, signed=False, dx=1, dy=1)])
-    params = EncoderParams(numresolutions=3, tile_size=(64, 64),
-                           cblk_style=0x40, tlm_markers=True)
+    import multihost_cases
+    img, params = multihost_cases.make_case("lossless")
     seq = encoder.encode(img, params, device=False)
     assert cs0 == seq
+
+
+@pytest.mark.skipif(os.environ.get("GROK_TPU_SKIP_MULTIHOST") == "1",
+                    reason="multi-process test disabled")
+def test_two_process_global_pcrd_byte_identical(tmp_path):
+    """rate_alloc='global' across 2 real processes: the PCRD collective
+    (per-tile R-D summaries gathered over the process mesh, replicated
+    bisection) must reproduce the single-process global allocation
+    byte-for-byte."""
+    cs0 = _run_two_process_case(tmp_path, "global-pcrd")
+
+    from grokimagecompression_tpu.codestream import encoder
+    import multihost_cases
+    img, params = multihost_cases.make_case("global-pcrd")
+    seq = encoder.encode(img, params, device=False)
+    assert cs0 == seq
+    # the rate target actually bound the stream
+    raw = sum(c.data.size for c in img.components)
+    assert len(cs0) < raw // 6
