@@ -9,7 +9,9 @@
 //
 // Coefficients are exchanged as (mag, neg) arrays like the Part-1 coder;
 // alignment/shift conventions are internal.  Encode emits one HT Cleanup
-// segment; SigProp/MagRef refinement passes are not generated.
+// segment; SigProp/MagRef refinement passes (Part 15 full mode) are
+// implemented at the end of this file (grok_ht_encode_refined /
+// grok_ht_decode_refined).
 
 #include <cstdint>
 #include <cstring>
@@ -1544,6 +1546,350 @@ int grok_ht_dec_prepass(const uint8_t* data, const int64_t* offs,
         buf.store(out_ms, wm_ms, B, i);
       }
     }
+  }
+  return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// SigProp / MagRef refinement passes (Part 15 "full" mode)
+//
+// The cleanup pass codes magnitudes down to plane p; the optional
+// refinement segment carries a SigProp pass (new significance at plane
+// p-1: raw bits in forward byte order from the segment start) and a
+// MagRef pass (one magnitude bit at plane p-1 for each
+// cleanup-significant sample: raw bits in BACKWARD byte order from the
+// segment end).  Pass semantics and the raw-stream stuffing rules are
+// derived from the reference's full decoder (reference:
+// src/lib/jp2/t1/t1_ht/coding/ojph_block_decoder.cpp:720-1742, sigprop
+// fetch/advance at :1330-1447, magref at :1203-1265); the encoder side
+// is original — the reference ships NO refinement encoder and its
+// wrapper always passes lengths2=0 (T1HT.cpp:165).  The implementation
+// here is a clean scalar stripe walk over explicit significance maps
+// rather than the reference's interleaved bit-parallel pipeline; the
+// two agree bit-for-bit (tests/test_ht_refinement.py drives the
+// reference decoder directly via libgrok.so as the oracle).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Forward raw bit stream (SigProp): bits are consumed LSB-first within
+// bytes; a byte that follows an 0xFF byte carries only 7 payload bits
+// (its MSB must be emitted as 0 and is skipped by the reader).
+struct SppReader {
+  const uint8_t* d;
+  int size, pos = 0, nbits = 0;
+  uint32_t acc = 0;
+  uint8_t prev = 0;
+  SppReader(const uint8_t* d_, int n) : d(d_), size(n) {}
+  inline int next() {
+    if (nbits == 0) {
+      uint8_t b = pos < size ? d[pos] : 0;
+      pos++;
+      nbits = (prev == 0xFF) ? 7 : 8;
+      acc = b;
+      prev = b;
+    }
+    int bit = acc & 1;
+    acc >>= 1;
+    nbits--;
+    return bit;
+  }
+};
+
+struct SppWriter {
+  std::vector<uint8_t> out;
+  uint32_t acc = 0;
+  int n = 0;
+  inline void put(int bit) {
+    acc |= (uint32_t)(bit & 1) << n;
+    n++;
+    int cap = (!out.empty() && out.back() == 0xFF) ? 7 : 8;
+    if (n == cap) {
+      out.push_back((uint8_t)acc);
+      acc = 0;
+      n = 0;
+    }
+  }
+  void flush() {
+    if (n) {
+      out.push_back((uint8_t)acc);
+      acc = 0;
+      n = 0;
+    }
+  }
+};
+
+// Backward raw bit stream (MagRef): bytes are consumed from the segment
+// end toward the front, LSB-first within each byte; a byte whose low 7
+// bits are all ones carries only 7 payload bits when the previously
+// consumed byte (higher address) was > 0x8F — the reader treats the
+// stream start as if that condition held (initial unstuff state).
+struct MrpReader {
+  const uint8_t* d;
+  int size, k = 0, nbits = 0;
+  uint32_t acc = 0;
+  uint8_t prev = 0;
+  bool first = true;
+  MrpReader(const uint8_t* d_, int n) : d(d_), size(n) {}
+  inline int next() {
+    if (nbits == 0) {
+      uint8_t b = (k < size) ? d[size - 1 - k] : 0;
+      k++;
+      bool unstuff = first ? true : (prev > 0x8F);
+      nbits = (unstuff && ((b & 0x7F) == 0x7F)) ? 7 : 8;
+      acc = b;
+      prev = b;
+      first = false;
+    }
+    int bit = acc & 1;
+    acc >>= 1;
+    nbits--;
+    return bit;
+  }
+};
+
+struct MrpWriter {
+  std::vector<uint8_t> bytes;  // in consumption order; caller reverses
+  uint32_t acc = 0;
+  int n = 0;
+  uint8_t prev = 0;
+  bool first = true;
+  inline void close_byte() {
+    bytes.push_back((uint8_t)acc);
+    prev = (uint8_t)acc;
+    first = false;
+    acc = 0;
+    n = 0;
+  }
+  inline void put(int bit) {
+    acc |= (uint32_t)(bit & 1) << n;
+    n++;
+    bool unstuff = first ? true : (prev > 0x8F);
+    if (n == 7 && unstuff && (acc & 0x7F) == 0x7F)
+      close_byte();  // reader will drop the (zero) MSB
+    else if (n == 8)
+      close_byte();
+  }
+  void flush() {
+    if (n) close_byte();
+  }
+};
+
+// SigProp stripe walk shared by encoder and decoder so the candidate
+// schedule can never diverge.  `sig_bit(x, y)` consumes/produces the
+// significance bit for a candidate and returns it; `sign_bit(x, y)`
+// consumes/produces the sign of a newly significant sample.  Candidate
+// rules (mirroring the reference decoder's mbr maintenance):
+//  - processed in 4-row stripes, 4-column groups, column-major inside a
+//    group (col x rows 0..3, then col x+1, ...);
+//  - a candidate is an (insignificant after cleanup, not yet refined)
+//    sample with a significant 8-neighbor, where neighbor significance
+//    means: cleanup significance anywhere in the current stripe or the
+//    top row of the stripe below, FINAL (cleanup | new) significance in
+//    the bottom row of the stripe above, and new significance from
+//    samples earlier in this pass's scan order;
+//  - all of a group's significance bits precede its sign bits.
+template <class SigBit, class SignBit>
+static void sigprop_walk(int w, int h, const uint8_t* sigma, uint8_t* nsig,
+                         SigBit&& sig_bit, SignBit&& sign_bit) {
+  // Stripe-local state covers all 4 rows even in a partial last stripe:
+  // in-pass propagation can reach rows beyond the block (the reference
+  // masks its initial mbr with the row pattern but propagates new
+  // significance unmasked, so such "phantom" candidates still consume a
+  // significance bit — ojph_block_decoder.cpp:1447 region).  A
+  // well-formed encoder (ours included) always codes 0 there; the
+  // sample itself is never materialized.
+  std::vector<uint8_t> mbr((size_t)w * 4);
+  std::vector<uint8_t> lnew((size_t)w * 4);
+  auto SIG = [&](int x, int y) -> int { return sigma[(size_t)y * w + x]; };
+  for (int y0 = 0; y0 < h; y0 += 4) {
+    int rows = (h - y0) < 4 ? (h - y0) : 4;
+    auto sig_at = [&](int x, int r) -> int {
+      return r < rows ? SIG(x, y0 + r) : 0;
+    };
+    // initial mbr: dilate significance into the stripe's real rows
+    std::fill(mbr.begin(), mbr.end(), 0);
+    std::fill(lnew.begin(), lnew.end(), 0);
+    for (int r = 0; r < rows; r++) {
+      int y = y0 + r;
+      for (int x = 0; x < w; x++) {
+        if (SIG(x, y)) continue;
+        int m = 0;
+        for (int dy = -1; dy <= 1 && !m; dy++) {
+          int ny = y + dy;
+          if (ny < 0 || ny >= h) continue;
+          for (int dx = -1; dx <= 1; dx++) {
+            int nx = x + dx;
+            if (nx < 0 || nx >= w || (dx == 0 && dy == 0)) continue;
+            if (ny >= y0 - 1 && ny < y0 + 5) {
+              int sg = SIG(nx, ny);
+              if (ny == y0 - 1)  // above: final state of previous stripe
+                sg |= nsig[(size_t)ny * w + nx];
+              if (sg) {
+                m = 1;
+                break;
+              }
+            }
+          }
+        }
+        mbr[(size_t)r * w + x] = (uint8_t)m;
+      }
+    }
+    // walk 4-column groups (candidates exist on real rows only: the
+    // reference masks both the initial mbr and in-pass propagation
+    // with the stripe's row pattern — ojph_block_decoder.cpp:1633)
+    for (int g0 = 0; g0 < w; g0 += 4) {
+      int gend = (g0 + 4) < w ? (g0 + 4) : w;
+      int newly[16], nnew = 0;
+      for (int x = g0; x < gend; x++) {
+        for (int r = 0; r < rows; r++) {
+          size_t i = (size_t)r * w + x;
+          if (!mbr[i] || sig_at(x, r) || lnew[i]) continue;
+          int bit = sig_bit(x, y0 + r, true);
+          if (bit) {
+            lnew[i] = 1;
+            nsig[(size_t)(y0 + r) * w + x] = 1;
+            newly[nnew++] = r * w + x;
+            // forward-only propagation: same column next row, next
+            // column rows r-1..r+1 (clipped to real rows)
+            if (r + 1 < rows && !sig_at(x, r + 1)) mbr[i + w] = 1;
+            if (x + 1 < w) {
+              if (r > 0 && !sig_at(x + 1, r - 1)) mbr[i - w + 1] = 1;
+              if (!sig_at(x + 1, r)) mbr[i + 1] = 1;
+              if (r + 1 < rows && !sig_at(x + 1, r + 1)) mbr[i + w + 1] = 1;
+            }
+          }
+        }
+      }
+      for (int k = 0; k < nnew; k++) {
+        int x = newly[k] % w, r = newly[k] / w;
+        sign_bit(x, y0 + r, true);
+      }
+    }
+  }
+}
+
+// MagRef sample order: stripe of 4 rows, column-major (col x rows 0..3)
+// over cleanup-significant samples; one raw bit each.
+template <class Fn>
+static void magref_walk(int w, int h, const uint8_t* sigma, Fn&& fn) {
+  for (int y0 = 0; y0 < h; y0 += 4) {
+    int rows = (h - y0) < 4 ? (h - y0) : 4;
+    for (int x = 0; x < w; x++)
+      for (int r = 0; r < rows; r++)
+        if (sigma[(size_t)(y0 + r) * w + x]) fn(x, y0 + r);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode cleanup at one plane up (mu = mag >> 1, Mb-1 planes) plus a
+// refinement segment carrying SigProp (and, with passes >= 3, MagRef)
+// for the dropped plane.  Writes [cleanup | refinement] into out_buf,
+// returns 0 and the segment lengths in len1/len2, or -1 on overflow.
+// Note: refinement is inherently lossy-scalable — a mag==1 sample with
+// no significant neighbor has no candidate slot in SigProp and decodes
+// to 0 (the same stream any Part-15 full-mode decoder reconstructs).
+int grok_ht_encode_refined(const uint32_t* mag, const uint8_t* neg, int w,
+                           int h, int Mb, int passes, uint8_t* out_buf,
+                           int out_cap, int* len1, int* len2) {
+  if (Mb < 2 || passes < 2 || passes > 3) return -1;
+  size_t wh = (size_t)w * h;
+  std::vector<uint32_t> mu(wh);
+  std::vector<uint8_t> sigma(wh);
+  for (size_t i = 0; i < wh; i++) {
+    mu[i] = mag[i] >> 1;
+    sigma[i] = mu[i] != 0;
+  }
+  std::vector<uint8_t> cup(wh * 6 + 64);
+  int l1 = ht_encode(mu.data(), neg, w, h, Mb - 1, cup.data());
+  if (l1 < 0) return -1;
+
+  SppWriter spp;
+  std::vector<uint8_t> nsig(wh, 0);
+  sigprop_walk(
+      w, h, sigma.data(), nsig.data(),
+      [&](int x, int y, bool real) {
+        // plane p-1 bit; mu == 0 here.  Phantom slots always code 0.
+        int bit = real ? (int)(mag[(size_t)y * w + x] & 1) : 0;
+        spp.put(bit);
+        return bit;
+      },
+      [&](int x, int y, bool real) {
+        spp.put(real && neg[(size_t)y * w + x] ? 1 : 0);
+      });
+  spp.flush();
+
+  MrpWriter mrp;
+  if (passes >= 3) {
+    magref_walk(w, h, sigma.data(), [&](int x, int y) {
+      mrp.put((int)(mag[(size_t)y * w + x] & 1));
+    });
+    mrp.flush();
+  }
+
+  int l2 = (int)(spp.out.size() + mrp.bytes.size());
+  if (l1 + l2 > out_cap) return -1;
+  std::memcpy(out_buf, cup.data(), (size_t)l1);
+  std::memcpy(out_buf + l1, spp.out.data(), spp.out.size());
+  uint8_t* mrp_dst = out_buf + l1 + spp.out.size();
+  for (size_t i = 0; i < mrp.bytes.size(); i++)  // backward stream
+    mrp_dst[mrp.bytes.size() - 1 - i] = mrp.bytes[i];
+  *len1 = l1;
+  *len2 = l2;
+  return 0;
+}
+
+// Decode cleanup + refinement.  Magnitudes are returned in QUARTER
+// units of the cleanup plane (exact integers, no implicit half):
+//   cleanup-significant: 4*mu + 2            (2 passes)
+//                        4*mu + 2*bit + 1    (3 passes)
+//   SigProp-new:         3
+// mirroring the reference's fixed-point reconstruction
+// ((v+2)<<(p-1) -> bit p-1 toggled by MagRef, bin center at p-2;
+// reference: ojph_block_decoder.cpp:1226,1352).  Callers scale:
+// reversible full decode uses q >> 1 (= 2*mu + bit), irreversible uses
+// q * (delta/4).  Mb is the plane count of the ORIGINAL magnitudes (the
+// cleanup segment itself carries Mb-1 planes, matching
+// grok_ht_encode_refined).
+int grok_ht_decode_refined(const uint8_t* data, int len1, int len2,
+                           int passes, int w, int h, int Mb,
+                           uint32_t* quarters, uint8_t* neg) {
+  size_t wh = (size_t)w * h;
+  std::memset(quarters, 0, wh * sizeof(uint32_t));
+  std::memset(neg, 0, wh);
+  if (!ht_decode(data, len1, w, h, Mb - 1, quarters, neg)) return -1;
+  std::vector<uint8_t> sigma(wh);
+  for (size_t i = 0; i < wh; i++) {
+    sigma[i] = quarters[i] != 0;
+    if (sigma[i]) quarters[i] = 4 * quarters[i] + 2;
+  }
+  if (passes >= 2 && len2 > 0) {
+    SppReader spp(data + len1, len2);
+    std::vector<uint8_t> nsig(wh, 0);
+    sigprop_walk(
+        w, h, sigma.data(), nsig.data(),
+        [&](int x, int y, bool real) {
+          int bit = spp.next();
+          if (bit && real) quarters[(size_t)y * w + x] = 3;
+          return bit;
+        },
+        [&](int x, int y, bool real) {
+          int sg = spp.next();
+          if (real) neg[(size_t)y * w + x] = (uint8_t)sg;
+        });
+  }
+  if (passes >= 3 && len2 > 0) {
+    MrpReader mrp(data + len1, len2);
+    magref_walk(w, h, sigma.data(), [&](int x, int y) {
+      int bit = mrp.next();
+      size_t i = (size_t)y * w + x;
+      quarters[i] = (quarters[i] - 2) + 2 * (uint32_t)bit + 1;
+    });
   }
   return 0;
 }

@@ -83,6 +83,18 @@ def _load() -> ctypes.CDLL:
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.grok_ht_encode_refined.restype = ctypes.c_int
+    lib.grok_ht_encode_refined.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.grok_ht_decode_refined.restype = ctypes.c_int
+    lib.grok_ht_decode_refined.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_void_p,
+    ]
     lib.grok_ht_encode_batch.restype = ctypes.c_int
     lib.grok_ht_encode_batch.argtypes = [
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -423,6 +435,46 @@ def ht_decode_cblk(data: bytes, w: int, h: int, missing_msbs: int
     if rc != 0:
         raise RuntimeError("HT decode failed")
     return mag, neg
+
+
+def ht_encode_cblk_refined(mag: np.ndarray, neg: np.ndarray, Mb: int,
+                           passes: int = 3) -> Tuple[bytes, int, int]:
+    """Encode one HT cleanup segment (at one plane up) plus a
+    SigProp(/MagRef) refinement segment (Part 15 full mode).
+
+    Returns (data, len_cleanup, len_refinement); data holds both
+    segments back to back, as they appear in the codestream."""
+    h, w = mag.shape
+    mag = np.ascontiguousarray(mag, dtype=np.uint32)
+    neg = np.ascontiguousarray(neg, dtype=np.uint8)
+    cap = max(4096, w * h * 8)
+    out = np.empty(cap, dtype=np.uint8)
+    l1 = ctypes.c_int(0)
+    l2 = ctypes.c_int(0)
+    rc = _lib.grok_ht_encode_refined(
+        mag.ctypes.data, neg.ctypes.data, w, h, Mb, passes,
+        out.ctypes.data, cap, ctypes.byref(l1), ctypes.byref(l2))
+    if rc != 0:
+        raise RuntimeError("HT refined encode failed")
+    return bytes(out[:l1.value + l2.value]), l1.value, l2.value
+
+
+def ht_decode_cblk_refined(data: bytes, len1: int, len2: int, passes: int,
+                           w: int, h: int, Mb: int
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode cleanup + refinement segments; returns (quarters, neg)
+    with magnitudes in quarter units of the cleanup plane (see
+    native/src/ht.cpp grok_ht_decode_refined for the exact mapping)."""
+    quarters = np.zeros((h, w), dtype=np.uint32)
+    neg = np.zeros((h, w), dtype=np.uint8)
+    buf = np.frombuffer(bytes(data), dtype=np.uint8) if data else \
+        np.zeros(1, dtype=np.uint8)
+    rc = _lib.grok_ht_decode_refined(
+        buf.ctypes.data, len1, len2, passes, w, h, Mb,
+        quarters.ctypes.data, neg.ctypes.data)
+    if rc != 0:
+        raise RuntimeError("HT refined decode failed")
+    return quarters, neg
 
 
 def ht_encode_cblk_batch(blocks, nthreads: Optional[int] = None):

@@ -1,0 +1,203 @@
+"""HT SigProp/MagRef refinement passes (Part 15 full mode).
+
+Oracle: the reference's own full block decoder
+(`ojph::local::ojph_decode_codeblock`, reference:
+src/lib/jp2/t1/t1_ht/coding/ojph_block_decoder.cpp:687) compiled
+directly from the reference tree with `-fwrapv` and called with
+lengths2 != 0 — the one independent decoder on this machine that
+implements refinement-segment decoding.  (Grok's wrapper always passes
+lengths2=0, T1HT.cpp:165, so CLI interop cannot exercise these passes;
+this drives the coder underneath the wrapper instead.)
+
+Why `-fwrapv`: the reference's SigProp loops contain signed-integer
+overflow UB (`0x32 << (j*4)` at j=7 and `sample_mask += sample_mask`
+reaching bit 31 — UBSan flags ojph_block_decoder.cpp:1354/1367/1380/
+1386/1393/1437/1681), and gcc -O1+ exploits it: the reference's own
+Release build produces DIFFERENT pixels than its -O0/-fwrapv build on
+~0.3% of random refined blocks.  Our implementation is bit-exact with
+the well-defined source semantics (-O0 == -fwrapv == ours), which is
+what any conforming decoder must produce.
+
+Checks, for a sweep of shapes/densities/depths plus a random fuzz:
+  1. our refined decode == the reference decoder, bit for bit, on OUR
+     encoder's cleanup+refinement streams (2-pass and 3-pass);
+  2. per-sample exactness of the refinement: cleanup-significant
+     samples reconstruct 2m+1 quarter units (exact magnitude + bin
+     center), SigProp recovers m==1 samples that have significant
+     neighbors.
+"""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from grokimagecompression_tpu.native import t1_native
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+REF_CODING = "/root/reference/src/lib/jp2/t1/t1_ht/coding"
+REF_COMMON = "/root/reference/src/lib/jp2/t1/t1_ht/common"
+ORACLE_SO = os.path.join(REPO, ".refbuild", "ojph_wrapv.so")
+_SYM = "_ZN4ojph5local21ojph_decode_codeblockEPhPiiiiiiii"
+
+_STUBS = r"""
+#include <cstdarg>
+#include <cstdio>
+#include "ojph_message.h"
+namespace ojph {
+static message_error err_inst;
+message_error& get_error() { return err_inst; }
+void message_error::operator()(int, const char*, int, const char*, ...) {
+  fprintf(stderr, "OJPH_ERROR raised\n");
+}
+}
+"""
+
+rng = np.random.default_rng(1234)
+
+
+def _build_oracle():
+    """Compile the reference's full HT decoder (wrapv semantics) once."""
+    if os.path.exists(ORACLE_SO):
+        return True
+    src = os.path.join(REF_CODING, "ojph_block_decoder.cpp")
+    if not os.path.exists(src):
+        return False
+    os.makedirs(os.path.dirname(ORACLE_SO), exist_ok=True)
+    stub = os.path.join(os.path.dirname(ORACLE_SO), "ojph_stubs.cpp")
+    with open(stub, "w") as f:
+        f.write(_STUBS)
+    r = subprocess.run(
+        ["g++", "-O2", "-fwrapv", "-fno-strict-aliasing", "-shared",
+         "-fPIC", f"-I{REF_CODING}", f"-I{REF_COMMON}",
+         src, stub, "-o", ORACLE_SO],
+        capture_output=True)
+    return r.returncode == 0
+
+
+def _ojph_fn():
+    if not _build_oracle():
+        return None
+    lib = ctypes.CDLL(ORACLE_SO)
+    fn = getattr(lib, _SYM)
+    fn.restype = None
+    fn.argtypes = [ctypes.c_void_p, ctypes.c_void_p] + [ctypes.c_int] * 7
+    return fn
+
+
+def _ojph_decode(fn, data, missing, passes, l1, l2, w, h):
+    # the reference readers fetch whole 32-bit words past segment ends;
+    # pad generously so out-of-segment reads stay in bounds (and give
+    # the output slack rows for its phantom-row stores)
+    buf = np.zeros(len(data) + 64, np.uint8)
+    buf[:len(data)] = np.frombuffer(data, np.uint8)
+    out = np.zeros((h + 4, w), np.int32)
+    fn(buf.ctypes.data, out.ctypes.data, missing, passes, l1, l2, w, h, w)
+    return out[:h]
+
+
+def _mk(h, w, dens, Mb, seed):
+    r = np.random.default_rng(seed)
+    mag = (r.integers(1, 1 << Mb, (h, w))
+           * (r.random((h, w)) < dens)).astype(np.uint32)
+    neg = (r.random((h, w)) < 0.5).astype(np.uint8)
+    return mag, neg
+
+
+def _check_vs_oracle(fn, mag, neg, Mb, passes, tag):
+    h, w = mag.shape
+    data, l1, l2 = t1_native.ht_encode_cblk_refined(mag, neg, Mb,
+                                                    passes=passes)
+    q, qneg = t1_native.ht_decode_cblk_refined(data, l1, l2, passes,
+                                               w, h, Mb)
+    p = 31 - Mb  # cleanup plane in the reference's 31-bit grid
+    ref = _ojph_decode(fn, data, Mb - 1, passes, l1, l2, w, h)
+    ref_mag = (ref.astype(np.uint32) & 0x7FFFFFFF)
+    ref_neg = (ref.astype(np.uint32) >> 31).astype(np.uint8)
+    ours = q.astype(np.uint32) << (p - 2)
+    assert np.array_equal(ours, ref_mag), f"mag mismatch {tag}"
+    live = q != 0
+    assert np.array_equal(qneg[live], ref_neg[live]), f"sign mismatch {tag}"
+
+
+SHAPES = [(8, 8), (16, 16), (32, 32), (64, 64), (13, 9), (5, 17),
+          (4, 4), (1, 8), (8, 1), (3, 3), (64, 63), (7, 21), (2, 2),
+          (30, 23), (44, 32), (55, 26), (6, 31), (3, 52)]
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CODING),
+                    reason="reference tree not available")
+@pytest.mark.parametrize("passes", [2, 3])
+def test_refined_streams_match_reference_decoder(passes):
+    fn = _ojph_fn()
+    if fn is None:
+        pytest.skip("could not build reference oracle")
+    for (h, w) in SHAPES:
+        for dens, Mb, seed in [(0.3, 8, 1), (0.05, 12, 2), (0.9, 4, 3),
+                               (1.0, 2, 4), (0.5, 6, 5)]:
+            mag, neg = _mk(h, w, dens, Mb, seed * 100 + h * 7 + w)
+            _check_vs_oracle(fn, mag, neg, Mb, passes,
+                             f"{h}x{w} dens={dens} Mb={Mb} p={passes}")
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CODING),
+                    reason="reference tree not available")
+def test_refined_streams_fuzz_vs_reference_decoder():
+    fn = _ojph_fn()
+    if fn is None:
+        pytest.skip("could not build reference oracle")
+    r = np.random.default_rng(99)
+    for _ in range(120):
+        h = int(r.integers(1, 65))
+        w = int(r.integers(1, 65))
+        Mb = int(r.integers(2, 17))
+        passes = int(r.integers(2, 4))
+        if r.random() < 0.2:
+            mag = np.full((h, w), (1 << Mb) - 1, np.uint32)
+            neg = np.ones((h, w), np.uint8)
+        else:
+            dens = float(r.random())
+            mag = (r.integers(1, 1 << Mb, (h, w))
+                   * (r.random((h, w)) < dens)).astype(np.uint32)
+            neg = (r.random((h, w)) < 0.5).astype(np.uint8)
+        _check_vs_oracle(fn, mag, neg, Mb, passes,
+                         f"fuzz {h}x{w} Mb={Mb} p={passes}")
+
+
+@pytest.mark.parametrize("passes", [2, 3])
+def test_refined_roundtrip_exactness(passes):
+    for (h, w) in SHAPES:
+        for dens, Mb, seed in [(0.4, 8, 11), (0.08, 10, 12), (1.0, 3, 13)]:
+            mag, neg = _mk(h, w, dens, Mb, seed * 31 + h + w)
+            data, l1, l2 = t1_native.ht_encode_cblk_refined(
+                mag, neg, Mb, passes=passes)
+            q, qneg = t1_native.ht_decode_cblk_refined(
+                data, l1, l2, passes, w, h, Mb)
+            mu = mag >> 1
+            # cleanup-significant samples: exact magnitude + bin center
+            cup = mu > 0
+            if passes == 3:
+                assert np.array_equal(q[cup], 2 * mag[cup] + 1)
+            else:
+                assert np.array_equal(q[cup], 4 * mu[cup] + 2)
+            assert np.array_equal(qneg[cup], neg[cup] & 1)
+            # mu == 0 samples: only mag==1 can appear, as q == 3
+            z = ~cup
+            assert set(np.unique(q[z])) <= {0, 3}
+            assert np.all(mag[z][q[z] == 3] == 1)
+    # (which mag==1 samples are recovered is fixed by the candidate
+    # schedule — asserted bit-for-bit by the oracle tests above)
+
+
+def test_refinement_halves_error_vs_cleanup_only():
+    h, w, Mb = 32, 32, 10
+    mag, neg = _mk(h, w, 0.5, Mb, 77)
+    data, l1, l2 = t1_native.ht_encode_cblk_refined(mag, neg, Mb, passes=3)
+    q, _ = t1_native.ht_decode_cblk_refined(data, l1, l2, 3, w, h, Mb)
+    mu = (mag >> 1).astype(np.float64)
+    cup = mu > 0
+    err_cup = np.abs((mu[cup] * 2 + 1) * 0.5 - mag[cup])  # center of 2-bin
+    err_ref = np.abs(q[cup].astype(np.float64) / 2.0 - mag[cup])
+    assert err_ref.mean() < err_cup.mean()
