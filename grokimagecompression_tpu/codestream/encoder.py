@@ -516,6 +516,7 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
     # (want_rd) that feed the host allocator directly.
     mq_fusable = (device and cod.cblk_style == 0 and _device_mq_ok())
     if (device and (is_ht or mq_fusable) and custom_coding_matrix is None
+            and not params.ht_refinement
             and mesh is None and roishifts is None
             and _t1_segments_by_tile is None
             # precomputed transforms (HT rate-control step search) must
@@ -566,7 +567,8 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
                                    split_headers=split,
                                    want_packet_lengths=params.plt_markers
                                    or params.tp_flag is not None,
-                                   tile_index=t)
+                                   tile_index=t,
+                                   ht_refined=params.ht_refinement)
         else:
             comps = mesh_comps.get(t)
             if comps is None:
@@ -590,7 +592,8 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
                            want_packet_lengths=params.plt_markers
                            or params.tp_flag is not None,
                            t1_segments=t1_segments,
-                           tile_index=t)
+                           tile_index=t,
+                           ht_refined=params.ht_refinement)
 
     # Host tile parallelism (absent in the reference, which encodes
     # tiles sequentially — SURVEY §2.4): tiles fan out over a thread

@@ -33,8 +33,12 @@ def _floorlog2(n: int) -> int:
 
 
 def seg_maxpasses(seg_index: int, cblk_style: int) -> int:
-    """Maximum passes per codeword segment (B.10.7.2 termination rules)."""
+    """Maximum passes per codeword segment (B.10.7.2 termination rules;
+    Part 15 for HT blocks: each HT set is a 1-pass cleanup segment
+    followed by a 2-pass SigProp+MagRef refinement segment)."""
     from ..t1.t1_np import CBLKSTY_LAZY, CBLKSTY_TERMALL
+    if cblk_style & 0x40:  # HT
+        return 1 if seg_index % 2 == 0 else 2
     if cblk_style & CBLKSTY_TERMALL:
         return 1
     if cblk_style & CBLKSTY_LAZY:

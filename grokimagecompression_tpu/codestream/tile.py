@@ -220,6 +220,7 @@ def encode_tile(
     want_packet_lengths: bool = False,
     t1_segments: Optional[List[bytes]] = None,
     tile_index: int = -1,
+    ht_refined: bool = False,
 ) -> TileEncResult:
     """Encode one tile to its packet body bytes.
 
@@ -340,7 +341,8 @@ def encode_tile(
             t1_results = t1_backend.encode_cblk_batch_bands(
                 t1_bands, t1_descs, t1_orients, t1_kmaxs, cod.cblk_style,
                 stepsizes=t1_steps if any_irrev else None,
-                needs_pass_rates=layer_alloc is not None)
+                needs_pass_rates=layer_alloc is not None,
+                ht_refined=ht_refined and layer_alloc is None)
 
     all_cblks: List[CblkEnc] = []
     prec_enc: List[Dict[Tuple[int, int], List[PrecEnc]]] = [
@@ -856,7 +858,9 @@ def decode_tile(
     # inverse transform.
     _dev_entropy = os.environ.get("GROK_TPU_T1") == "device" \
         or os.environ.get("GROK_TPU_DEC_ENTROPY") == "device"
-    if (use_device and _dev_entropy
+    _ht_refined_jobs = bool(cod.cblk_style & 0x40) and any(
+        j[6] > 1 for j in t1_jobs)
+    if (use_device and _dev_entropy and not _ht_refined_jobs
             and ((cod.cblk_style & 0x40) or cod.cblk_style == 0)
             and window is None
             and reduce == 0 and not cod_comp and cod.mct != 2

@@ -103,6 +103,14 @@ class EncoderParams:
     ppt_markers: bool = False
     ppm_markers: bool = False
     plt_markers: bool = False
+    # HT refinement passes (Part 15 full mode): code the cleanup one
+    # plane up and carry SigProp+MagRef for the dropped plane in a
+    # second codeword segment (3 passes per block on the wire).  A
+    # quality-scalability tool: NOT guaranteed lossless even with the
+    # 5/3 transform (an isolated magnitude-1 coefficient has no SigProp
+    # candidate slot; the reference's own full decoder drops it the
+    # same way).  Requires cblk_style 0x40 and no rate control.
+    ht_refinement: bool = False
     # Tile-part generation: split each tile into tile-parts at changes of
     # the given progression coordinate ("R" resolution, "L" layer,
     # "C" component) — the reference's tp_on/tp_flag (grok.h:532-534).

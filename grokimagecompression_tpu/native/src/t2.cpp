@@ -127,6 +127,8 @@ constexpr int CBLKSTY_LAZY = 0x01;
 constexpr int CBLKSTY_TERMALL = 0x04;
 
 static int seg_maxpasses(int seg_index, int style) {
+  if (style & 0x40)  // HT: [cleanup][SigProp+MagRef] per HT set
+    return (seg_index % 2 == 0) ? 1 : 2;
   if (style & CBLKSTY_TERMALL) return 1;
   if (style & CBLKSTY_LAZY) {
     if (seg_index == 0) return 10;
@@ -530,6 +532,8 @@ struct CblkDecState {
 };
 
 static int dec_seg_maxpasses(int seg_index, int style) {
+  if (style & 0x40)  // HT: [cleanup][SigProp+MagRef] per HT set
+    return (seg_index % 2 == 0) ? 1 : 2;
   if (style & CBLKSTY_TERMALL) return 1;
   if (style & CBLKSTY_LAZY) {
     if (seg_index == 0) return 10;

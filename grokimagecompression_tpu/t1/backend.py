@@ -86,7 +86,8 @@ def encode_cblk_batch(blocks, cblk_style: int = 0):
 
 def encode_cblk_batch_bands(bands, descs, orients, kmaxs,
                             cblk_style: int = 0, stepsizes=None,
-                            needs_pass_rates: bool = False):
+                            needs_pass_rates: bool = False,
+                            ht_refined: bool = False):
     """Batch encode straight from band planes.
 
     `bands`: list of contiguous 2-D arrays — int32 DWT coefficients
@@ -132,13 +133,48 @@ def encode_cblk_batch_bands(bands, descs, orients, kmaxs,
                       for k in range(npasses)]
             out.append((d, nb, npasses, passes))
         return out
-    if cblk_style & CBLKSTY_HT and _use_device_t1():
+    if cblk_style & CBLKSTY_HT and _use_device_t1() and not ht_refined:
         from ..ops import ht_jax
         datas = ht_jax.ht_encode_cblk_batch_bands(
             bands, descs, kmaxs, stepsizes=stepsizes)
         return [(d, 1, 1, [t1_np.PassInfo(rate=len(d), distortion=0.0,
                                           terminated=True)])
                 for d in datas]
+    if (cblk_style & CBLKSTY_HT) and ht_refined:
+        if nat is None:
+            raise RuntimeError("HT coding requires the native backend")
+        # Part-15 full mode: cleanup one plane up + SigProp/MagRef
+        # refinement segment (3 passes, 2 codeword segments).  numbps=2
+        # signals the extra coded plane (imsb = kmax - 2), keeping the
+        # decoder's missing = kmax - numbps convention aligned with the
+        # encoder's internal cleanup alignment.  Blocks whose band has
+        # kmax < 2 fall back to plain cleanup coding.
+        out = []
+        for i in range(n):
+            bi, x0, y0, w, h = (int(v) for v in descs[i])
+            a = bands[bi][y0:y0 + h, x0:x0 + w]
+            if stepsizes is not None and a.dtype == _np.float32:
+                m = _np.floor(_np.abs(a.astype(_np.float64))
+                              / _np.float64(stepsizes[bi])).astype(_np.uint32)
+                neg = (a < 0).astype(_np.uint8)
+            else:
+                aa = _np.asarray(a, _np.int64)
+                m = _np.abs(aa).astype(_np.uint32)
+                neg = (aa < 0).astype(_np.uint8)
+            kmax = int(kmaxs[i])
+            if kmax < 2:
+                d = nat.ht_encode_cblk(m, neg, kmax)
+                out.append((d, 1, 1,
+                            [t1_np.PassInfo(rate=len(d), distortion=0.0,
+                                            terminated=True)]))
+                continue
+            d, l1, l2 = nat.ht_encode_cblk_refined(m, neg, kmax, passes=3)
+            out.append((d, 2, 3, [
+                t1_np.PassInfo(rate=l1, distortion=0.0, terminated=True),
+                t1_np.PassInfo(rate=l1, distortion=0.0, terminated=False),
+                t1_np.PassInfo(rate=l1 + l2, distortion=0.0,
+                               terminated=True)]))
+        return out
     if nat is not None:
         if cblk_style & CBLKSTY_HT:
             datas = nat.ht_encode_cblk_batch_bands(
@@ -180,6 +216,19 @@ def decode_cblk_batch_bands(blocks, bands, placements, cblk_style: int = 0,
     the native backend is unavailable (caller falls back to
     decode_cblk_batch + Python placement)."""
     nat = _get_native()
+    refined = [i for i, b in enumerate(blocks)
+               if (cblk_style & CBLKSTY_HT) and b[6] > 1]
+    if refined:
+        if nat is None:
+            return False
+        _decode_refined_into_bands([blocks[i] for i in refined],
+                                   [placements[i] for i in refined],
+                                   bands, stepsizes, nat)
+        blocks = [b for i, b in enumerate(blocks) if i not in set(refined)]
+        placements = [pl for i, pl in enumerate(placements)
+                      if i not in set(refined)]
+        if not blocks:
+            return True
     if (cblk_style & CBLKSTY_HT) and _use_device_t1() \
             and _device_ht_decode_bands(blocks, bands, placements,
                                         stepsizes):
@@ -291,6 +340,30 @@ def _device_mq_decode_bands(blocks, bands, placements, stepsizes) -> bool:
     return True
 
 
+def _decode_refined_block(nat, d, seg_lengths, w, h, np_, kmax):
+    """Decode one HT block carrying a refinement segment; returns
+    (mag, neg) with magnitudes in the band's quantizer units (exact for
+    3-pass streams: quarters are 2m+1, so q >> 1 == m and the standard
+    mid-point dequantizer reconstructs q/4 exactly)."""
+    import numpy as _np
+    d = bytes(d)
+    if seg_lengths and len(seg_lengths) >= 2:
+        l1, l2 = int(seg_lengths[0]), int(seg_lengths[1])
+    else:
+        l1, l2 = len(d), 0
+    q, neg = nat.ht_decode_cblk_refined(d, l1, l2, int(np_), w, h,
+                                        int(kmax))
+    return (q >> 1).astype(_np.uint32), neg
+
+
+def _decode_refined_into_bands(blocks, placements, bands, stepsizes,
+                               nat) -> None:
+    import numpy as _np
+    for (d, s, w, h, o, nb, np_, kmax), pl in zip(blocks, placements):
+        mag, neg = _decode_refined_block(nat, d, s, w, h, np_, kmax)
+        _scatter_decoded([(mag, neg)], [0], bands, [pl], stepsizes)
+
+
 def decode_cblk_batch(blocks, cblk_style: int = 0, signed_out: bool = False):
     """Batch decode: blocks = [(data, seg_lengths, w, h, orient, numbps,
     numpasses[, kmax]), ...] -> [(mag, neg), ...] or signed int32 arrays
@@ -299,10 +372,29 @@ def decode_cblk_batch(blocks, cblk_style: int = 0, signed_out: bool = False):
     if cblk_style & CBLKSTY_HT:
         if nat is None:
             raise RuntimeError("HT decoding requires the native backend")
-        return nat.ht_decode_cblk_batch(
+        refined = {i for i, b in enumerate(blocks) if b[6] > 1}
+        plain = [b for i, b in enumerate(blocks) if i not in refined]
+        out_plain = nat.ht_decode_cblk_batch(
             [(bytes(d), w, h, kmax - nb)
-             for (d, s, w, h, o, nb, np_, kmax) in blocks],
+             for (d, s, w, h, o, nb, np_, kmax) in plain],
             signed_out=signed_out)
+        if not refined:
+            return out_plain
+        import numpy as _np
+        out = []
+        it = iter(out_plain)
+        for i, (d, s, w, h, o, nb, np_, kmax) in enumerate(blocks):
+            if i not in refined:
+                out.append(next(it))
+                continue
+            mag, neg = _decode_refined_block(nat, d, s, w, h, np_, kmax)
+            if signed_out:
+                out.append(_np.where(neg > 0, -(mag.astype(_np.int64)),
+                                     mag.astype(_np.int64))
+                           .astype(_np.int32))
+            else:
+                out.append((mag, neg))
+        return out
     blocks7 = [b[:7] for b in blocks]
     if nat is not None:
         return nat.decode_cblk_batch(blocks7, cblk_style,

@@ -201,3 +201,80 @@ def test_refinement_halves_error_vs_cleanup_only():
     err_cup = np.abs((mu[cup] * 2 + 1) * 0.5 - mag[cup])  # center of 2-bin
     err_ref = np.abs(q[cup].astype(np.float64) / 2.0 - mag[cup])
     assert err_ref.mean() < err_cup.mean()
+
+
+# ---- end-to-end codestream integration (ht_refinement=True) ----
+
+def _img(seed, h=96, w=128, ncomp=1, prec=8):
+    r = np.random.default_rng(seed)
+    from grokimagecompression_tpu.core.image import Component, Image
+    comps = [  # dense noise: most coefficients have significant neighbors
+        Component(data=r.integers(0, 1 << prec, (h, w)).astype(np.int32),
+                  prec=prec, signed=False, dx=1, dy=1)
+        for _ in range(ncomp)]
+    return Image(xsiz=w, ysiz=h, components=comps)
+
+
+def test_e2e_reversible_refinement_roundtrip():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from grokimagecompression_tpu.codestream import decoder, encoder
+    from grokimagecompression_tpu.core.params import EncoderParams
+    img = _img(3)
+    p = EncoderParams(numresolutions=4, cblk_style=0x40,
+                      ht_refinement=True)
+    cs = encoder.encode(img, p, device=False)
+    dec = decoder.decode(cs)
+    err = np.abs(dec.components[0].data.astype(np.int64)
+                 - img.components[0].data)
+    # refinement is quality-scalable, not guaranteed lossless: only an
+    # isolated magnitude-1 coefficient can be lost (error <= 1 per
+    # coefficient before inverse transform)
+    assert err.max() <= 2, err.max()
+    assert err.mean() < 0.01
+
+
+def test_e2e_irreversible_refinement_tiled_rgb():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from grokimagecompression_tpu.codestream import decoder, encoder
+    from grokimagecompression_tpu.core.params import (EncoderParams,
+                                                      Progression,
+                                                      Transform)
+    img = _img(7, h=130, w=150, ncomp=3)
+    p = EncoderParams(numresolutions=4, cblk_style=0x40,
+                      transform=Transform.DWT_97, tile_size=(64, 64),
+                      progression=Progression.RPCL, ht_refinement=True)
+    cs = encoder.encode(img, p, device=False)
+    p0 = EncoderParams(numresolutions=4, cblk_style=0x40,
+                       transform=Transform.DWT_97, tile_size=(64, 64),
+                       progression=Progression.RPCL)
+    cs0 = encoder.encode(img, p0, device=False)
+    dec = decoder.decode(cs)
+    dec0 = decoder.decode(cs0)
+    for c in range(3):
+        ref = img.components[c].data.astype(np.float64)
+        r1 = np.sqrt(np.mean((dec.components[c].data - ref) ** 2))
+        r0 = np.sqrt(np.mean((dec0.components[c].data - ref) ** 2))
+        # same quantizer, finer bin centers: no worse than cleanup-only
+        assert r1 <= r0 * 1.02, (c, r1, r0)
+
+
+def test_e2e_refinement_sparse_content_lossy_corner():
+    """Smooth content (sparse coefficients, isolated magnitude-1s):
+    decode must stay within 1 quantizer unit per coefficient."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from grokimagecompression_tpu.codestream import decoder, encoder
+    from grokimagecompression_tpu.core.image import Component, Image
+    from grokimagecompression_tpu.core.params import EncoderParams
+    yy, xx = np.mgrid[0:80, 0:96]
+    d = ((yy + 2 * xx) // 4 % 256).astype(np.int32)
+    img = Image(xsiz=96, ysiz=80, components=[
+        Component(data=d, prec=8, signed=False, dx=1, dy=1)])
+    p = EncoderParams(numresolutions=3, cblk_style=0x40,
+                      ht_refinement=True)
+    cs = encoder.encode(img, p, device=False)
+    dec = decoder.decode(cs)
+    err = np.abs(dec.components[0].data.astype(np.int64) - d)
+    assert err.max() <= 4, err.max()  # few lost mag-1 coefficients
