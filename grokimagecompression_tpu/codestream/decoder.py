@@ -52,6 +52,9 @@ class TilePart:
     poc_raw: Optional[bytes] = None
     ppt_raw: List[bytes] = dataclasses.field(default_factory=list)
     plt_lengths: List[int] = dataclasses.field(default_factory=list)
+    # True when the walk skipped this tile-part's header/body (tile not
+    # in the caller's `want` set): only tile_index is valid.
+    skipped: bool = False
 
 
 def _validate_siz(siz: SizInfo) -> None:
@@ -172,8 +175,14 @@ def read_header(data: bytes) -> CodestreamHeader:
                             ppm_sections=ppm_sections)
 
 
-def iter_tile_parts(data: bytes, start: int):
-    """Yield TilePart records by walking SOT/Psot; tolerates truncation."""
+def iter_tile_parts(data: bytes, start: int, want=None):
+    """Yield TilePart records by walking SOT/Psot; tolerates truncation.
+
+    `want(tile_index) -> bool` (optional) marks which tiles the caller
+    will decode: other tiles' parts are yielded as lightweight
+    `skipped` records — no header walk, no body slice — so a windowed
+    or single-tile decode of a large tiled stream never copies the
+    bytes it does not need (the reference's TLM/seek analog)."""
     pos = start
     while pos + 4 <= len(data):
         marker = struct.unpack(">H", data[pos:pos + 2])[0]
@@ -189,6 +198,11 @@ def iter_tile_parts(data: bytes, start: int):
         sot = markers.parse_sot(data[pos + 4:pos + 12])
         psot = sot.psot if sot.psot else len(data) - pos
         tp_end = min(pos + psot, len(data))
+        if want is not None and not want(sot.tile_index):
+            yield TilePart(tile_index=sot.tile_index, body=b"",
+                           skipped=True)
+            pos = pos + psot if sot.psot else tp_end
+            continue
         # Walk markers inside the tile-part header until SOD, collecting
         # per-tile parameter overrides.
         hp = pos + 12
@@ -248,11 +262,39 @@ def decode(data: bytes, params: Optional[DecoderParams] = None,
                               siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
     numtiles = ntx * nty
     ncomps = len(siz.comps)
+
+    # Restricted decodes (window / single tile) know their tile set up
+    # front: the tile-part walk then skips every other tile's header
+    # and body outright (no byte copies — for a 600^2 window on a 16K^2
+    # tiled stream this is the difference between touching ~4 tiles and
+    # materializing all 256).
+    needed = None
+    if params.tile_index is not None:
+        needed = {params.tile_index}
+    elif params.window is not None:
+        from ..core.geometry import Rect as _Rect
+        _wx0, _wy0, _wx1, _wy1 = params.window
+        _w = _Rect(max(_wx0, siz.xosiz), max(_wy0, siz.yosiz),
+                   min(_wx1, siz.xsiz), min(_wy1, siz.ysiz))
+        needed = set()
+        for t in range(numtiles):
+            _tr = tile_rect(t, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
+                            siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
+            if not (_tr.x1 <= _w.x0 or _tr.x0 >= _w.x1
+                    or _tr.y1 <= _w.y0 or _tr.y0 >= _w.y1):
+                needed.add(t)
+
     tile_bodies: Dict[int, List[bytes]] = {}
     tile_over: Dict[int, TilePart] = {}
     tile_hdrs: Dict[int, List[bytes]] = {}
     ppm_iter = iter(hdr.ppm_sections or [])
-    for tp in iter_tile_parts(data, hdr.main_header_end):
+    for tp in iter_tile_parts(data, hdr.main_header_end,
+                              want=(needed.__contains__
+                                    if needed is not None else None)):
+        if tp.skipped:
+            if hdr.ppm_sections is not None:
+                next(ppm_iter, b"")
+            continue
         tile_bodies.setdefault(tp.tile_index, []).append(tp.body)
         if hdr.ppm_sections is not None:
             # one Nppm-framed section per tile-part, in stream order

@@ -21,6 +21,45 @@ for name in ("grok_dwt53_fwd", "grok_dwt53_inv", "grok_dwt97_fwd",
         ctypes.c_int64,
     ]
 
+for name in ("grok_dwt_win53_axis", "grok_dwt_win97_axis"):
+    fn = getattr(_lib, name)
+    fn.restype = ctypes.c_int
+    fn.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p,
+    ]
+
+
+def win_inv53_axis(lo: np.ndarray, lo_k0: int, hi: np.ndarray, hi_k0: int,
+                   u0: int, n: int, c0: int, c1: int) -> np.ndarray:
+    """Windowed 5/3 inverse along axis 1 (native core of
+    ops/dwt_window._inv53_axis; caller handles the n==1 and empty
+    cases)."""
+    rows = lo.shape[0] if lo.shape[0] else hi.shape[0]
+    out = np.empty((rows, c1 - c0), np.int32)
+    lo = np.ascontiguousarray(lo, np.int32)
+    hi = np.ascontiguousarray(hi, np.int32)
+    _lib.grok_dwt_win53_axis(
+        lo.ctypes.data, lo.shape[1], lo_k0,
+        hi.ctypes.data, hi.shape[1], hi_k0,
+        rows, u0, n, c0, c1, out.ctypes.data)
+    return out
+
+
+def win_inv97_axis(lo: np.ndarray, lo_k0: int, hi: np.ndarray, hi_k0: int,
+                   u0: int, n: int, c0: int, c1: int) -> np.ndarray:
+    rows = lo.shape[0] if lo.shape[0] else hi.shape[0]
+    out = np.empty((rows, c1 - c0), np.float32)
+    lo = np.ascontiguousarray(lo, np.float32)
+    hi = np.ascontiguousarray(hi, np.float32)
+    _lib.grok_dwt_win97_axis(
+        lo.ctypes.data, lo.shape[1], lo_k0,
+        hi.ctypes.data, hi.shape[1], hi_k0,
+        rows, u0, n, c0, c1, out.ctypes.data)
+    return out
+
 
 def _level_geom(rect: Rect, levels: int):
     """Per-level (cw, ch, ne_x, no_x, ne_y, no_y) and the final LL dims."""

@@ -691,3 +691,191 @@ int grok_dwt97_inv(float* data, int w, int h, int x0, int y0, int levels,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Windowed partial inverse: single-axis kernels
+//
+// Native core of ops/dwt_window.py (the reference's decode_partial_tile
+// analog, reference: src/lib/jp2/transform/dwt.cpp:1182-2160): per-level
+// axis inverses over fetched band crops, bit/float-exact with the numpy
+// fallback (_inv53_axis / _inv97_axis).  Neighbor index schedules are
+// shared by every row, so they are precomputed once and the row loop is
+// a tight clip-free gather the compiler vectorizes.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+static inline int win_reflect(int i, int u0, int u1) {
+  int n = u1 - u0;
+  if (n == 1) return u0;
+  int period = 2 * (n - 1);
+  int j = (i - u0) % period;
+  if (j < 0) j += period;
+  if (j >= n) j = period - j;
+  return u0 + j;
+}
+
+static inline int win_clip(int v, int n) {
+  return v < 0 ? 0 : (v >= n ? n - 1 : v);
+}
+
+static inline void win_parity(int u0, int n, int* fe, int* fo, int* ne,
+                              int* no) {
+  *fe = (u0 & 1) ? u0 + 1 : u0;
+  *fo = (u0 & 1) ? u0 : u0 + 1;
+  *ne = n > 0 ? (u0 + n - *fe + 1) / 2 : 0;
+  *no = n > 0 ? (u0 + n - *fo + 1) / 2 : 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// 5/3 inverse along the packed axis for a window: lo (rows, lo_n) crop
+// starting at packed index lo_k0, hi likewise; writes (rows, c1-c0)
+// canvas columns [c0, c1).  Caller guarantees n >= 2 and
+// u0 <= c0 < c1 <= u0+n.
+int grok_dwt_win53_axis(const int32_t* lo, int lo_n, int lo_k0,
+                        const int32_t* hi, int hi_n, int hi_k0,
+                        int rows, int u0, int n, int c0, int c1,
+                        int32_t* out) {
+  int fe, fo, ne, no;
+  win_parity(u0, n, &fe, &fo, &ne, &no);
+  const int u1 = u0 + n;
+  // evens covering [c0-1, c1+1)
+  int ge0 = u0 > c0 - 1 ? u0 : c0 - 1;
+  int ge1 = u1 < c1 + 1 ? u1 : c1 + 1;
+  int e0 = (ge0 - fe + 1) / 2;
+  if (e0 < 0) e0 = 0;
+  int e1 = (ge1 - 1 - fe) / 2 + 1;
+  if (e1 > ne) e1 = ne;
+  if (e1 < e0) e1 = e0;
+  int nxe = e1 - e0;
+  // odds in [c0, c1)
+  int o0 = (c0 - fo + 1) / 2;
+  if (o0 < 0) o0 = 0;
+  int o1 = (c1 - 1 - fo) / 2 + 1;
+  if (o1 > no) o1 = no;
+  if (o1 < o0) o1 = o0;
+  int nod = o1 - o0;
+
+  std::vector<int> eli(nxe), eri(nxe), elo(nxe);
+  for (int k = 0; k < nxe; k++) {
+    int pos = fe + 2 * (e0 + k);
+    eli[k] = win_clip(((win_reflect(pos - 1, u0, u1) - fo) >> 1) - hi_k0,
+                      hi_n);
+    eri[k] = win_clip(((win_reflect(pos + 1, u0, u1) - fo) >> 1) - hi_k0,
+                      hi_n);
+    elo[k] = win_clip((e0 + k) - lo_k0, lo_n);
+  }
+  std::vector<int> oli(nod), ori(nod), ohi(nod);
+  for (int k = 0; k < nod; k++) {
+    int pos = fo + 2 * (o0 + k);
+    oli[k] = win_clip(((win_reflect(pos - 1, u0, u1) - fe) >> 1) - e0, nxe);
+    ori[k] = win_clip(((win_reflect(pos + 1, u0, u1) - fe) >> 1) - e0, nxe);
+    ohi[k] = win_clip((o0 + k) - hi_k0, hi_n);
+  }
+  // output scatter schedules
+  int wout = c1 - c0;
+  std::vector<int> ev_dst, ev_src;
+  for (int k = 0; k < nxe; k++) {
+    int pos = fe + 2 * (e0 + k);
+    if (pos >= c0 && pos < c1) {
+      ev_dst.push_back(pos - c0);
+      ev_src.push_back(k);
+    }
+  }
+  std::vector<int32_t> xe((size_t)nxe);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) firstprivate(xe) \
+    if (rows > 64 && (int64_t)rows * wout > 65536)
+#endif
+  for (int r = 0; r < rows; r++) {
+    const int32_t* lr = lo + (size_t)r * lo_n;
+    const int32_t* hr = hi + (size_t)r * hi_n;
+    int32_t* orow = out + (size_t)r * wout;
+    for (int k = 0; k < nxe; k++)
+      xe[k] = lr[elo[k]] - ((hr[eli[k]] + hr[eri[k]] + 2) >> 2);
+    for (size_t k = 0; k < ev_dst.size(); k++)
+      orow[ev_dst[k]] = xe[ev_src[k]];
+    for (int k = 0; k < nod; k++) {
+      int pos = fo + 2 * (o0 + k);
+      orow[pos - c0] =
+          hr[ohi[k]] + ((xe[oli[k]] + xe[ori[k]]) >> 1);
+    }
+  }
+  return 0;
+}
+
+// 9/7 inverse along the packed axis for a window (float32 op order
+// identical to _inv97_axis: scale whole crops, four lifting passes over
+// the crops, scatter canvas columns [c0, c1)).
+int grok_dwt_win97_axis(const float* lo, int lo_n, int lo_k0,
+                        const float* hi, int hi_n, int hi_k0,
+                        int rows, int u0, int n, int c0, int c1,
+                        float* out) {
+  int fe, fo, ne, no;
+  win_parity(u0, n, &fe, &fo, &ne, &no);
+  (void)ne;
+  (void)no;
+  const int u1 = u0 + n;
+  // neighbor schedules over the full crops
+  std::vector<int> ea(lo_n), eb(lo_n), oa(hi_n), ob(hi_n);
+  for (int k = 0; k < lo_n; k++) {
+    int pos = fe + 2 * (lo_k0 + k);
+    ea[k] = win_clip(((win_reflect(pos - 1, u0, u1) - fo) >> 1) - hi_k0,
+                     hi_n);
+    eb[k] = win_clip(((win_reflect(pos + 1, u0, u1) - fo) >> 1) - hi_k0,
+                     hi_n);
+  }
+  for (int k = 0; k < hi_n; k++) {
+    int pos = fo + 2 * (hi_k0 + k);
+    oa[k] = win_clip(((win_reflect(pos - 1, u0, u1) - fe) >> 1) - lo_k0,
+                     lo_n);
+    ob[k] = win_clip(((win_reflect(pos + 1, u0, u1) - fe) >> 1) - lo_k0,
+                     lo_n);
+  }
+  int wout = c1 - c0;
+  std::vector<int> ev_dst, ev_src, od_dst, od_src;
+  for (int k = 0; k < lo_n; k++) {
+    int pos = fe + 2 * (lo_k0 + k);
+    if (pos >= c0 && pos < c1) {
+      ev_dst.push_back(pos - c0);
+      ev_src.push_back(k);
+    }
+  }
+  for (int k = 0; k < hi_n; k++) {
+    int pos = fo + 2 * (hi_k0 + k);
+    if (pos >= c0 && pos < c1) {
+      od_dst.push_back(pos - c0);
+      od_src.push_back(k);
+    }
+  }
+  std::vector<float> ev((size_t)lo_n), od((size_t)hi_n);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) firstprivate(ev, od) \
+    if (rows > 64 && (int64_t)rows * wout > 65536)
+#endif
+  for (int r = 0; r < rows; r++) {
+    const float* lr = lo + (size_t)r * lo_n;
+    const float* hr = hi + (size_t)r * hi_n;
+    float* orow = out + (size_t)r * wout;
+    for (int k = 0; k < lo_n; k++) ev[k] = lr[k] * K_F;
+    for (int k = 0; k < hi_n; k++) od[k] = hr[k] * TWO_OVER_K;
+    for (int k = 0; k < lo_n; k++)
+      ev[k] = ev[k] - DELTA * (od[ea[k]] + od[eb[k]]);
+    for (int k = 0; k < hi_n; k++)
+      od[k] = od[k] - GAMMA * (ev[oa[k]] + ev[ob[k]]);
+    for (int k = 0; k < lo_n; k++)
+      ev[k] = ev[k] - BETA * (od[ea[k]] + od[eb[k]]);
+    for (int k = 0; k < hi_n; k++)
+      od[k] = od[k] - ALPHA * (ev[oa[k]] + ev[ob[k]]);
+    for (size_t k = 0; k < ev_dst.size(); k++)
+      orow[ev_dst[k]] = ev[ev_src[k]];
+    for (size_t k = 0; k < od_dst.size(); k++)
+      orow[od_dst[k]] = od[od_src[k]];
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -24,6 +24,30 @@ import numpy as np
 
 from ..core.geometry import Rect, ceil_div
 
+
+def _native():
+    """Native axis kernels (native/src/dwt.cpp grok_dwt_win53_axis /
+    grok_dwt_win97_axis) — bit/float-exact with the numpy fallbacks
+    below; GROK_TPU_DWT=python forces numpy."""
+    global _NAT, _NAT_CHECKED
+    if _NAT_CHECKED:
+        return _NAT
+    _NAT_CHECKED = True
+    import os
+    if os.environ.get("GROK_TPU_DWT", "") == "python":
+        _NAT = None
+        return None
+    try:
+        from ..native import dwt_native as _NAT_mod
+        _NAT = _NAT_mod
+    except Exception:
+        _NAT = None
+    return _NAT
+
+
+_NAT = None
+_NAT_CHECKED = False
+
 K = 1.230174104914001
 ALPHA = np.float32(-1.586134342059924)
 BETA = np.float32(-0.052980118572961)
@@ -93,6 +117,9 @@ def _inv53_axis(lo: np.ndarray, lo_k0: int, hi: np.ndarray, hi_k0: int,
     if n == 1:
         v = (hi[:, :1] >> 1) if (u0 & 1) else lo[:, :1]
         return np.repeat(v, c1 - c0, axis=1)
+    nat = _native()
+    if nat is not None and lo.shape[1] and hi.shape[1]:
+        return nat.win_inv53_axis(lo, lo_k0, hi, hi_k0, u0, n, c0, c1)
     fe, fo, ne, no = _parity(u0, n)
     u1 = u0 + n
     # evens covering [c0-1, c1+1)
@@ -136,6 +163,12 @@ def _inv97_axis(lo: np.ndarray, lo_k0: int, hi: np.ndarray, hi_k0: int,
     if n == 1:
         v = hi[:, :1] * TWO_OVER_K if (u0 & 1) else lo[:, :1] * K_F
         return np.repeat(v, c1 - c0, axis=1)
+    nat = _native()
+    if nat is not None and lo.shape[1] and hi.shape[1]:
+        return nat.win_inv97_axis(lo.astype(np.float32, copy=False),
+                                  lo_k0,
+                                  hi.astype(np.float32, copy=False),
+                                  hi_k0, u0, n, c0, c1)
     fe, fo, ne, no = _parity(u0, n)
     u1 = u0 + n
     ev = lo.astype(np.float32) * K_F
