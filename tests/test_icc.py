@@ -123,3 +123,129 @@ def test_jp2_embedded_icc_applied(tmp_path):
     got = np.stack([c.data for c in rec.components], -1)
     ref = _lcms_ref(arr, prof)
     assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
+
+
+# ---- LUT-based (A2B0) profiles: mft2 / mAB with tetrahedral CLUT ----
+
+_SRGB_D50 = [[0.4360747, 0.3850649, 0.1430804],
+             [0.2225045, 0.7168786, 0.0606169],
+             [0.0139322, 0.0971045, 0.7141733]]
+
+
+def _lut_header(pcs, ntags, body_len, table_size):
+    total = 128 + table_size + body_len
+    hdr = struct.pack(">I", total) + b"none"
+    hdr += struct.pack(">I", 0x02400000)
+    hdr += b"mntr" + b"RGB " + pcs
+    hdr += struct.pack(">HHHHHH", 2024, 1, 1, 0, 0, 0)
+    hdr += b"acsp" + b"\0" * 4 + struct.pack(">I", 0)
+    hdr += b"\0" * 16 + struct.pack(">I", 0)
+    hdr += b"".join(_s15f16(v) for v in (0.9642, 1.0, 0.8249))
+    hdr += b"\0" * 4
+    hdr += b"\0" * (128 - len(hdr))
+    return hdr
+
+
+def _assemble(pcs, tags):
+    ntags = len(tags)
+    table_size = 4 + ntags * 12
+    off = 128 + table_size
+    table = struct.pack(">I", ntags)
+    body = b""
+    for sig, payload in tags:
+        pad = (4 - len(payload) % 4) % 4
+        table += struct.pack(">4sII", sig, off, len(payload))
+        body += payload + b"\0" * pad
+        off += len(payload) + pad
+    return _lut_header(pcs, ntags, len(body), table_size) + table + body
+
+
+def _clut_xyz(grid):
+    """grid^3 CLUT for linear RGB -> XYZ D50 (sRGB primaries)."""
+    M = np.array(_SRGB_D50)
+    g = np.linspace(0, 1, grid)
+    R, G, B = np.meshgrid(g, g, g, indexing="ij")
+    rgb = np.stack([R.ravel(), G.ravel(), B.ravel()], axis=0)
+    return (M @ rgb).T  # (grid^3, 3) XYZ
+
+
+def _base_tags():
+    return [
+        (b"desc", b"desc" + b"\0" * 4 + struct.pack(">I", 5)
+         + b"test\0" + b"\0" * 78),
+        (b"wtpt", b"XYZ " + b"\0" * 4
+         + b"".join(_s15f16(v) for v in (0.9642, 1.0, 0.8249))),
+        (b"cprt", b"text" + b"\0" * 4 + b"none\0\0\0"),
+    ]
+
+
+def make_mft2_profile(grid=9):
+    t = np.linspace(0, 1, 256)
+    eotf = np.where(t <= 0.04045, t / 12.92, ((t + 0.055) / 1.055) ** 2.4)
+    intab = np.round(eotf * 65535).astype(">u2").tobytes()
+    clut = np.round(np.clip(_clut_xyz(grid), 0, 65535 / 32768.)
+                    * 32768).astype(">u2").tobytes()
+    outtab = np.round(np.linspace(0, 1, 256) * 65535) \
+        .astype(">u2").tobytes()
+    mft2 = b"mft2" + b"\0" * 4 + bytes([3, 3, grid, 0])
+    for r in range(3):
+        for c in range(3):
+            mft2 += _s15f16(1.0 if r == c else 0.0)
+    mft2 += struct.pack(">HH", 256, 256)
+    mft2 += intab * 3 + clut + outtab * 3
+    return _assemble(b"XYZ ", [(b"A2B0", mft2)] + _base_tags())
+
+
+def make_mab_profile(grid=9):
+    """lutAtoBType: identity A/B curves, 16-bit CLUT RGB->XYZ, gamma-2.2
+    input handled inside the CLUT domain for simplicity."""
+    ident = b"curv" + b"\0" * 4 + struct.pack(">I", 0)  # 12 bytes
+    clut_vals = np.round(np.clip(_clut_xyz(grid), 0, 65535 / 32768.)
+                         * 32768).astype(">u2").tobytes()
+    clut = bytes([grid, grid, grid] + [0] * 13) + bytes([2, 0, 0, 0]) \
+        + clut_vals
+    # layout: header(32) | B curves | CLUT | A curves
+    off_b = 32
+    bcurves = ident * 3
+    off_clut = off_b + len(bcurves)
+    off_a = off_clut + len(clut) + ((-len(clut)) % 4)
+    acurves = ident * 3
+    mab = b"mAB " + b"\0" * 4 + bytes([3, 3, 0, 0])
+    mab += struct.pack(">IIIII", off_b, 0, 0, off_clut, off_a)
+    mab += bcurves + clut + b"\0" * ((-len(clut)) % 4) + acurves
+    return _assemble(b"XYZ ", [(b"A2B0", mab)] + _base_tags())
+
+
+@pytest.mark.parametrize("builder,tol", [(make_mft2_profile, 1),
+                                         (make_mab_profile, 1)])
+def test_lut_profile_matches_lcms(builder, tol):
+    prof = builder()
+    rng = np.random.default_rng(4)
+    arr = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    img = _rgb_image(arr)
+    out = icc.apply_icc(img, prof)
+    assert out is not None, "LUT profile should be applied"
+    ref = _lcms_ref(arr, prof)
+    got = np.stack([out.components[i].data for i in range(3)], -1)
+    d = np.abs(got.astype(int) - ref.astype(int))
+    assert d.max() <= tol, d.max()
+
+
+def test_lut_profile_jp2_end_to_end(tmp_path):
+    from grokimagecompression_tpu.cli import decompress as d_cli
+    from grokimagecompression_tpu.codestream import encoder, jp2
+    from grokimagecompression_tpu.io.pnm import read_pnm
+    prof = make_mft2_profile()
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    img = _rgb_image(arr)
+    cs = jp2.wrap_codestream(encoder.encode(img), 32, 24,
+                             [(8, False)] * 3, icc_profile=prof)
+    p = str(tmp_path / "lut.jp2")
+    open(p, "wb").write(cs)
+    out = str(tmp_path / "o.ppm")
+    assert d_cli.main(["-i", p, "-o", out]) == 0
+    rec = read_pnm(out)
+    got = np.stack([c.data for c in rec.components], -1)
+    ref = _lcms_ref(arr, prof)
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
