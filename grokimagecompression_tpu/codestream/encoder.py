@@ -498,9 +498,25 @@ def encode(image: Image, params: Optional[EncoderParams] = None,
     mesh_coeff = {}
     mesh_comps = {}
     if mesh is not None and custom_coding_matrix is None:
-        from ..parallel.sharding import transform_tiles_on_mesh
-        mesh_coeff, mesh_comps = transform_tiles_on_mesh(
-            image, siz, cod, mesh)
+        # Device entropy on the mesh: run the fused transform+block-code
+        # program sharded over the tile axis (parallel/sharding.py
+        # fused_entropy_tiles_on_mesh) — byte-identical to the host
+        # coder, so the assembled stream matches sequential output.
+        # Out-of-scope shapes (and rate-controlled MQ, whose R-D tables
+        # stay host-side for now) use the transform-only mesh instead.
+        if (_t1_segments_by_tile is None and roishifts is None
+                and not params.ht_refinement and not needs_rc
+                and _coeff_bands_by_tile is None and not cod_comp
+                and (is_ht or cod.cblk_style == 0)
+                and cod.transform in (Transform.DWT_53, Transform.DWT_97)):
+            from ..parallel.sharding import fused_entropy_tiles_on_mesh
+            _t1_segments_by_tile = fused_entropy_tiles_on_mesh(
+                image, siz, cod, qcd, mesh,
+                coder="ht" if is_ht else "mq") or None
+        if _t1_segments_by_tile is None:
+            from ..parallel.sharding import transform_tiles_on_mesh
+            mesh_coeff, mesh_comps = transform_tiles_on_mesh(
+                image, siz, cod, mesh)
 
     # Fully-fused device encode (HT reversible): DC shift -> MCT -> DWT ->
     # block gather -> HT coding -> packed segments, one dispatch + one

@@ -405,8 +405,18 @@ def encode_tile_collect(handle) -> List[Optional[List]]:
     compaction caps)."""
     (plan, nframes, fetch) = handle
     if plan.coder == "mq":
-        return _collect_mq(plan, nframes, fetch)
+        from ..ops import mq_jax
+        head_np, words_np = mq_jax.mq_collect_fetch(
+            fetch, total_words_fn=_mq_head_total_words(plan, nframes))
+        return assemble_collected_mq(plan, nframes, head_np, words_np)
     metrics_np, words = ht_jax.collect_fetch(fetch)
+    return assemble_collected_ht(plan, nframes, metrics_np, words)
+
+
+def assemble_collected_ht(plan: FusedPlan, nframes: int, metrics_np,
+                          words) -> List[Optional[List]]:
+    """Host splice of a fetched HT result (shared by the single-device
+    collect and the mesh path, which fetches per-shard chunks)."""
     segs = ht_jax.assemble_segments_host(words, metrics_np)
     over = metrics_np[:, 15] != 0
     res: List[Optional[List]] = [
@@ -451,12 +461,13 @@ def _mq_head_total_words(plan: FusedPlan, nframes: int):
     return fn
 
 
-def _collect_mq(plan: FusedPlan, nframes: int, fetch) -> List[Optional[List]]:
+def assemble_collected_mq(plan: FusedPlan, nframes: int, head_np,
+                          words_np) -> List[Optional[List]]:
+    """Host splice of a fetched MQ result (shared by the single-device
+    collect and the mesh path)."""
     from ..ops import mq_jax
 
-    head_np, words_np = mq_jax.mq_collect_fetch(
-        fetch, total_words_fn=_mq_head_total_words(plan, nframes))
-    head_np = np.ascontiguousarray(head_np.reshape(-1))
+    head_np = np.ascontiguousarray(np.asarray(head_np).reshape(-1))
     res: List[Optional[List]] = [
         [None] * plan.nblocks for _ in range(nframes)]
     bad_frames = set()

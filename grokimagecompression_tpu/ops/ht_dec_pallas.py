@@ -441,7 +441,8 @@ def _build_kernel(w: int, h: int, Wm: int, Wv: int, Ws: int,
 
 @functools.lru_cache(maxsize=64)
 def _pallas_group_decoder(w: int, h: int, Wm: int, Wv: int, Ws: int,
-                          B_pad: int, lane_tile: int = _LANE_TILE):
+                          B_pad: int, lane_tile: int = _LANE_TILE,
+                          interpret: bool = False):
     """Compiled pallas decoder for one geometry. Takes (mel, vlc, ms)
     (W*, B_pad) uint32 word matrices, returns packed (T*8, B_pad) int32
     (sign<<31 | centered magnitude) in step-major sample order."""
@@ -489,6 +490,7 @@ def _pallas_group_decoder(w: int, h: int, Wm: int, Wv: int, Ws: int,
         out, _ = pl.pallas_call(
             kernel,
             grid=grid,
+            interpret=interpret,
             in_specs=[
                 smem_spec, smem_spec, smem_spec, smem_spec,
                 pl.BlockSpec((Wm, bt), lambda i, j: (0, i),
@@ -529,7 +531,7 @@ def supports(w: int, h: int, max_Up: int) -> bool:
     return max_Up <= 32
 
 
-def decode_group_pallas(w: int, h: int):
+def decode_group_pallas(w: int, h: int, interpret: bool = False):
     """Drop-in for ht_dec_jax.decode_group_core on real TPU hardware:
     (mel, vlc, ms) (W, B) uint32 -> (mags, signs) (B, 2*ny, 4*nx)."""
 
@@ -544,7 +546,8 @@ def decode_group_pallas(w: int, h: int):
                 return a
             return jnp.pad(a, ((0, 0), (0, B_pad - a.shape[1])))
 
-        fn, T, ny, nx = _pallas_group_decoder(w, h, Wm, Wv, Ws, B_pad)
+        fn, T, ny, nx = _pallas_group_decoder(w, h, Wm, Wv, Ws, B_pad,
+                                              interpret=interpret)
         packed = fn(_padB(mel_words), _padB(vlc_words), _padB(ms_words))
         packed = packed.reshape(T, 8, B_pad)[:, :, :B]
         mags = _u(packed) & jnp.uint32(0x7FFFFFFF)

@@ -478,7 +478,10 @@ def _build_kernel(h: int, w: int, Lw: int, nplanes: int, ncols: int,
                 pl.ds(i * 128, 128), :, :]
             return 0
 
-        lax.fori_loop(0, nfull, copy_body, 0)
+        if nfull:  # static guard: the body traces a 128-row store even
+            # at trip count 0, which interpret-mode discharge rejects
+            # for HW < 128
+            lax.fori_loop(0, nfull, copy_body, 0)
         if HW % 128:
             out_ref[nfull * 128:HW, :, :] = magneg[nfull * 128:HW, :, :]
 
@@ -511,7 +514,7 @@ def _lane_tile(HW: int, Lw: int, S_tot: int) -> int:
 
 @functools.lru_cache(maxsize=64)
 def _pallas_mq_decoder_tile(h: int, w: int, Lw: int, s: int,
-                            nplanes: int):
+                            nplanes: int, interpret: bool = False):
     """One-kernel-call decoder for an s-sublane lane tile (grid of 1:
     Mosaic requires lane-vector block sublane dims to equal the array's,
     so batches wider than the VMEM budget are split into separate calls
@@ -535,6 +538,7 @@ def _pallas_mq_decoder_tile(h: int, w: int, Lw: int, s: int,
         return pl.pallas_call(
             kernel,
             grid=(1,),
+            interpret=interpret,
             in_specs=[
                 smem_spec, smem_spec,
                 lane_spec, lane_spec, lane_spec,
@@ -555,7 +559,8 @@ def _pallas_mq_decoder_tile(h: int, w: int, Lw: int, s: int,
 
 
 @functools.lru_cache(maxsize=64)
-def _pallas_mq_decoder(h: int, w: int, Lw: int, S_tot: int, nplanes: int):
+def _pallas_mq_decoder(h: int, w: int, Lw: int, S_tot: int, nplanes: int,
+                       interpret: bool = False):
     """Traceable decoder for one geometry bucket. Takes the
     pack_field_lanes arrays; returns (HW, S_tot*128) packed int32
     (sign<<31 | magnitude). Splits the batch into VMEM-sized lane
@@ -564,7 +569,7 @@ def _pallas_mq_decoder(h: int, w: int, Lw: int, S_tot: int, nplanes: int):
 
     HW = h * w
     s = _lane_tile(HW, Lw, S_tot)
-    tile = _pallas_mq_decoder_tile(h, w, Lw, s, nplanes)
+    tile = _pallas_mq_decoder_tile(h, w, Lw, s, nplanes, interpret)
 
     S_pad = -(-S_tot // s) * s
 
@@ -586,22 +591,24 @@ def _pallas_mq_decoder(h: int, w: int, Lw: int, S_tot: int, nplanes: int):
     return run
 
 
-def decode_core_pallas(h: int, w: int, S_tot: int, nplanes: int, Lw: int):
+def decode_core_pallas(h: int, w: int, S_tot: int, nplanes: int, Lw: int,
+                       interpret: bool = False):
     """Traceable core for one shape group: fn(words, g0, gend, ori) ->
     (HW, B) packed int32 (composable into fused decode programs)."""
-    return _pallas_mq_decoder(h, w, Lw, S_tot, nplanes)
+    return _pallas_mq_decoder(h, w, Lw, S_tot, nplanes, interpret)
 
 
 @functools.lru_cache(maxsize=64)
 def _jitted_pallas_decode(h: int, w: int, Lw: int, S_tot: int,
-                          nplanes: int):
+                          nplanes: int, interpret: bool = False):
     """jit-wrapped standalone entry: without the jit wrapper every call
     re-traces the (large) kernel on the host — ~1000x the device time."""
     import jax
-    return jax.jit(_pallas_mq_decoder(h, w, Lw, S_tot, nplanes))
+    return jax.jit(_pallas_mq_decoder(h, w, Lw, S_tot, nplanes, interpret))
 
 
-def decode_blocks(blocks) -> List[Optional[Tuple[np.ndarray, np.ndarray]]]:
+def decode_blocks(blocks, interpret: bool = False
+                  ) -> List[Optional[Tuple[np.ndarray, np.ndarray]]]:
     """Drop-in for mq_dec_jax.decode_blocks running the Pallas kernel:
     [(data, w, h, orient, numbps, numpasses), ...] -> [(mag, neg), ...].
     Groups by (shape, entry-capacity bucket) so short segments never pay
@@ -631,7 +638,7 @@ def decode_blocks(blocks) -> List[Optional[Tuple[np.ndarray, np.ndarray]]]:
         lanes = [(blocks[i][0], blocks[i][3], blocks[i][4], blocks[i][5])
                  for i in idxs]
         (words, g0, gend, ori), (S, npl, Lw) = pack_field_lanes(lanes)
-        fn = _jitted_pallas_decode(h, w, Lw, S, npl)
+        fn = _jitted_pallas_decode(h, w, Lw, S, npl, interpret)
         packed = np.asarray(fn(jnp.asarray(words), jnp.asarray(g0),
                                jnp.asarray(gend), jnp.asarray(ori)))
         mags = (packed.astype(np.uint32) & 0x7FFFFFFF)

@@ -131,6 +131,115 @@ def transform_tiles_on_mesh(
     return coeff, comps_by_tile
 
 
+# ---------------------------------------------------------------------------
+# Mesh-sharded FUSED entropy encode: the flagship device kernels
+# (models/fused_encode: transform -> block gather -> HT/MQ coding ->
+# packed segments, one XLA program) composed with the tile mesh.  Each
+# device runs the whole fused program for its shard of same-geometry
+# tiles under shard_map (the per-batch word compaction and packing stay
+# device-local — no cross-device collectives are needed because tiles
+# are independent); the host splices each shard's packed bytes with the
+# same collect logic as the single-device path.  The reference's
+# dominant cost center (block coding, T1Encoder.cpp:57-83) thereby runs
+# ON the mesh instead of on host threads.
+# ---------------------------------------------------------------------------
+
+
+def fused_entropy_tiles_on_mesh(image: Image, siz, cod, qcd, mesh: Mesh,
+                                coder: str):
+    """Run the fused device entropy encode for every batchable tile over
+    the mesh. Returns {tile_index: t1_segments} (the encode_tile
+    `t1_segments` contract: HT segment bytes, or MQ
+    (data, numbps, numpasses) tuples, in t1-desc order); tiles whose
+    geometry cannot batch, or whose MQ word compaction overflowed, are
+    absent and fall back to the host coder in the caller."""
+    from ..models import fused_encode
+    from jax.experimental.shard_map import shard_map
+
+    ntx, nty = tile_grid_size(siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
+                              siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
+    numtiles = ntx * nty
+    groups: Dict[object, List[Tuple[int, List[np.ndarray]]]] = {}
+    plans: Dict[object, object] = {}
+    for t in range(numtiles):
+        tr = tile_rect(t, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
+                       siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
+        plan = fused_encode.build_plan(siz, cod, qcd, tr, coder=coder)
+        if plan is None:
+            continue
+        comps = extract_tile_comps(image, siz, t)
+        if len(set(a.shape for a in comps)) != 1:
+            continue
+        groups.setdefault(plan, []).append((t, comps))
+        plans[plan] = plan
+
+    ndev = mesh.devices.size
+    out: Dict[int, List] = {}
+    for plan, tiles in groups.items():
+        b = len(tiles)
+        b_pad = -(-b // ndev) * ndev
+        nloc = b_pad // ndev
+        C = len(tiles[0][1])
+        h, w = tiles[0][1][0].shape
+        batch = np.zeros((b_pad, C, h, w), np.int32)
+        for i, (_, comps) in enumerate(tiles):
+            for ci in range(C):
+                batch[i, ci] = comps[ci]
+        if coder == "mq":
+            fn, total_bound, mhead = fused_encode._jitted_fused_mq(
+                plan, nloc)
+        else:
+            fn, total_bound, mhead = fused_encode._jitted_fused(plan, nloc)
+
+        def local(bt, _fn=fn, _C=C):
+            return _fn(*(bt[:, c] for c in range(_C)))
+
+        spec_in = P("tiles", None, None, None)
+        # check_vma off: the body is collective-free (tiles are
+        # independent) but its lax.scan carries start from constants,
+        # which the replication checker flags as unvarying-vs-varying.
+        kw = {}
+        import inspect
+        sig = inspect.signature(shard_map).parameters
+        if "check_vma" in sig:
+            kw["check_vma"] = False
+        elif "check_rep" in sig:
+            kw["check_rep"] = False
+        if coder == "mq":
+            sm = jax.jit(shard_map(local, mesh=mesh, in_specs=(spec_in,),
+                                   out_specs=(P("tiles"), P("tiles")),
+                                   **kw))
+        else:
+            sm = jax.jit(shard_map(local, mesh=mesh, in_specs=(spec_in,),
+                                   out_specs=P("tiles"), **kw))
+        sharding = NamedSharding(mesh, spec_in)
+        res = sm(jax.device_put(batch, sharding))
+        if coder == "mq":
+            head_all = np.asarray(jax.device_get(res[0])).reshape(ndev, -1)
+            words_all = np.asarray(jax.device_get(res[1])).reshape(ndev, -1)
+        else:
+            flat_all = np.asarray(jax.device_get(res)).reshape(ndev, -1)
+        for di in range(ndev):
+            lo = di * nloc
+            if lo >= b:
+                break
+            if coder == "mq":
+                per = fused_encode.assemble_collected_mq(
+                    plan, nloc, head_all[di], words_all[di])
+            else:
+                from ..ops import ht_jax
+                flat = flat_all[di]
+                metrics_np = flat[:mhead].reshape(-1, ht_jax.NMETRICS)
+                per = fused_encode.assemble_collected_ht(
+                    plan, nloc, metrics_np, flat[mhead:])
+            for f in range(nloc):
+                gi = lo + f
+                if gi >= b or per[f] is None:
+                    continue
+                out[tiles[gi][0]] = per[f]
+    return out
+
+
 def encode_sharded(image: Image, params: Optional[EncoderParams] = None,
                    mesh: Optional[Mesh] = None) -> bytes:
     """Encode with the tile-batch transform sharded over the mesh.

@@ -1,8 +1,9 @@
 """Pallas HT decode kernel (ops/ht_dec_pallas.py) vs the lax.scan core.
 
-The kernel only runs on real TPU hardware; these tests skip on the CPU
-backend (the full scan-core coverage runs everywhere via
-test_ht_device.py). Run on a TPU-attached session to validate.
+The full-size sweep runs on real TPU hardware; on the CPU backend a
+reduced interpret-mode case keeps the kernel's correctness visible in
+CI (same pattern as tests/test_dwt_pallas.py — one ~5 s XLA:CPU
+compile, cached in .jax_cache afterwards).
 """
 
 import numpy as np
@@ -19,10 +20,47 @@ def _tpu():
         return False
 
 
-pytestmark = pytest.mark.skipif(
-    not _tpu(), reason="Pallas kernel needs real TPU hardware")
+tpu_only = pytest.mark.skipif(
+    not _tpu(), reason="full-size sweep needs real TPU hardware")
 
 
+def _run_case(h, w, dens, mbits, n, interpret):
+    import jax.numpy as jnp
+
+    from grokimagecompression_tpu.ops import ht_dec_jax, ht_dec_pallas
+    rng = np.random.default_rng(h * 31 + w)
+    cases = []
+    for _ in range(n):
+        mag = ((rng.random((h, w)) < dens)
+               * rng.integers(1, 1 << mbits, (h, w))).astype(np.uint32)
+        neg = (rng.random((h, w)) < 0.5).astype(np.uint8)
+        cases.append((mag, neg, 12))
+    segs = [bytes(s) for s in t1_native.ht_encode_cblk_batch(cases)]
+    lcups = [len(s) for s in segs]
+    scups = [(s[-1] << 4) + (s[-2] & 0xF) for s in segs]
+    wm = ht_dec_jax.bucket_words((8 * (max(scups) + 7)) // 32 + 4)
+    wm_ms = ht_dec_jax.bucket_words(
+        (8 * (max(lc - sc for lc, sc in zip(lcups, scups)) + 8)) // 32 + 4)
+    mel, vlc, ms = ht_dec_jax.prepass_all(segs, lcups, scups, wm, wm, wm_ms)
+    ref = ht_dec_jax.decode_group_core(w, h)(
+        jnp.asarray(mel), jnp.asarray(vlc), jnp.asarray(ms))
+    got = ht_dec_pallas.decode_group_pallas(w, h, interpret=interpret)(
+        jnp.asarray(mel), jnp.asarray(vlc), jnp.asarray(ms))
+    rm, rs = np.asarray(ref[0]), np.asarray(ref[1])
+    pm, ps = np.asarray(got[0]), np.asarray(got[1])
+    assert np.array_equal(rm, pm), f"{w}x{h} dens={dens} magnitudes"
+    sig = rm > 0
+    assert np.array_equal(ps[sig], rs[sig]), f"{w}x{h} dens={dens} signs"
+
+
+def test_pallas_group_decoder_interpret_cpu():
+    """Kernel correctness without a chip: interpret mode on a small
+    geometry (regressions surface in CPU CI instead of the next TPU
+    session)."""
+    _run_case(16, 16, 0.4, 8, 4, interpret=not _tpu())
+
+
+@tpu_only
 def test_pallas_group_decoder_bit_exact():
     import jax.numpy as jnp
 
