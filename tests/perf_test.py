@@ -194,12 +194,49 @@ def main():
     enc_t = best_of(lambda: profiles.encode_with_profile(img4, prof4),
                     args.iters)
     dec_t = best_of(lambda: decoder.decode(cs4), args.iters)
-    results.append({"config": "4: cinema-2K 24fps profile",
-                    "pixels": px4, "bytes": len(cs4),
-                    "encode_mps": round(px4 / enc_t / 1e6, 2),
-                    "decode_mps": round(px4 / dec_t / 1e6, 2)})
+    row4 = {"config": "4: cinema-2K 24fps profile",
+            "pixels": px4, "bytes": len(cs4),
+            "encode_mps": round(px4 / enc_t / 1e6, 2),
+            "decode_mps": round(px4 / dec_t / 1e6, 2)}
+    if args.device:
+        try:
+            profiles.encode_with_profile(img4, prof4, device=True)
+            dev_t = best_of(lambda: profiles.encode_with_profile(
+                img4, prof4, device=True), args.iters)
+            row4["encode_device_mps"] = round(px4 / dev_t / 1e6, 2)
+        except Exception as e:
+            row4["device_error"] = str(e)[:200]
+    if args.grok:
+        from grokimagecompression_tpu.io.pnm import write_pnm
+        import tempfile as _tf
+        with _tf.TemporaryDirectory() as td:
+            src = os.path.join(td, "c.ppm")
+            # the reference's cinema path requires 12-bit TIFF/PPM RGB
+            write_pnm(src, img4)
+            j2k = os.path.join(td, "c.j2k")
+            cmd = [GRK_COMPRESS, "-i", src, "-o", j2k, "-H", "1",
+                   "-cinema2K", "24"]
+            best = float("inf")
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                r = subprocess.run(cmd, capture_output=True)
+                best = min(best, time.perf_counter() - t0)
+            if r.returncode == 0:
+                row4["grok_encode_mps"] = round(px4 / best / 1e6, 2)
+                dst = os.path.join(td, "c.ppm2.ppm")
+                best = float("inf")
+                for _ in range(args.iters):
+                    t0 = time.perf_counter()
+                    r = subprocess.run([GRK_DECOMPRESS, "-i", j2k, "-o",
+                                        dst, "-H", "1"],
+                                       capture_output=True)
+                    best = min(best, time.perf_counter() - t0)
+                if r.returncode == 0:
+                    row4["grok_decode_mps"] = round(px4 / best / 1e6, 2)
+    results.append(row4)
     print(f"{'4: cinema-2K 24fps profile':<44}"
-          f"{px4/enc_t/1e6:>9.1f}{px4/dec_t/1e6:>9.1f}{'':>9}"
+          f"{px4/enc_t/1e6:>9.1f}{px4/dec_t/1e6:>9.1f}"
+          f"{row4.get('encode_device_mps') or '':>9}"
           f"{len(cs4):>12}")
 
     # -- config 5: random tile access + ROI decode on 16K^2 tiled ------
@@ -227,12 +264,42 @@ def main():
     tr = best_of(roi_decode, args.iters)
     px_t = 8 * t5 * t5
     px_r = 600 * 600
-    results.append({"config": "5: 16K^2 random tile access (8 tiles)",
-                    "pixels": px_t, "bytes": len(cs5),
-                    "decode_mps": round(px_t / ta / 1e6, 2)})
-    results.append({"config": "5: 16K^2 ROI 600^2 decode",
-                    "pixels": px_r,
-                    "decode_mps": round(px_r / tr / 1e6, 2)})
+    row5a = {"config": "5: 16K^2 random tile access (8 tiles)",
+             "pixels": px_t, "bytes": len(cs5),
+             "decode_mps": round(px_t / ta / 1e6, 2)}
+    row5b = {"config": "5: 16K^2 ROI 600^2 decode",
+             "pixels": px_r,
+             "decode_mps": round(px_r / tr / 1e6, 2)}
+    if args.grok:
+        import tempfile as _tf
+        with _tf.TemporaryDirectory() as td:
+            j2k = os.path.join(td, "big.j2k")
+            open(j2k, "wb").write(cs5)
+            dst = os.path.join(td, "r.pgm")
+            best = float("inf")
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                r = subprocess.run(
+                    [GRK_DECOMPRESS, "-i", j2k, "-o", dst, "-H", "1",
+                     "-d", f"{roi[0]},{roi[1]},{roi[2]},{roi[3]}"],
+                    capture_output=True)
+                best = min(best, time.perf_counter() - t0)
+            if r.returncode == 0:
+                row5b["grok_decode_mps"] = round(px_r / best / 1e6, 2)
+            best = float("inf")
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                ok = True
+                for t in tiles:
+                    r = subprocess.run(
+                        [GRK_DECOMPRESS, "-i", j2k, "-o", dst, "-H", "1",
+                         "-t", str(int(t))], capture_output=True)
+                    ok = ok and r.returncode == 0
+                best = min(best, time.perf_counter() - t0)
+            if ok:
+                row5a["grok_decode_mps"] = round(px_t / best / 1e6, 2)
+    results.append(row5a)
+    results.append(row5b)
     print(f"{'5: 16K^2 random tile access (8 tiles)':<44}"
           f"{'':>9}{px_t/ta/1e6:>9.1f}{'':>9}{len(cs5):>12}")
     print(f"{'5: 16K^2 ROI 600^2 decode':<44}"
