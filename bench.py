@@ -354,6 +354,82 @@ def bench_chip_dec():
             GROK_SINGLE_CORE_DEC_MPS)
 
 
+def bench_chip_cinema():
+    """Digital-cinema geometry on the chip: the fused 9/7 + deadzone
+    quantization + MQ + per-pass R-D program over 2048x1080 12-bit RGB
+    frames (ICT), pipelined with frames resident in HBM — the device
+    side of the cinema-2K production path (the host PCRD allocator and
+    T2 consume the R-D tables in parallel threads and overlap). The
+    24 fps target is 53.1 MP/s."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from grokimagecompression_tpu.codestream import profiles
+    from grokimagecompression_tpu.codestream.encoder import (build_cod,
+                                                             build_siz)
+    from grokimagecompression_tpu.codestream.tile import default_qcd
+    from grokimagecompression_tpu.core.geometry import tile_rect
+    from grokimagecompression_tpu.core.image import Component, Image
+    from grokimagecompression_tpu.models import fused_encode
+
+    rng = np.random.default_rng(3)
+    w, h = 2048, 1080
+    yy, xx = np.mgrid[0:h, 0:w]
+
+    def frame(shift):
+        comps = []
+        for c in range(3):
+            base = ((xx * (c + 2) + yy * 3 + shift * 17) // 2) % 3000
+            tex = rng.integers(0, 300, (h, w))
+            comps.append(Component(data=(base + tex).astype(np.int32),
+                                   prec=12, signed=False, dx=1, dy=1))
+        return Image(xsiz=w, ysiz=h, components=comps)
+
+    img0 = frame(0)
+    prof = profiles.apply_cinema(__import__(
+        "grokimagecompression_tpu.core.params",
+        fromlist=["EncoderParams"]).EncoderParams(), img0, fps=24)
+    params = prof.params
+    siz = build_siz(img0, params)
+    cod = build_cod(img0, params)
+    qcd = default_qcd(siz, cod, params.num_guard_bits, params.base_step)
+    tr = tile_rect(0, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
+                   siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
+    plan = fused_encode.build_plan(siz, cod, qcd, tr, coder="mq",
+                                   want_rd=True)
+    assert plan is not None, "cinema geometry out of fused scope"
+    chunk = int(os.environ.get("BENCH_CIN_CHUNK", "2"))
+    nchunks = int(os.environ.get("BENCH_CIN_CHUNKS", "2"))
+    chunks = []
+    for ci in range(nchunks):
+        batch = np.stack([
+            np.stack([c.data for c in frame(ci * chunk + k).components])
+            for k in range(chunk)])
+        chunks.append(jnp.asarray(batch.astype(np.int16)))
+    fn, _, _ = fused_encode._jitted_fused_mq(plan, chunk)
+
+    def run(x):
+        return fn(*(x[:, c] for c in range(3)))
+
+    sync = lambda r: np.asarray(r[0][-1:])  # noqa: E731
+    sync(run(chunks[0]))
+    iters = int(os.environ.get("BENCH_ITERS", "2"))
+    passes = int(os.environ.get("BENCH_PASSES", "3"))
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        outs = []
+        for p in range(passes):
+            for x in chunks:
+                outs.append(run(x))
+        sync(outs[-1])
+        best = min(best, time.perf_counter() - t0)
+    nframes = passes * nchunks * chunk
+    mps = nframes * w * h / best / 1e6
+    # denominator: 24 fps real-time = 53.08 MP/s
+    return ("encode_mps_per_chip_cinema2k_rd_pipeline", mps, 53.08)
+
+
 def bench_decode():
     from grokimagecompression_tpu.codestream import decoder, encoder
     from grokimagecompression_tpu.core.params import EncoderParams
@@ -397,6 +473,7 @@ def main():
     if os.environ.get("GROK_TPU_BENCH_MQ", "") == "1":  # legacy switch
         mode = "mq"
     if mode in ("chip", "chip-mq", "chip-rd", "chip-dec", "chip-mq-dec",
+                "chip-cinema",
                 "device", "serving", "mq-device", "mq-device-single") \
             and not _device_reachable():
         sys.stderr.write(
@@ -432,6 +509,7 @@ def main():
                    {"BENCH_ITERS": "2"})
             _extra("chip-rd", lambda: bench_chip(lossy_rd=True),
                    {"BENCH_ITERS": "2"})
+            _extra("chip-cinema", bench_chip_cinema)
             _extra("chip-dec", bench_chip_dec,
                    {"BENCH_ITERS": "2", "BENCH_CHUNK": "8",
                     "BENCH_CHUNKS": "2"})
@@ -450,6 +528,8 @@ def main():
         name, mps, denom = bench_chip(lossy_rd=True)
     elif mode == "chip-dec":
         name, mps, denom = bench_chip_dec()
+    elif mode == "chip-cinema":
+        name, mps, denom = bench_chip_cinema()
     elif mode == "chip-mq-dec":
         name, mps, denom = bench_chip_mq_dec()
     elif mode in ("device", "serving"):

@@ -511,7 +511,8 @@ def decode_batch(datas: List[bytes],
     siz, cod, qcd = h0.siz, h0.cod, h0.qcd
     ntx, nty = tile_grid_size(siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
                               siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
-    if (ntx * nty != 1 or not (cod.cblk_style & 0x40)
+    if (ntx * nty != 1
+            or not ((cod.cblk_style & 0x40) or cod.cblk_style == 0)
             or cod.mct not in (0, 1)
             or any(h.cod_comp or h.qcd_comp or h.pocs or h.roishifts
                    or h.custom_mct or h.ppm_sections for h in hdrs)):

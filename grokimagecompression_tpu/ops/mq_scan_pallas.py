@@ -47,6 +47,16 @@ def _lane_tile_of(s: int) -> int:
     return min(st, s)
 
 
+def _legal_s(s: int) -> int:
+    """Sublane count Mosaic accepts for a (.., st, 128) block: the
+    lane-tile must be 8 (divisible-by-8 rule) or equal the full array
+    dim, so pad s to the next power of two up to 8, then to a multiple
+    of 8 (padded lanes carry zero slots and cost only idle lanes)."""
+    if s <= 8:
+        return 1 << (s - 1).bit_length() if s > 1 else 1
+    return -(-s // 8) * 8
+
+
 @functools.partial(jax.jit, static_argnames=("s", "interpret"))
 def mq_scan_compact_blocked(slots, s: int, interpret: bool = False):
     """Compacting MQ scan: slots (T, B) int8 slot bytes, B == s * 128.
@@ -66,6 +76,11 @@ def mq_scan_compact_blocked(slots, s: int, interpret: bool = False):
     keeps the stream at byte density without int8 loads in the kernel.
     """
     T, B = slots.shape
+    s_in = s
+    s_legal = _legal_s(s)
+    if s_legal != s:
+        slots = jnp.pad(slots, ((0, 0), (0, (s_legal - s) * 128)))
+        s = s_legal
     t_pad = -(-T // _CHUNK) * _CHUNK
     nch = t_pad // _CHUNK
     ccap = mq_jax.MQ_CCAP
@@ -139,6 +154,11 @@ def mq_scan_compact_blocked(slots, s: int, interpret: bool = False):
         scratch_shapes=[pltpu.VMEM((nstate, st, 128), jnp.int32)],
         interpret=interpret,
     )(sl)
+    if s_in != s:
+        comp1 = comp1[:, :, :s_in]
+        counts1 = counts1[:, :s_in]
+        nboc = nboc[:, :s_in]
+        state = state[:, :s_in]
     return comp1, counts1, nboc, state
 
 
@@ -150,6 +170,11 @@ def mq_scan_blocked(slots, s: int):
     (int32 per-step byteout counts, for pass-boundary truncation
     rates), and the final state as an (NSTATE, s, 128) int32 array."""
     T, B = slots.shape
+    s_in = s
+    s_legal = _legal_s(s)
+    if s_legal != s:
+        slots = jnp.pad(slots, ((0, 0), (0, (s_legal - s) * 128)))
+        s = s_legal
     t_pad = -(-T // _CHUNK) * _CHUNK
     sl = jnp.pad(slots.astype(jnp.int32),
                  ((0, t_pad - T), (0, 0))).reshape(t_pad, s, 128)
@@ -211,6 +236,11 @@ def mq_scan_blocked(slots, s: int):
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((nstate, st, 128), jnp.int32)],
     )(sl)
+    if s_in != s:
+        words = words[:, :s_in]
+        m8 = m8[:, :s_in]
+        nbo = nbo[:, :s_in]
+        state = state[:, :s_in]
     return words, m8, nbo, state
 
 

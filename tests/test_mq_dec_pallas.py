@@ -151,3 +151,35 @@ def test_vs_scan_core_batch():
         live = rm != 0
         assert np.array_equal(gn[live].astype(np.int32),
                               rn[live].astype(np.int32)), f"lane {i} sign"
+
+
+@tpu_only
+def test_decode_batch_mq_e2e_vs_host():
+    """decoder.decode_batch with Part-1 MQ streams (cblk_style 0) rides
+    the fused batched device decode (decode_tiles_device_submit with
+    coder='mq') and must match the host decoder pixel for pixel —
+    including mixed content densities (idle lanes, varying numbps)."""
+    import numpy as np
+
+    from grokimagecompression_tpu.codestream import decoder, encoder
+    from grokimagecompression_tpu.core.image import Component, Image
+    from grokimagecompression_tpu.core.params import EncoderParams
+
+    r = np.random.default_rng(21)
+    yy, xx = np.mgrid[0:128, 0:160]
+    imgs = []
+    for k in range(5):
+        base = ((xx * (k + 1) + yy) // 3) % 256
+        noise = r.integers(0, 8 << k, (128, 160))
+        d = np.clip(base + noise, 0, 255).astype(np.int32)
+        imgs.append(Image(xsiz=160, ysiz=128, components=[
+            Component(data=d, prec=8, signed=False, dx=1, dy=1)]))
+    p = EncoderParams(numresolutions=4)
+    css = [encoder.encode(im, p, device=False) for im in imgs]
+    got = decoder.decode_batch(css, device=True)
+    for im, g, cs in zip(imgs, got, css):
+        ref = decoder.decode(cs, device=False)
+        assert np.array_equal(g.components[0].data,
+                              ref.components[0].data)
+        assert np.array_equal(ref.components[0].data,
+                              im.components[0].data)
