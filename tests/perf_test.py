@@ -116,7 +116,10 @@ def _grok_times(img, params, extra, iters):
         if params.transform == Transform.DWT_97:
             cmd += ["-I"]
         if params.rates:
-            cmd += ["-r", ",".join(str(r) for r in params.rates)]
+            # the reference requires descending ratio order (most
+            # compressed layer first); ours lists layers first-to-last
+            cmd += ["-r", ",".join(str(r) for r in
+                                   sorted(params.rates, reverse=True))]
         if params.tile_size:
             cmd += ["-t", f"{params.tile_size[0]},{params.tile_size[1]}"]
         cmd += extra
