@@ -17,13 +17,15 @@ import os
 # ~61k maps, always at the first compile/deserialize past the cap).
 # Raise the cap when we can (root in the dev container); otherwise the
 # suite still runs — just keep an eye on very long sessions.
-try:
-    with open("/proc/sys/vm/max_map_count") as f:
-        if int(f.read()) < 262144:
-            with open("/proc/sys/vm/max_map_count", "w") as f:
-                f.write("1048576")
-except (OSError, ValueError):
-    pass
+# GROK_TPU_NO_SYSCTL=1 opts out entirely (e.g. locked-down CI).
+if os.environ.get("GROK_TPU_NO_SYSCTL", "") != "1":
+    try:
+        with open("/proc/sys/vm/max_map_count") as f:
+            if int(f.read()) < 262144:
+                with open("/proc/sys/vm/max_map_count", "w") as f:
+                    f.write("1048576")
+    except (OSError, ValueError):
+        pass
 
 if os.environ.get("GROK_TPU_TESTS", "") != "1":
     import jax
