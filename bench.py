@@ -430,6 +430,81 @@ def bench_chip_cinema():
     return ("encode_mps_per_chip_cinema2k_rd_pipeline", mps, 53.08)
 
 
+def bench_chip_pcrd2k():
+    """BASELINE config-2 geometry on the chip: the fused 9/7 + ICT +
+    deadzone quantization + MQ + per-pass R-D program over 2048^2 8-bit
+    RGB frames (whole-frame tile), pipelined data-resident — the device
+    side of the multi-layer PCRD encode (host allocator + T2 overlap).
+    Denominator: the reference's measured single-core config-2 encode
+    (PERF_r04: 3.08 MP/s)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from grokimagecompression_tpu.codestream.encoder import (build_cod,
+                                                             build_siz)
+    from grokimagecompression_tpu.codestream.tile import default_qcd
+    from grokimagecompression_tpu.core.geometry import tile_rect
+    from grokimagecompression_tpu.core.image import Component, Image
+    from grokimagecompression_tpu.core.params import (EncoderParams,
+                                                      Transform)
+    from grokimagecompression_tpu.models import fused_encode
+
+    rng = np.random.default_rng(3)
+    n = 2048
+    yy, xx = np.mgrid[0:n, 0:n]
+
+    def frame(shift):
+        comps = []
+        for c in range(3):
+            base = (128 + 60 * np.sin(yy / 37.0 + shift)
+                    * np.cos(xx / (29.0 + c))).astype(np.int32)
+            tex = rng.integers(0, 24, (n, n))
+            comps.append(Component(
+                data=np.clip(base + tex, 0, 255).astype(np.int32),
+                prec=8, signed=False, dx=1, dy=1))
+        return Image(xsiz=n, ysiz=n, components=comps)
+
+    img0 = frame(0)
+    params = EncoderParams(numresolutions=6, transform=Transform.DWT_97,
+                           numlayers=3, rates=(24.0, 48.0, 96.0))
+    siz = build_siz(img0, params)
+    cod = build_cod(img0, params)
+    qcd = default_qcd(siz, cod, params.num_guard_bits, params.base_step)
+    tr = tile_rect(0, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
+                   siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
+    plan = fused_encode.build_plan(siz, cod, qcd, tr, coder="mq",
+                                   want_rd=True)
+    assert plan is not None, "config-2 geometry out of fused scope"
+    chunk = 1
+    nchunks = int(os.environ.get("BENCH_CHUNKS", "2"))
+    chunks = []
+    for ci in range(nchunks):
+        batch = np.stack([
+            np.stack([c.data for c in frame(ci).components])])
+        chunks.append(jnp.asarray(batch.astype(np.uint8)))
+    fn, _, _ = fused_encode._jitted_fused_mq(plan, chunk)
+
+    def run(x):
+        return fn(*(x[:, c] for c in range(3)))
+
+    sync = lambda r: np.asarray(r[0][-1:])  # noqa: E731
+    sync(run(chunks[0]))
+    iters = int(os.environ.get("BENCH_ITERS", "2"))
+    passes = int(os.environ.get("BENCH_PASSES", "3"))
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        outs = []
+        for p in range(passes):
+            for x in chunks:
+                outs.append(run(x))
+        sync(outs[-1])
+        best = min(best, time.perf_counter() - t0)
+    nframes = passes * nchunks * chunk
+    mps = nframes * n * n / best / 1e6
+    return ("encode_mps_per_chip_pcrd_2048rgb_rd_pipeline", mps, 3.08)
+
+
 def bench_decode():
     from grokimagecompression_tpu.codestream import decoder, encoder
     from grokimagecompression_tpu.core.params import EncoderParams
@@ -473,7 +548,7 @@ def main():
     if os.environ.get("GROK_TPU_BENCH_MQ", "") == "1":  # legacy switch
         mode = "mq"
     if mode in ("chip", "chip-mq", "chip-rd", "chip-dec", "chip-mq-dec",
-                "chip-cinema",
+                "chip-cinema", "chip-pcrd2k",
                 "device", "serving", "mq-device", "mq-device-single") \
             and not _device_reachable():
         sys.stderr.write(
@@ -530,6 +605,8 @@ def main():
         name, mps, denom = bench_chip_dec()
     elif mode == "chip-cinema":
         name, mps, denom = bench_chip_cinema()
+    elif mode == "chip-pcrd2k":
+        name, mps, denom = bench_chip_pcrd2k()
     elif mode == "chip-mq-dec":
         name, mps, denom = bench_chip_mq_dec()
     elif mode in ("device", "serving"):
