@@ -372,7 +372,33 @@ def decode(data: bytes, params: Optional[DecoderParams] = None,
                          else [params.tile_index])
              if t in tile_bodies]
 
+    # Mesh device-entropy decode: same-geometry tiles batch through the
+    # fused entropy + inverse-transform program, dispatched round-robin
+    # across the mesh devices (tiles are independent — throughput
+    # scales with devices, no collectives; the decode mirror of
+    # parallel/sharding.fused_entropy_tiles_on_mesh). Tiles out of the
+    # fused program's scope fall back to the per-tile host path below.
+    mesh_fused: Dict[int, list] = {}
+    from ..core.params import Transform as _Tf
+    if (mesh is not None and win is None and reduce == 0
+            and not params.layers and not tile_over and not tile_hdrs
+            and not hdr.cod_comp and not hdr.qcd_comp and not hdr.pocs
+            and not hdr.roishifts and hdr.custom_mct is None
+            and cod.mct in (0, 1)
+            # reversible only: the fused 9/7 dequant+inverse can differ
+            # from the host float path by 1 ulp on knife-edge samples;
+            # irreversible streams keep the (pixel-identical)
+            # transform-only mesh below
+            and cod.transform == _Tf.DWT_53):
+        try:
+            mesh_fused = _mesh_fused_decode(tiles, tile_bodies, siz, cod,
+                                            qcd, mesh)
+        except Exception:
+            mesh_fused = {}
+
     def _decode_one(t: int):
+        if t in mesh_fused:
+            return mesh_fused[t]
         tr = tile_rect(t, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
                        siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
         if win is not None and (tr.x1 <= win.x0 or tr.x0 >= win.x1
@@ -466,6 +492,94 @@ def decode(data: bytes, params: Optional[DecoderParams] = None,
         for c in range(len(siz.comps))
     ]
     return Image(components=comps, x0=ax0, y0=ay0, xsiz=ax1, ysiz=ay1)
+
+
+def _mesh_fused_decode(tiles, tile_bodies, siz, cod, qcd, mesh):
+    """Fused device decode of same-geometry tiles round-robin over the
+    mesh devices; returns {tile_index: [(comp_array, origin), ...]} for
+    the tiles it handled (possibly none)."""
+    import concurrent.futures as _cf
+    import os as _os
+
+    from ..models import fused_decode
+    from ..models.pipeline import config_for_tile
+
+    def _jobs_of(t):
+        tr = tile_rect(t, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
+                       siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
+        body = b"".join(tile_bodies[t])
+        r = decode_tile(body, siz, cod, qcd, tr, _return_jobs=True)
+        return (t, tr, r)
+
+    nw = min(len(tiles), 2 * (_os.cpu_count() or 1))
+    if nw > 1:
+        with _cf.ThreadPoolExecutor(max_workers=nw) as ex:
+            parsed = list(ex.map(_jobs_of, tiles))
+    else:
+        parsed = [_jobs_of(t) for t in tiles]
+
+    groups: Dict = {}
+    for (t, tr, r) in parsed:
+        if not (isinstance(r, tuple) and r[0] == "jobs"):
+            continue
+        _, t1_jobs, t1_slots, plans, cods = r
+        cfg = config_for_tile(siz, cod, tr)
+        # Batchable frames need IDENTICAL slot geometry: the normalized
+        # transform cfg alone is not enough (two same-size tiles whose
+        # band origins differ cut their code-block grids differently),
+        # so key on every block's band-relative placement as well.
+        sig = []
+        ok = True
+        for (c, key_b, cb), job in zip(t1_slots, t1_jobs):
+            bp = plans[c].bands.get(key_b)
+            if bp is None:
+                ok = False
+                break
+            sig.append((c, key_b,
+                        cb.geom.rect.x0 - bp.rect.x0,
+                        cb.geom.rect.y0 - bp.rect.y0,
+                        int(job[2]), int(job[3])))
+        if not ok:
+            continue
+        key = (cfg, tuple(sig))
+        groups.setdefault(key, []).append((t, tr, t1_jobs, t1_slots,
+                                           plans, cods))
+
+    devs = list(mesh.devices.flat)
+    out: Dict[int, list] = {}
+    for (cfg, _sig), lst in groups.items():
+        t0, tr0, _, _, plans0, cods0 = lst[0]
+        steps = {
+            (c, (res.r, band.orient)):
+                plans0[c].bands[(res.r, band.orient)].stepsize
+            for c in range(len(plans0))
+            for res in plans0[c].layout.resolutions
+            for band in res.bands}
+        handles = []
+        ok = True
+        for di, dev in enumerate(devs):
+            sub = lst[di::len(devs)]
+            if not sub:
+                continue
+            frames = [(jobs, slots) for (_, _, jobs, slots, _, _) in sub]
+            h = fused_decode.decode_tiles_device_submit(
+                frames, plans0, cods0, siz, cod, tr0, steps, device=dev)
+            if h is None:
+                ok = False
+                break
+            handles.append((h, sub))
+        if not ok:
+            continue
+        for h, sub in handles:
+            per = fused_decode.decode_tiles_device_collect(h)
+            for (t, tr, _, _, plans_t, _), comps in zip(sub, per):
+                # origins are tile-specific (tc_rect of THIS tile)
+                org = [(plans_t[c].layout.tc_rect.x0,
+                        plans_t[c].layout.tc_rect.y0)
+                       for c in range(len(plans_t))]
+                out[t] = list(zip([np.asarray(a, np.int32)
+                                   for a in comps], org))
+    return out
 
 
 def decode_batch(datas: List[bytes],

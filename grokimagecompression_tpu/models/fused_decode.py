@@ -371,7 +371,8 @@ def _jitted_fused_dec_batch(plan: FusedDecPlan,
 
 
 def decode_tiles_device_submit(frames, plans, cods, siz, cod, tile: Rect,
-                               stepsizes_by_band, _prepare_only=False):
+                               stepsizes_by_band, _prepare_only=False,
+                               device=None):
     """Submit F same-geometry tiles for one fused batched device decode.
 
     frames: list of (t1_jobs, t1_job_slots) — every frame MUST carry the
@@ -380,8 +381,19 @@ def decode_tiles_device_submit(frames, plans, cods, siz, cod, tile: Rect,
     when out of scope (caller runs per-frame paths).
     `_prepare_only` returns (fn, staged word arrays) without dispatching
     (bench.py chip-dec stages chunks ahead and times dispatches alone).
+    `device` pins the staged arrays (and therefore the program) to one
+    mesh device — the multi-chip decode dispatches tile sub-batches
+    round-robin across devices this way (tiles are independent, so
+    throughput scales without collectives).
     """
+    import jax
     import jax.numpy as jnp
+
+    if device is not None:
+        def _stage(a):
+            return jax.device_put(np.asarray(a), device)
+    else:
+        _stage = jnp.asarray
 
     if cod.mct not in (0, 1):
         return None
@@ -453,7 +465,7 @@ def decode_tiles_device_submit(frames, plans, cods, siz, cod, tile: Rect,
                             return None  # VMEM-oversized segment
                         lanes.append((bytes(j[0]), int(j[4]), nb, npas))
             arrays, dims = mq_dec_pallas.pack_field_lanes(lanes)
-            words += [jnp.asarray(a) for a in arrays]
+            words += [_stage(a) for a in arrays]
             word_dims.append(dims)
             gtuple.append((w, h, tuple(b for (_, b) in entries)))
             continue
@@ -483,8 +495,8 @@ def decode_tiles_device_submit(frames, plans, cods, siz, cod, tile: Rect,
             // 32 + 4)
         mel_np, vlc_np, ms_np = ht_dec_jax.prepass_all(
             segs, lcups, scups, wm_mel, wm_vlc, wm_ms)
-        words += [jnp.asarray(mel_np), jnp.asarray(vlc_np),
-                  jnp.asarray(ms_np), jnp.asarray(valid)]
+        words += [_stage(mel_np), _stage(vlc_np),
+                  _stage(ms_np), _stage(valid)]
         word_dims.append((wm_mel, wm_vlc, wm_ms))
         gtuple.append((w, h, tuple(b for (_, b) in entries)))
 

@@ -323,7 +323,11 @@ def inverse_tiles_on_mesh(
 
 def decode_sharded(data: bytes, params=None,
                    mesh: Optional[Mesh] = None) -> Image:
-    """Decode with the tile-batch inverse transform sharded over the
-    mesh. Thin wrapper over codestream.decoder.decode(mesh=...)."""
+    """Decode with the tile batch sharded over the mesh: reversible
+    streams run the FUSED entropy+inverse program per device (tiles
+    round-robin; pixel-identical to the host decoder), irreversible
+    streams shard the inverse transform (the 9/7 float path can differ
+    from the host by 1 ulp on knife-edge samples — both conformant).
+    Thin wrapper over codestream.decoder.decode(mesh=...)."""
     from ..codestream import decoder as _decoder
     return _decoder.decode(data, params, mesh=mesh or default_mesh())

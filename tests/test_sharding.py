@@ -208,3 +208,39 @@ def test_sharded_fused_entropy_uneven_tiles(mesh8):
     seq = encoder.encode(img, p, device=False)
     par = sharding.encode_sharded(img, p, mesh=mesh8)
     assert par == seq
+
+
+def test_sharded_fused_decode_entropy_on_mesh(mesh8):
+    """Reversible decode under the mesh runs the fused entropy+inverse
+    program per device (decoder._mesh_fused_decode) and must be
+    pixel-identical to the host decoder for both coders; 9/7 keeps the
+    transform mesh and stays within 1 ulp-edge count."""
+    img = _structured_image(256, 192, ncomps=3, seed=5)
+    for style, tf, exact in [(0x40, Transform.DWT_53, True),
+                             (0, Transform.DWT_53, True),
+                             (0x40, Transform.DWT_97, False)]:
+        p = EncoderParams(numresolutions=3, tile_size=(64, 64),
+                          cblk_style=style, transform=tf)
+        cs = encoder.encode(img, p, device=False)
+        host = decoder.decode(cs, device=False)
+        m = sharding.decode_sharded(cs, mesh=mesh8)
+        for c in range(3):
+            a = m.components[c].data.astype(np.int64)
+            b = host.components[c].data.astype(np.int64)
+            if exact:
+                assert np.array_equal(a, b), (style, tf, c)
+            else:
+                d = np.abs(a - b)
+                assert d.max() <= 1 and (d > 0).mean() < 1e-3, (c,)
+    # the reversible HT case actually took the fused path
+    from grokimagecompression_tpu.codestream import decoder as dec_mod
+    p = EncoderParams(numresolutions=3, tile_size=(64, 64),
+                      cblk_style=0x40)
+    cs = encoder.encode(img, p, device=False)
+    hdr = dec_mod.read_header(cs)
+    bodies = {}
+    for tp in dec_mod.iter_tile_parts(cs, hdr.main_header_end):
+        bodies.setdefault(tp.tile_index, []).append(tp.body)
+    out = dec_mod._mesh_fused_decode(sorted(bodies), bodies, hdr.siz,
+                                     hdr.cod, hdr.qcd, mesh8)
+    assert len(out) == 12, f"fused mesh decode covered {len(out)}/12"
