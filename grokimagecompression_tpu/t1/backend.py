@@ -351,8 +351,16 @@ def _decode_refined_block(nat, d, seg_lengths, w, h, np_, kmax):
         l1, l2 = int(seg_lengths[0]), int(seg_lengths[1])
     else:
         l1, l2 = len(d), 0
-    q, neg = nat.ht_decode_cblk_refined(d, l1, l2, int(np_), w, h,
-                                        int(kmax))
+    # truncated streams: clamp segment lengths to the bytes present and
+    # degrade to zeros if even the cleanup is unusable (the plain HT
+    # path's behavior — decode as far as the data allows, never raise)
+    l1 = min(l1, len(d))
+    l2 = min(l2, max(0, len(d) - l1))
+    try:
+        q, neg = nat.ht_decode_cblk_refined(d, l1, l2, int(np_), w, h,
+                                            int(kmax))
+    except RuntimeError:
+        return (_np.zeros((h, w), _np.uint32), _np.zeros((h, w), _np.uint8))
     return (q >> 1).astype(_np.uint32), neg
 
 

@@ -278,3 +278,43 @@ def test_e2e_refinement_sparse_content_lossy_corner():
     dec = decoder.decode(cs)
     err = np.abs(dec.components[0].data.astype(np.int64) - d)
     assert err.max() <= 4, err.max()  # few lost mag-1 coefficients
+
+
+def test_refined_decode_robust_to_truncation_and_corruption():
+    """Attacker-shaped inputs: truncated/corrupted refinement segments
+    must decode without crashing (raw-bit readers zero-pad past the
+    segment end; candidate counts bound all consumption)."""
+    r = np.random.default_rng(5)
+    mag, neg = _mk(24, 40, 0.5, 9, 55)
+    data, l1, l2 = t1_native.ht_encode_cblk_refined(mag, neg, 9, passes=3)
+    # truncation ladder over the refinement segment
+    for keep in range(0, l2 + 1, max(1, l2 // 9)):
+        d = data[:l1 + keep]
+        q, qn = t1_native.ht_decode_cblk_refined(d, l1, keep, 3, 40, 24, 9)
+        assert q.shape == (24, 40)
+    # byte corruption inside the refinement segment
+    for _ in range(24):
+        b = bytearray(data)
+        pos = l1 + int(r.integers(0, max(l2, 1)))
+        b[pos] ^= int(r.integers(1, 256))
+        q, qn = t1_native.ht_decode_cblk_refined(bytes(b), l1, l2, 3,
+                                                 40, 24, 9)
+        assert q.shape == (24, 40)
+    # hostile pass counts / zero-length segments
+    t1_native.ht_decode_cblk_refined(data[:l1], l1, 0, 3, 40, 24, 9)
+    t1_native.ht_decode_cblk_refined(data, l1, l2, 2, 40, 24, 9)
+
+
+def test_refined_e2e_stream_truncation_degrades():
+    """Codestream-level truncation of a refined stream: decode as far
+    as the data allows without raising (degrade, don't crash)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from grokimagecompression_tpu.codestream import decoder, encoder
+    from grokimagecompression_tpu.core.params import EncoderParams
+    img = _img(9)
+    p = EncoderParams(numresolutions=3, cblk_style=0x40,
+                      ht_refinement=True)
+    cs = encoder.encode(img, p, device=False)
+    for frac in (0.95, 0.8, 0.6, 0.4):
+        decoder.decode(cs[:int(len(cs) * frac)])
