@@ -132,6 +132,9 @@ class _TileTables:
         self.prev_n = np.zeros(N, dtype=np.int64)
         self.cur_col = np.zeros(N, dtype=np.int64)
         self.distotile = sum(cb.passes[-1].distortion for cb in self.cblks)
+        # ascending distinct slope values (the byte-budget search space)
+        self.svals = np.unique(np.asarray(self.slopes)) \
+            if self.slopes else np.zeros(0)
 
     def n_d_at(self, thresh: float):
         k = (self.S >= thresh).sum(axis=1)
@@ -269,18 +272,25 @@ class PCRDAllocator:
                             return False
                     return True
 
-                lo, hi = smin, smax
-                tt.apply(hi, layer)
-                feasible = fits(layer)
-                if feasible:
-                    for _ in range(60):
-                        mid = 0.5 * (lo + hi)
-                        tt.apply(mid, layer)
+                # Discrete search: the pass set only changes at the
+                # distinct slope values, so binary-search those instead
+                # of 60 blind halvings (log2(#slopes) simulate calls —
+                # the simulate is the hot path of a rate-controlled
+                # encode). Also strictly more exact than the continuous
+                # bisection, which could never return the densest
+                # assignment (its lower bracket was untested).
+                svals = tt.svals
+                tt.apply(svals[-1], layer)
+                if fits(layer):
+                    lo_i, hi_i = 0, len(svals) - 1
+                    while lo_i < hi_i:
+                        mid_i = (lo_i + hi_i) // 2
+                        tt.apply(svals[mid_i], layer)
                         if fits(layer):
-                            hi = mid
+                            hi_i = mid_i
                         else:
-                            lo = mid
-                    tt.apply(hi, layer)
+                            lo_i = mid_i + 1
+                    tt.apply(svals[hi_i], layer)
                     tt.store_objects(layer)
                 else:
                     # Even the sparsest assignment busts the budget: emit
