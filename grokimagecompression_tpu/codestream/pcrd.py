@@ -20,6 +20,27 @@ import numpy as np
 
 from .t2 import CblkEnc
 
+_RC_NAT = None
+_RC_CHECKED = False
+
+
+def _rc_native():
+    """Native batch hull (native/src/t2.cpp grok_rc_hulls), identical
+    to the Python convex_hull; GROK_TPU_T1=python forces the oracle."""
+    global _RC_NAT, _RC_CHECKED
+    if _RC_CHECKED:
+        return _RC_NAT
+    _RC_CHECKED = True
+    import os
+    if os.environ.get("GROK_TPU_T1", "") == "python":
+        return None
+    try:
+        from ..native import t1_native as _RC_mod
+        _RC_NAT = _RC_mod
+    except Exception:
+        _RC_NAT = None
+    return _RC_NAT
+
 
 @dataclasses.dataclass
 class HullPoint:
@@ -112,20 +133,38 @@ class _TileTables:
     def __init__(self, ctx: RateControlCtx):
         self.ctx = ctx
         self.cblks = [cb for cb in ctx.cblks if cb.numpasses > 0]
-        hull_list = [convex_hull(cb) for cb in self.cblks]
-        self.slopes = [hp.slope for h in hull_list for hp in h]
+        N = len(self.cblks)
         for cb in ctx.cblks:
             cb.layer_npasses = [0] * ctx.numlayers
-        N = len(self.cblks)
-        H = max((len(h) for h in hull_list), default=0) or 1
-        self.S = np.full((N, H), -np.inf)
-        self.NPV = np.full((N, H), 1 << 30, dtype=np.int64)
-        self.DV = np.zeros((N, H))
-        for i, h in enumerate(hull_list):
-            for j, hp in enumerate(h):
-                self.S[i, j] = hp.slope
-                self.NPV[i, j] = hp.npasses
-                self.DV[i, j] = hp.dist
+        nat = _rc_native()
+        if nat is not None and N:
+            offs = np.zeros(N + 1, np.int64)
+            for i, cb in enumerate(self.cblks):
+                offs[i + 1] = offs[i] + len(cb.passes)
+            rates = np.empty(int(offs[-1]), np.int32)
+            dists = np.empty(int(offs[-1]), np.float64)
+            p = 0
+            for cb in self.cblks:
+                for ps in cb.passes:
+                    rates[p] = ps.rate
+                    dists[p] = ps.distortion
+                    p += 1
+            H = int((offs[1:] - offs[:-1]).max())
+            self.S, self.NPV, self.DV, _hl = nat.rc_hulls(
+                offs, rates, dists, H)
+            self.slopes = [float(v) for v in self.S[self.S > -np.inf]]
+        else:
+            hull_list = [convex_hull(cb) for cb in self.cblks]
+            self.slopes = [hp.slope for h in hull_list for hp in h]
+            H = max((len(h) for h in hull_list), default=0) or 1
+            self.S = np.full((N, H), -np.inf)
+            self.NPV = np.full((N, H), 1 << 30, dtype=np.int64)
+            self.DV = np.zeros((N, H))
+            for i, h in enumerate(hull_list):
+                for j, hp in enumerate(h):
+                    self.S[i, j] = hp.slope
+                    self.NPV[i, j] = hp.npasses
+                    self.DV[i, j] = hp.dist
         self.rows = np.arange(N)
         self.numpasses_vec = np.asarray(
             [cb.numpasses for cb in self.cblks], np.int64)

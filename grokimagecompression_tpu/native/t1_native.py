@@ -83,6 +83,12 @@ def _load() -> ctypes.CDLL:
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.grok_rc_hulls.restype = ctypes.c_int
+    lib.grok_rc_hulls.argtypes = [
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p,
+    ]
     lib.grok_ht_encode_refined.restype = ctypes.c_int
     lib.grok_ht_encode_refined.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
@@ -435,6 +441,26 @@ def ht_decode_cblk(data: bytes, w: int, h: int, missing_msbs: int
     if rc != 0:
         raise RuntimeError("HT decode failed")
     return mag, neg
+
+
+def rc_hulls(offs: np.ndarray, rates: np.ndarray, dists: np.ndarray,
+             H: int):
+    """Batch convex hulls for rate control: offs (n+1,) int64 prefix
+    offsets into flat cumulative rates (int32) / distortions (float64).
+    Returns (S (n, H) float64 slopes [-inf pad], NPV (n, H) int64 pass
+    counts, DV (n, H) float64 cumulative distortions, hull_len (n,))."""
+    n = len(offs) - 1
+    offs = np.ascontiguousarray(offs, np.int64)
+    rates = np.ascontiguousarray(rates, np.int32)
+    dists = np.ascontiguousarray(dists, np.float64)
+    S = np.full((n, max(H, 1)), -np.inf)
+    NPV = np.full((n, max(H, 1)), 1 << 30, dtype=np.int64)
+    DV = np.zeros((n, max(H, 1)))
+    hl = np.zeros(n, np.int32)
+    _lib.grok_rc_hulls(n, offs.ctypes.data, rates.ctypes.data,
+                       dists.ctypes.data, max(H, 1), S.ctypes.data,
+                       NPV.ctypes.data, DV.ctypes.data, hl.ctypes.data)
+    return S, NPV, DV, hl
 
 
 def ht_encode_cblk_refined(mag: np.ndarray, neg: np.ndarray, Mb: int,

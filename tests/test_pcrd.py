@@ -246,3 +246,43 @@ def test_global_alloc_quality_mode():
     # for BOTH modes (shared calibration); global must track tile mode
     assert pg >= pt - 0.25, (pg, pt)
     assert pg >= 31.5, pg
+
+
+def test_native_hulls_match_python_oracle():
+    """grok_rc_hulls (native batch hull) must reproduce convex_hull
+    exactly — slopes bit-for-bit, same truncation points."""
+    import numpy as np
+
+    from grokimagecompression_tpu.codestream.pcrd import convex_hull
+    from grokimagecompression_tpu.codestream.t2 import CblkEnc
+    from grokimagecompression_tpu.native import t1_native
+    from grokimagecompression_tpu.t1.t1_np import PassInfo
+
+    rng = np.random.default_rng(17)
+    blocks = []
+    for _ in range(120):
+        n = int(rng.integers(1, 40))
+        rates = np.maximum.accumulate(rng.integers(0, 60, n)).astype(int)
+        # nondecreasing cumulative distortions with flat/zero stretches
+        dd = rng.random(n) * (rng.random(n) < 0.8)
+        dists = np.cumsum(dd) * 100
+        passes = [PassInfo(rate=int(r), distortion=float(d),
+                           terminated=False)
+                  for r, d in zip(rates, dists)]
+        blocks.append(passes)
+    offs = np.zeros(len(blocks) + 1, np.int64)
+    for i, ps in enumerate(blocks):
+        offs[i + 1] = offs[i] + len(ps)
+    flat_r = np.asarray([p.rate for ps in blocks for p in ps], np.int32)
+    flat_d = np.asarray([p.distortion for ps in blocks for p in ps])
+    H = max(len(ps) for ps in blocks)
+    S, NPV, DV, hl = t1_native.rc_hulls(offs, flat_r, flat_d, H)
+    for i, ps in enumerate(blocks):
+        cb = CblkEnc(geom=None, data=b"", numbps=1, numpasses=len(ps),
+                     passes=ps)
+        ref = convex_hull(cb)
+        assert hl[i] == len(ref), (i, hl[i], len(ref))
+        for j, hp in enumerate(ref):
+            assert S[i, j] == hp.slope, (i, j)
+            assert NPV[i, j] == hp.npasses
+            assert DV[i, j] == hp.dist
