@@ -66,7 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-E", "--eph", action="store_true", help="EPH markers")
     p.add_argument("-M", "--mode", type=int, default=0,
                    help="code-block style switches (1=LAZY 2=RESET 4=TERMALL"
-                        " 8=VSC 16=PTERM 32=SEGSYM)")
+                        " 8=VSC 16=PTERM 32=SEGSYM 64=HT)")
+    p.add_argument("--ht-refinement", action="store_true",
+                   help="HT full mode: code SigProp+MagRef refinement "
+                        "passes in a second codeword segment (requires "
+                        "-M 64, no rate control)")
     p.add_argument("-d", "--image-offset", help="image origin x,y")
     p.add_argument("-T", "--tile-offset", help="tile grid origin x,y")
     p.add_argument("-G", "--guard-bits", type=int, default=2)
@@ -224,6 +228,7 @@ def main(argv=None) -> int:
         cblk_w_exp=cb_w.bit_length() - 1,
         cblk_h_exp=cb_h.bit_length() - 1,
         cblk_style=args.mode,
+        ht_refinement=args.ht_refinement,
         transform=Transform.DWT_97 if args.irreversible else Transform.DWT_53,
         progression=Progression[args.progression_order],
         numlayers=max(1, len(rates), len(quality)),
