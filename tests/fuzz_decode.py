@@ -66,6 +66,9 @@ def _seeds():
         tile_size=(48, 48), tlm_markers=True)))
     out.append(encoder.encode(img(64, 64, 3), EncoderParams(
         numresolutions=3, ppm_markers=True, tile_size=(32, 32))))
+    # HT full mode: refinement segments (SigProp/MagRef raw streams)
+    out.append(encoder.encode(img(64, 48, 1), EncoderParams(
+        numresolutions=3, cblk_style=0x40, ht_refinement=True)))
     return out
 
 
