@@ -21,14 +21,20 @@ MODE="${1:-asan}"
 NATDIR=grokimagecompression_tpu/native
 make -s -C "$NATDIR" "$MODE"
 
-TESTS=(tests/test_t1_native.py tests/test_ht.py tests/test_codec.py)
+# Native-heavy slice. Mesh/shard_map tests stay out: an LD_PRELOADed
+# libasan aborts inside jaxlib's own (uninstrumented) MLIR lowering,
+# which is noise for checking OUR runtime.
+TESTS=(tests/test_t1_native.py tests/test_ht.py tests/test_codec.py
+       tests/test_ht_refinement.py tests/test_pcrd.py
+       tests/test_window_decode.py)
+KARGS=(-k "not mesh and not sharded")
 
 if [ "$MODE" = asan ]; then
     LIBASAN=$(gcc -print-file-name=libasan.so)
     env GROK_T1_LIB=libgrok_t1_asan.so \
         LD_PRELOAD="$LIBASAN" \
         ASAN_OPTIONS=detect_leaks=0:abort_on_error=1 \
-        python -m pytest "${TESTS[@]}" -q -x
+        python -m pytest "${TESTS[@]}" "${KARGS[@]}" -q -x
 else
     LIBTSAN=$(gcc -print-file-name=libtsan.so)
     SUPP=$(mktemp)
@@ -63,7 +69,7 @@ EOF
     env GROK_T1_LIB=libgrok_t1_tsan.so \
         LD_PRELOAD="$LIBTSAN" GROK_TPU_THREADS=1 \
         TSAN_OPTIONS="suppressions=$SUPP log_path=$LOGS exitcode=0" \
-        python -m pytest "${TESTS[@]}" -q -x -k 'not grok'
+        python -m pytest "${TESTS[@]}" -q -x -k 'not grok and not mesh and not sharded'
     python - "$LOGS" <<'EOF'
 import glob, re, sys
 bad = 0
