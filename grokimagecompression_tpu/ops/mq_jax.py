@@ -59,10 +59,26 @@ _CTX_INIT[CTX_UNI] = 46 << 1
 
 def tbl_select(jnp, idx):
     """47-way select of the packed MQ table row (shared by the encoder
-    and decoder steps)."""
-    row = jnp.full_like(idx, _TBL_PACKED[0])
-    for k in range(1, 47):
-        row = jnp.where(idx == k, _TBL_PACKED[k], row)
+    and decoder steps).
+
+    Two-level select (idx = 8*hi + lo): the 8 lo-masks are computed
+    once and reused by all 6 groups, and the where-tree is ~13 deep
+    instead of a 47-long serial chain — measurably faster on the VPU,
+    bit-identical selections."""
+    lo = idx & 7
+    hi = idx >> 3
+    lom = [lo == k for k in range(1, 8)]
+    groups = []
+    for g in range(6):
+        base = 8 * g
+        row = jnp.full_like(idx, _TBL_PACKED[base])
+        for k in range(1, 8):
+            if base + k < 47:
+                row = jnp.where(lom[k - 1], _TBL_PACKED[base + k], row)
+        groups.append(row)
+    row = groups[0]
+    for g in range(1, 6):
+        row = jnp.where(hi == g, groups[g], row)
     return row
 
 
@@ -470,9 +486,10 @@ def mq_step(jnp, carry, slot):
     cw = cx >> 2
     sh = (cx & 3) << 3
 
+    cwm = [cw == k for k in range(1, NCTX_WORDS)]
     pw = cps[0]
     for k in range(1, NCTX_WORDS):
-        pw = jnp.where(cw == k, cps[k], pw)
+        pw = jnp.where(cwm[k - 1], cps[k], pw)
     p = (pw >> sh) & 0x7F
     idx = p >> 1
     mps = p & 1
@@ -500,8 +517,10 @@ def mq_step(jnp, carry, slot):
         mpspath, mps, jnp.where(sw == 1, 1 - mps, mps))
     fmask = jnp.full_like(slot, 0x7F) << sh
     newfield = (newp << sh) & fmask
+    cw0 = cw == 0
     for k in range(NCTX_WORDS):
-        cps[k] = jnp.where(wb & (cw == k),
+        m = cw0 if k == 0 else cwm[k - 1]
+        cps[k] = jnp.where(wb & m,
                            (cps[k] & ~fmask) | newfield, cps[k])
 
     # renorm shift count: make bit 15 of a2 set (a2 >= 1)
