@@ -886,7 +886,8 @@ def decode_tile(
     # dequantization for irreversible bands) directly into pre-allocated
     # band planes — no per-block arrays or Python placement loop.
     _fused_bands = None
-    if (window is None and not cod_comp
+    _band_bb = None
+    if (not cod_comp
             and os.environ.get("GROK_TPU_FUSED_DEC", "1") != "0"):
         bands_list: List[np.ndarray] = []
         steps_list: List[float] = []
@@ -894,6 +895,16 @@ def decode_tile(
         _fused_bands = [dict() for _ in range(ncomps)]
         _packed = [None] * ncomps
         fdtype = np.int32 if reversible else np.float32
+        if window is not None:
+            # Windowed decode: the native scatter targets per-band
+            # BOUNDING-BOX arrays over the window-intersecting blocks
+            # (t1_job_slots is already window-filtered) — O(window)
+            # memory like the sparse store, but the block placement and
+            # dequantization stay in threaded native code.
+            _band_bb = [dict() for _ in range(ncomps)]
+            by_band: Dict[Tuple[int, Tuple[int, int]], list] = {}
+            for (c, key, cb) in t1_job_slots:
+                by_band.setdefault((c, key), []).append(cb.geom.rect)
         try:
             from ..native import dwt_native as _dwtnat
         except Exception:
@@ -901,7 +912,7 @@ def decode_tile(
         for c in range(ncomps):
             plan = plans[c]
             views = None
-            if _dwtnat is not None and reduce == 0 \
+            if _dwtnat is not None and reduce == 0 and window is None \
                     and os.environ.get("GROK_TPU_DWT", "") != "python" \
                     and os.environ.get("GROK_TPU_PACKED_DEC", "1") != "0":
                 # Band views into the packed inverse-DWT buffer: the T1
@@ -927,6 +938,19 @@ def decode_tile(
                     key = (res.r, band.orient)
                     if views is not None:
                         arr = views[key]
+                    elif _band_bb is not None:
+                        rects = by_band.get((c, key), [])
+                        if rects:
+                            bx0 = min(r_.x0 for r_ in rects)
+                            by0 = min(r_.y0 for r_ in rects)
+                            bx1 = max(r_.x1 for r_ in rects)
+                            by1 = max(r_.y1 for r_ in rects)
+                        else:
+                            bx0, by0 = band.rect.x0, band.rect.y0
+                            bx1, by1 = bx0, by0
+                        _band_bb[c][key] = (bx0, by0)
+                        arr = np.zeros((by1 - by0, bx1 - bx0),
+                                       dtype=fdtype)
                     else:
                         arr = np.zeros((band.rect.h, band.rect.w),
                                        dtype=fdtype)
@@ -934,10 +958,16 @@ def decode_tile(
                     bidx[(c,) + key] = len(bands_list)
                     bands_list.append(arr)
                     steps_list.append(plan.bands[key].stepsize)
-        placements = [(bidx[(c,) + key],
-                       cb.geom.rect.x0 - plans[c].bands[key].rect.x0,
-                       cb.geom.rect.y0 - plans[c].bands[key].rect.y0)
-                      for (c, key, cb) in t1_job_slots]
+        if _band_bb is not None:
+            placements = [(bidx[(c,) + key],
+                           cb.geom.rect.x0 - _band_bb[c][key][0],
+                           cb.geom.rect.y0 - _band_bb[c][key][1])
+                          for (c, key, cb) in t1_job_slots]
+        else:
+            placements = [(bidx[(c,) + key],
+                           cb.geom.rect.x0 - plans[c].bands[key].rect.x0,
+                           cb.geom.rect.y0 - plans[c].bands[key].rect.y0)
+                          for (c, key, cb) in t1_job_slots]
         with trace.stage("dec.t1", sum(len(j[0]) for j in t1_jobs)):
             ok = t1_backend.decode_cblk_batch_bands(
                 t1_jobs, bands_list, placements, cods[0].cblk_style,
@@ -992,28 +1022,53 @@ def decode_tile(
         ox = ceil_div(tc.x0, 1 << reduce)
         oy = ceil_div(tc.y0, 1 << reduce)
         if window is not None:
-            # Sparse band storage + windowed partial inverse: O(window)
-            # memory (reference: sparse_array.h + dwt.cpp
-            # decode_partial_tile).
-            from ..core.sparse import SparseArray
             from ..ops import dwt_window as dww
-            sparse: Dict[Tuple[int, int], SparseArray] = {}
-            for res in plan.layout.resolutions:
-                for band in res.bands:
-                    bp = plan.bands[(res.r, band.orient)]
-                    sa = SparseArray(band.rect.w, band.rect.h, dtype=dtype)
-                    for cb in cblk_index[c][(res.r, band.orient)]:
-                        if cb.numpasses == 0 or id(cb) not in decoded:
-                            continue
-                        coef = decoded[id(cb)]
-                        if not rev_c:
-                            coef = quant.dequantize_signed(coef, bp.stepsize)
-                        sa.write(cb.geom.rect.x0 - band.rect.x0,
-                                 cb.geom.rect.y0 - band.rect.y0, coef)
-                    sparse[(res.r, band.orient)] = sa
+            if _fused_bands is not None:
+                # Banded bounding-box store filled by the native
+                # scatter above: fetch slices it with zero fill
+                # outside (still O(window) memory).
+                def fetch(r, o, bx0, by0, bx1, by1, _c=c):
+                    arr = _fused_bands[_c][(r, o)]
+                    bb = _band_bb[_c].get((r, o))
+                    band_rect = plans[_c].bands[(r, o)].rect
+                    out_a = np.zeros((by1 - by0, bx1 - bx0), dtype=dtype)
+                    if bb is None or arr.size == 0:
+                        return out_a
+                    ox = bb[0] - band_rect.x0
+                    oy = bb[1] - band_rect.y0
+                    # band-local -> bb-local coordinates
+                    sx0 = max(bx0, ox)
+                    sy0 = max(by0, oy)
+                    sx1 = min(bx1, ox + arr.shape[1])
+                    sy1 = min(by1, oy + arr.shape[0])
+                    if sx1 > sx0 and sy1 > sy0:
+                        out_a[sy0 - by0:sy1 - by0, sx0 - bx0:sx1 - bx0] = \
+                            arr[sy0 - oy:sy1 - oy, sx0 - ox:sx1 - ox]
+                    return out_a
+            else:
+                # Sparse band storage (mixed-style fallback): O(window)
+                # memory (reference: sparse_array.h + dwt.cpp
+                # decode_partial_tile).
+                from ..core.sparse import SparseArray
+                sparse: Dict[Tuple[int, int], SparseArray] = {}
+                for res in plan.layout.resolutions:
+                    for band in res.bands:
+                        bp = plan.bands[(res.r, band.orient)]
+                        sa = SparseArray(band.rect.w, band.rect.h,
+                                         dtype=dtype)
+                        for cb in cblk_index[c][(res.r, band.orient)]:
+                            if cb.numpasses == 0 or id(cb) not in decoded:
+                                continue
+                            coef = decoded[id(cb)]
+                            if not rev_c:
+                                coef = quant.dequantize_signed(
+                                    coef, bp.stepsize)
+                            sa.write(cb.geom.rect.x0 - band.rect.x0,
+                                     cb.geom.rect.y0 - band.rect.y0, coef)
+                        sparse[(res.r, band.orient)] = sa
 
-            def fetch(r, o, bx0, by0, bx1, by1, _s=sparse):
-                return _s[(r, o)].read(bx0, by0, bx1, by1)
+                def fetch(r, o, bx0, by0, bx1, by1, _s=sparse):
+                    return _s[(r, o)].read(bx0, by0, bx1, by1)
 
             comp_win = component_rect(window, siz.comps[c].dx,
                                       siz.comps[c].dy)
