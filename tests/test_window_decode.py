@@ -89,3 +89,36 @@ def test_window_skips_blocks():
     np.testing.assert_array_equal(win.components[0].data,
                                   full.components[0].data[:64, :64])
     assert t_win < t_full * 0.6, (t_win, t_full)
+
+
+def test_window_uses_native_banded_scatter(monkeypatch):
+    """The window path must ride the native banded scatter (per-band
+    bounding-box arrays), not silently fall back to the per-block
+    Python placement — the SparseArray path stays for mixed styles."""
+    import numpy as np
+
+    from grokimagecompression_tpu.codestream import decoder, encoder
+    import grokimagecompression_tpu.core.sparse as sparse_mod
+    from grokimagecompression_tpu.core.image import Component, Image
+    from grokimagecompression_tpu.core.params import (DecoderParams,
+                                                      EncoderParams)
+
+    calls = {"n": 0}
+    orig = sparse_mod.SparseArray.__init__
+
+    def counting(self, *a, **k):
+        calls["n"] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(sparse_mod.SparseArray, "__init__", counting)
+    rng = np.random.default_rng(8)
+    d = rng.integers(0, 256, (256, 256)).astype(np.int32)
+    img = Image(xsiz=256, ysiz=256, components=[
+        Component(data=d, prec=8, signed=False, dx=1, dy=1)])
+    cs = encoder.encode(img, EncoderParams(numresolutions=4,
+                                           cblk_style=0x40), device=False)
+    out = decoder.decode(cs, DecoderParams(window=(50, 60, 150, 170)))
+    assert calls["n"] == 0, "window decode fell back to SparseArray"
+    full = decoder.decode(cs)
+    assert np.array_equal(out.components[0].data,
+                          full.components[0].data[60:170, 50:150])
