@@ -466,6 +466,19 @@ class GlobalPCRDAllocator:
         ascending tile order — bit-identical to the single-process
         accumulation over sorted ctxs."""
         k = self._rows_per_proc()
+        pairs = list(pairs)
+        if len(pairs) > k:
+            raise ValueError(
+                f"process registered {len(pairs)} tiles but the global "
+                f"PCRD gather is sized for at most {k} per process "
+                f"(global_numtiles={self.global_numtiles}); split tiles "
+                "across processes more evenly or raise global_numtiles")
+        for t, _ in pairs:
+            if t < 0:
+                raise ValueError(
+                    "rate_alloc='global' requires every tile context to "
+                    "carry a non-negative global tile_index; got "
+                    f"tile_index={t} (left at the default?)")
         mat = np.full((k, 3), -1, np.int32)
         for i, (t, v) in enumerate(pairs):
             w = self._f64w(v)

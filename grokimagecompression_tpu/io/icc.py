@@ -325,8 +325,8 @@ def _clut_eval(clut: np.ndarray, x: np.ndarray) -> np.ndarray:
         (m1, c100 - c000, c110 - c100, c111 - c110),
         (m2, c100 - c000, c111 - c101, c101 - c100),
         (m3, c101 - c001, c111 - c101, c001 - c000),
-        (m4, c111 - c011, c010 - c000, c011 - c010),
-        (m5, c111 - c011, c011 - c001, c001 - c000),
+        (m4, c111 - c011, c011 - c001, c001 - c000),
+        (m5, c111 - c011, c010 - c000, c011 - c010),
         (m6, c110 - c010, c010 - c000, c111 - c110),
     ]
     out[:] = c000
@@ -425,17 +425,20 @@ def apply_icc(image: Image, profile: bytes) -> Optional[Image]:
         comps += image.components[1:]
         return Image(x0=image.x0, y0=image.y0, xsiz=image.xsiz,
                      ysiz=image.ysiz, components=comps)
-    if len(image.components) < 3:
-        return None
-    cs = image.components[:3]
-    if not all(c.dx == cs[0].dx and c.dy == cs[0].dy for c in cs):
-        return None
-    mx = (1 << cs[0].prec) - 1
     if "lut" in info:
+        # LUT (A2B) pipeline: handles both 3-channel and 1-channel (gray)
+        # device spaces, so this must run before the 3-component guard.
+        inch = info["lut"]["inch"]
+        if len(image.components) < inch:
+            return None
+        cs = image.components[:inch]
+        if not all(c.dx == cs[0].dx and c.dy == cs[0].dy for c in cs):
+            return None
+        mx = (1 << cs[0].prec) - 1
         dev = np.stack([cs[i].data.astype(np.float64) / mx
-                        for i in range(info["lut"]["inch"])], axis=0)
+                        for i in range(inch)], axis=0)
         shape = dev.shape[1:]
-        xyz_d50 = _apply_lut(info, dev.reshape(info["lut"]["inch"], -1))
+        xyz_d50 = _apply_lut(info, dev.reshape(inch, -1))
         xyz_d65 = _BRADFORD_D50_D65 @ xyz_d50
         srgb_lin = _XYZ_TO_SRGB @ xyz_d65
         srgb = _srgb_encode(srgb_lin.reshape(3, *shape))
@@ -443,9 +446,15 @@ def apply_icc(image: Image, profile: bytes) -> Optional[Image]:
                                         mx).astype(np.int32),
                            prec=cs[0].prec, signed=False, dx=cs[0].dx,
                            dy=cs[0].dy) for i in range(3)]
-        comps += image.components[3:]
+        comps += image.components[inch:]
         return Image(x0=image.x0, y0=image.y0, xsiz=image.xsiz,
                      ysiz=image.ysiz, components=comps)
+    if len(image.components) < 3:
+        return None
+    cs = image.components[:3]
+    if not all(c.dx == cs[0].dx and c.dy == cs[0].dy for c in cs):
+        return None
+    mx = (1 << cs[0].prec) - 1
     lin = np.stack([info["curves"][i](cs[i].data.astype(np.float64) / mx)
                     for i in range(3)], axis=0)
     shape = lin.shape[1:]

@@ -231,6 +231,113 @@ def test_lut_profile_matches_lcms(builder, tol):
     assert d.max() <= tol, d.max()
 
 
+def make_mft2_random_profile(grid=7, seed=9):
+    """mft2 with a NONLINEAR (random smooth) CLUT. A linear CLUT is
+    interpolated identically by every simplex decomposition, so only a
+    nonlinear table can catch tetrahedron-region mixups (the m4/m5
+    coefficient swap fixed in round 5)."""
+    rng = np.random.default_rng(seed)
+    base = np.clip(_clut_xyz(grid), 0, 65535 / 32768.)
+    jitter = rng.uniform(-0.08, 0.08, base.shape)
+    vals = np.clip(base + jitter, 0.0, 65535 / 32768.)
+    clut = np.round(vals * 32768).astype(">u2").tobytes()
+    ident = np.round(np.linspace(0, 1, 256) * 65535).astype(">u2").tobytes()
+    mft2 = b"mft2" + b"\0" * 4 + bytes([3, 3, grid, 0])
+    for r in range(3):
+        for c in range(3):
+            mft2 += _s15f16(1.0 if r == c else 0.0)
+    mft2 += struct.pack(">HH", 256, 256)
+    mft2 += ident * 3 + clut + ident * 3
+    return _assemble(b"XYZ ", [(b"A2B0", mft2)] + _base_tags())
+
+
+def test_nonlinear_clut_matches_lcms():
+    """Exhaustive-ish sweep with a nonlinear CLUT: hits all 6 tetrahedra
+    of every grid cell (would have caught the m4/m5 region swap)."""
+    prof = make_mft2_random_profile()
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    out = icc.apply_icc(_rgb_image(arr), prof)
+    assert out is not None
+    # NOOPTIMIZE: lcms otherwise resamples the chain into its own
+    # device-link CLUT, adding grid-resampling error >> 1 LSB
+    src = PIL_CMS.ImageCmsProfile(io.BytesIO(prof))
+    dst = PIL_CMS.ImageCmsProfile(PIL_CMS.createProfile("sRGB"))
+    x = PIL_CMS.buildTransform(
+        src, dst, "RGB", "RGB", renderingIntent=0,
+        flags=PIL_CMS.Flags.NOOPTIMIZE | PIL_CMS.Flags.NOCACHE)
+    ref = np.asarray(PIL_CMS.applyTransform(
+        PILImage.fromarray(arr.astype(np.uint8)), x))
+    got = np.stack([out.components[i].data for i in range(3)], -1)
+    d = np.abs(got.astype(int) - ref.astype(int))
+    assert d.max() <= 1, d.max()
+
+
+def make_gray_lut_profile(grid=33):
+    """1-input mft2 gray -> XYZ profile (inch == 1 LUT path)."""
+    t = np.linspace(0, 1, 256)
+    gamma = t ** 1.8
+    intab = np.round(gamma * 65535).astype(">u2").tobytes()
+    g = np.linspace(0, 1, grid)
+    wp = np.array([0.9642, 1.0, 0.8249])
+    vals = np.clip(g[:, None] * wp[None, :], 0, 65535 / 32768.)
+    clut = np.round(vals * 32768).astype(">u2").tobytes()
+    outtab = np.round(np.linspace(0, 1, 256) * 65535) \
+        .astype(">u2").tobytes()
+    mft2 = b"mft2" + b"\0" * 4 + bytes([1, 3, grid, 0])
+    for r in range(3):
+        for c in range(3):
+            mft2 += _s15f16(1.0 if r == c else 0.0)
+    mft2 += struct.pack(">HH", 256, 256)
+    mft2 += intab + clut + outtab * 3
+    hdr_tags = [(b"A2B0", mft2)] + _base_tags()
+    ntags = len(hdr_tags)
+    table_size = 4 + ntags * 12
+    off = 128 + table_size
+    table = struct.pack(">I", ntags)
+    body = b""
+    for sig, payload in hdr_tags:
+        pad = (4 - len(payload) % 4) % 4
+        table += struct.pack(">4sII", sig, off, len(payload))
+        body += payload + b"\0" * pad
+        off += len(payload) + pad
+    total = 128 + table_size + len(body)
+    hdr = struct.pack(">I", total) + b"none"
+    hdr += struct.pack(">I", 0x02400000)
+    hdr += b"mntr" + b"GRAY" + b"XYZ "
+    hdr += struct.pack(">HHHHHH", 2024, 1, 1, 0, 0, 0)
+    hdr += b"acsp" + b"\0" * 4 + struct.pack(">I", 0)
+    hdr += b"\0" * 16 + struct.pack(">I", 0)
+    hdr += b"".join(_s15f16(v) for v in (0.9642, 1.0, 0.8249))
+    hdr += b"\0" * 4
+    hdr += b"\0" * (128 - len(hdr))
+    return hdr + table + body
+
+
+def test_gray_lut_profile_applied():
+    """inch==1 LUT profiles must reach the LUT branch for 1-component
+    images (previously dead code behind the 3-component guard)."""
+    prof = make_gray_lut_profile()
+    arr = np.arange(256, dtype=np.int32).reshape(16, 16)
+    img = Image(xsiz=16, ysiz=16, components=[
+        Component(data=arr, prec=8, signed=False, dx=1, dy=1)])
+    out = icc.apply_icc(img, prof)
+    assert out is not None, "gray LUT profile should be applied"
+    assert len(out.components) == 3
+    got = np.stack([out.components[i].data for i in range(3)], -1)
+    # gray ramp through gamma-1.8 -> D50 white axis -> sRGB: R=G=B
+    # within rounding, monotone nondecreasing
+    assert np.abs(got[..., 0] - got[..., 1]).max() <= 2
+    assert np.abs(got[..., 0] - got[..., 2]).max() <= 2
+    flat = got[..., 1].ravel()
+    assert (np.diff(flat.astype(int)) >= -1).all()
+    srgb = flat / 255.0
+    lin = np.where(srgb <= 0.04045, srgb / 12.92,
+                   ((srgb + 0.055) / 1.055) ** 2.4)
+    expect = (np.arange(256) / 255.0) ** 1.8
+    assert np.abs(lin - expect).max() < 0.02
+
+
 def test_lut_profile_jp2_end_to_end(tmp_path):
     from grokimagecompression_tpu.cli import decompress as d_cli
     from grokimagecompression_tpu.codestream import encoder, jp2
