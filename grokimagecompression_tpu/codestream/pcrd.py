@@ -409,7 +409,10 @@ class GlobalPCRDAllocator:
             return float(parts.sum())
         import jax
         import jax.numpy as jnp
-        from jax.experimental.shard_map import shard_map
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
         integral = np.all(parts == np.floor(parts)) \

@@ -31,8 +31,12 @@ Byte-exact with t1/t1_np.encode_cblk (the Annex-D oracle) for the
 default code-block style; enforced by tests/test_mq_device.py.
 
 Scope: default style (no LAZY/RESET/TERMALL/VSC/PTERM; SEGSYM
-unsupported), encoder only. Callers needing per-pass PCRD rates
-(multi-layer / rate-targeted encodes) use the host coder.
+unsupported), encoder only. Per-pass PCRD inputs ARE produced on
+device when requested (`want_rd`): per-chunk byteout sums reconstruct
+pass-end truncation rates (pass_cum_byteouts) and the builder emits
+per-(plane, pass) distortion-decrease tables — models/fused_encode.py
+wires both into the host PCRD allocator. Non-default code-block
+styles still stage through the host coder.
 """
 
 from __future__ import annotations

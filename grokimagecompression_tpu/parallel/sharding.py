@@ -54,7 +54,10 @@ def _sharded_transform(cfg: TileTransformConfig, mesh: Mesh):
         return tuple(bands_list[c][k] for c in range(len(comps))
                      for k in keys)
 
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     spec_in = P("tiles", None, None, None)
     spec_out = tuple(P("tiles", None, None) for _ in
@@ -154,7 +157,10 @@ def fused_entropy_tiles_on_mesh(image: Image, siz, cod, qcd, mesh: Mesh,
     geometry cannot batch, or whose MQ word compaction overflowed, are
     absent and fall back to the host coder in the caller."""
     from ..models import fused_encode
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     ntx, nty = tile_grid_size(siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
                               siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
@@ -279,7 +285,10 @@ def _sharded_inverse(cfg: TileTransformConfig, mesh: Mesh):
         ]
         return _inv_transform(cfg, bands_list)
 
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     ncomps = len(cfg.tc_rects)
     spec_in = tuple(P("tiles", None, None) for _ in range(ncomps * nk))
