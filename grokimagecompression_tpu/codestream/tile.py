@@ -658,6 +658,17 @@ def _band_window(win: Rect, r: int, orient: int, numresolutions: int,
     return Rect(x0, y0, x1, y1)
 
 
+def _cblk_pmin(cod_c, cb, roishift: int) -> int:
+    """Lowest decoded bit-plane of a Part-1 (MQ) code-block
+    (quant.trunc_plane) — the plane the mid-point reconstruction offset
+    belongs at for truncated blocks. 0 for HT blocks (different pass
+    schedule; the HT quarters convention carries its own half bit) and
+    under ROI shifts (offset would move with the shifted planes)."""
+    if (cod_c.cblk_style & 0x40) or roishift:
+        return 0
+    return quant.trunc_plane(cb.numbps, cb.numpasses)
+
+
 def decode_tile(
     body: bytes,
     siz: SizInfo,
@@ -1060,9 +1071,14 @@ def decode_tile(
                             if cb.numpasses == 0 or id(cb) not in decoded:
                                 continue
                             coef = decoded[id(cb)]
+                            pm = _cblk_pmin(cods[c], cb,
+                                            roishifts[c] if roishifts
+                                            else 0)
                             if not rev_c:
                                 coef = quant.dequantize_signed(
-                                    coef, bp.stepsize)
+                                    coef, bp.stepsize, p_min=pm)
+                            else:
+                                coef = quant.rev_trunc_bias(coef, pm)
                             sa.write(cb.geom.rect.x0 - band.rect.x0,
                                      cb.geom.rect.y0 - band.rect.y0, coef)
                         sparse[(res.r, band.orient)] = sa
@@ -1104,14 +1120,18 @@ def decode_tile(
                     if cb.numpasses == 0 or id(cb) not in decoded:
                         continue
                     coef = decoded[id(cb)]
+                    pm = _cblk_pmin(cods[c], cb,
+                                    roishifts[c] if roishifts else 0)
                     x0 = cb.geom.rect.x0 - band.rect.x0
                     y0 = cb.geom.rect.y0 - band.rect.y0
                     if rev_c:
                         arr[y0:y0 + cb.geom.rect.h,
-                            x0:x0 + cb.geom.rect.w] = coef
+                            x0:x0 + cb.geom.rect.w] = \
+                            quant.rev_trunc_bias(coef, pm)
                     else:
                         arr[y0:y0 + cb.geom.rect.h, x0:x0 + cb.geom.rect.w] = \
-                            quant.dequantize_signed(coef, bp.stepsize)
+                            quant.dequantize_signed(coef, bp.stepsize,
+                                                    p_min=pm)
                 bands_arrays[(res.r, band.orient)] = arr
         a = dwt_host.inv_dwt_2d(bands_arrays, plan.layout.tc_rect,
                                 cods[c].numresolutions, reversible=rev_c,

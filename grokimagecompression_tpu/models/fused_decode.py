@@ -78,19 +78,25 @@ def _jitted_fused_dec(plan: FusedDecPlan,
     if plan.coder == "ht":
         nargs = 3
     else:
-        nargs = 4 if plan.backend == "pallas" else 5
+        # MQ groups carry a trailing per-lane reconstruction-offset
+        # array (halves): truncated blocks reconstruct at the center of
+        # their lowest DECODED plane, matching the host dequantizer.
+        nargs = 5 if plan.backend == "pallas" else 6
 
     def run(*words):
         # decode every group
         grids = []
+        halfs_l = []
         for gi, (w, h, lanes) in enumerate(plan.groups):
             if plan.coder == "ht":
                 mel_w, vlc_w, ms_w = words[3 * gi: 3 * gi + 3]
                 mags, signs = ht_dec_jax.decode_group_backend(
                     w, h, plan.backend)(mel_w, vlc_w, ms_w)
+                halfs_l.append(None)
             elif plan.backend == "pallas":
                 from ..ops import mq_dec_pallas
-                wrd, g0, gend, ori = words[nargs * gi: nargs * gi + nargs]
+                wrd, g0, gend, ori, halfs = \
+                    words[nargs * gi: nargs * gi + nargs]
                 S, npl, Lw = word_dims[gi]
                 packed = mq_dec_pallas.decode_core_pallas(
                     h, w, S, npl, Lw)(wrd, g0, gend, ori)
@@ -98,15 +104,17 @@ def _jitted_fused_dec(plan: FusedDecPlan,
                 pu = packed.astype(jnp.uint32)
                 mags = (pu & jnp.uint32(0x7FFFFFFF)).T.reshape(B, h, w)
                 signs = (pu >> 31).astype(jnp.int32).T.reshape(B, h, w)
+                halfs_l.append(halfs)
             else:
-                seg, end, nbps, npas, ori = words[nargs * gi:
-                                                  nargs * gi + nargs]
+                seg, end, nbps, npas, ori, halfs = \
+                    words[nargs * gi: nargs * gi + nargs]
                 B, npl = word_dims[gi][0], word_dims[gi][1]
                 magf, negf = mq_dec_jax.decode_core(h, w, B, npl)(
                     seg, end, nbps, npas, ori)
                 # (HW, B) -> (B, h, w) lane grids like the HT core
                 mags = magf.T.reshape(B, h, w).astype(jnp.uint32)
                 signs = negf.T.reshape(B, h, w)
+                halfs_l.append(halfs)
             grids.append((mags, signs))
         # band planes
         bands: Dict[Tuple[int, Tuple[int, int]], object] = {}
@@ -118,15 +126,20 @@ def _jitted_fused_dec(plan: FusedDecPlan,
             steps[(c, (r, o))] = st
         for gi, (w, h, lanes) in enumerate(plan.groups):
             mags, signs = grids[gi]
+            halfs = halfs_l[gi]
             for li, b in enumerate(lanes):
                 m = mags[li, :b.h, :b.w]
                 s = signs[li, :b.h, :b.w]
                 if rev:
-                    v = jnp.where(s != 0, -(m.astype(jnp.int32)),
-                                  m.astype(jnp.int32))
+                    mi = m.astype(jnp.int32)
+                    if halfs is not None:
+                        mi = jnp.where(m != 0, mi + halfs[li], mi)
+                    v = jnp.where(s != 0, -mi, mi)
                 else:
                     mm = m.astype(jnp.float32)
-                    mm = jnp.where(m != 0, mm + jnp.float32(0.5), mm)
+                    half = (halfs[li] if halfs is not None
+                            else jnp.float32(0.5))
+                    mm = jnp.where(m != 0, mm + half, mm)
                     v = mm * jnp.float32(steps[(b.comp, b.key)])
                     v = jnp.where(s != 0, -v, v)
                 bands[(b.comp, b.key)] = jax.lax.dynamic_update_slice(
@@ -137,6 +150,19 @@ def _jitted_fused_dec(plan: FusedDecPlan,
 
     return jax.jit(run)
 
+
+
+def _lane_halves(nb_np_pairs, rev: bool):
+    """Per-lane mid-point reconstruction offsets for MQ lanes: the half
+    belongs at each block's lowest DECODED plane (quant.trunc_plane) so
+    truncated blocks reconstruct like the host dequantizer. float32
+    factors for irreversible bands, int32 addends for reversible."""
+    from ..ops.quant import trunc_plane
+    pms = [trunc_plane(nb, np_) for (nb, np_) in nb_np_pairs]
+    if rev:
+        return np.asarray([(1 << (pm - 1)) if pm > 0 else 0
+                           for pm in pms], np.int32)
+    return np.asarray([0.5 * (1 << pm) for pm in pms], np.float32)
 
 
 def _entropy_backend(plans, coder: str) -> str:
@@ -270,6 +296,8 @@ def decode_tile_device(t1_jobs, t1_job_slots, plans, cods, siz, cod,
             else:
                 arrays, dims = mq_dec_jax.pack_lanes(lanes)
             words += [jnp.asarray(a) for a in arrays]
+            words.append(jnp.asarray(_lane_halves(
+                [(int(j[5]), int(j[6])) for j in jobs], rev)))
             word_dims.append(dims)
         gtuple.append((w, h, tuple(b for (_, b) in entries)))
 
@@ -316,13 +344,17 @@ def _jitted_fused_dec_batch(plan: FusedDecPlan,
     ncomps = len(cfg.tc_rects)
     rev = cfg.reversible
 
+    gstride = 5 if plan.coder == "mq" else 4
+
     def run(*args):
         grids = []
+        halfs_l = []
         for gi, (w, h, lanes) in enumerate(plan.groups):
             B = len(lanes)
             if plan.coder == "mq":
                 from ..ops import mq_dec_pallas
-                wrd, g0, gend, ori = args[4 * gi: 4 * gi + 4]
+                wrd, g0, gend, ori, halfs = \
+                    args[gstride * gi: gstride * gi + gstride]
                 S, npl, Lw = word_dims[gi]
                 packed = mq_dec_pallas.decode_core_pallas(
                     h, w, S, npl, Lw)(wrd, g0, gend, ori)
@@ -332,8 +364,11 @@ def _jitted_fused_dec_batch(plan: FusedDecPlan,
                 signs = (pu >> 31).astype(jnp.int32).T.reshape(
                     nframes, B, h, w)
                 grids.append((mags, signs))
+                halfs_l.append(halfs.reshape(nframes, B))
                 continue
-            mel_w, vlc_w, ms_w, valid = args[4 * gi: 4 * gi + 4]
+            mel_w, vlc_w, ms_w, valid = \
+                args[gstride * gi: gstride * gi + 4]
+            halfs_l.append(None)
             mags, signs = ht_dec_jax.decode_group_backend(
                 w, h, plan.backend)(mel_w, vlc_w, ms_w)
             vm = valid.astype(mags.dtype)[:, None, None]
@@ -350,15 +385,21 @@ def _jitted_fused_dec_batch(plan: FusedDecPlan,
             steps[(c, (r, o))] = st
         for gi, (w, h, lanes) in enumerate(plan.groups):
             mags, signs = grids[gi]
+            halfs = halfs_l[gi]
             for li, b in enumerate(lanes):
                 m = mags[:, li, :b.h, :b.w]
                 s = signs[:, li, :b.h, :b.w]
                 if rev:
-                    v = jnp.where(s != 0, -(m.astype(jnp.int32)),
-                                  m.astype(jnp.int32))
+                    mi = m.astype(jnp.int32)
+                    if halfs is not None:
+                        mi = jnp.where(
+                            m != 0, mi + halfs[:, li][:, None, None], mi)
+                    v = jnp.where(s != 0, -mi, mi)
                 else:
                     mm = m.astype(jnp.float32)
-                    mm = jnp.where(m != 0, mm + jnp.float32(0.5), mm)
+                    half = (halfs[:, li][:, None, None]
+                            if halfs is not None else jnp.float32(0.5))
+                    mm = jnp.where(m != 0, mm + half, mm)
                     v = mm * jnp.float32(steps[(b.comp, b.key)])
                     v = jnp.where(s != 0, -v, v)
                 bands[(b.comp, b.key)] = jax.lax.dynamic_update_slice(
@@ -451,6 +492,7 @@ def decode_tiles_device_submit(frames, plans, cods, siz, cod, tile: Rect,
         if coder == "mq":
             from ..ops import mq_dec_pallas
             lanes = []
+            nbnp = []
             for jobs, _slots in frames:
                 for (i, _) in entries:
                     j = jobs[i]
@@ -459,13 +501,16 @@ def decode_tiles_device_submit(frames, plans, cods, siz, cod, tile: Rect,
                     nb, npas = int(j[5]), int(j[6])
                     if nb <= 0 or npas <= 0:
                         lanes.append((b"", 0, 0, 0))  # idle lane
+                        nbnp.append((0, 0))
                     else:
                         if not mq_dec_pallas.mq_pallas_fits(
                                 h, w, len(j[0])):
                             return None  # VMEM-oversized segment
                         lanes.append((bytes(j[0]), int(j[4]), nb, npas))
+                        nbnp.append((nb, npas))
             arrays, dims = mq_dec_pallas.pack_field_lanes(lanes)
             words += [_stage(a) for a in arrays]
+            words.append(_stage(_lane_halves(nbnp, rev)))
             word_dims.append(dims)
             gtuple.append((w, h, tuple(b for (_, b) in entries)))
             continue

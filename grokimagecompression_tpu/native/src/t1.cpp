@@ -991,28 +991,41 @@ int grok_t1_decode_bands(int nblocks, const uint8_t* data_flat,
                   (int)d[6], (int)d[7], (int)d[8], (int)d[9],
                   mag.data(), neg.data());
       int64_t stride = band_strides[d[10]];
+      // Truncated-block reconstruction: the mid-point offset belongs at
+      // the block's lowest DECODED plane, not plane 0 (reference embeds
+      // the half at decode time: t1.cpp oneplushalf, scaled out in
+      // T1Part1.cpp post_decode). p_min = 0 for fully decoded blocks.
+      int numbps_i = (int)d[7], numpasses_i = (int)d[8];
+      int pmin = 0;
+      if (numbps_i > 0 && numpasses_i > 0) {
+        pmin = numbps_i - 1 - ((numpasses_i + 1) / 3);
+        if (pmin < 0) pmin = 0;
+      }
       if (is_float) {
         float* band = (float*)(uintptr_t)band_ptrs[d[10]];
         float step = (float)steps[d[10]];
+        float halff = 0.5f * (float)(1u << pmin);
         for (int y = 0; y < h; y++) {
           float* dst = band + (size_t)(d[12] + y) * stride + d[11];
           const uint32_t* ms = mag.data() + (size_t)y * w;
           const uint8_t* ns = neg.data() + (size_t)y * w;
           for (int x = 0; x < w; x++) {
             float m = (float)ms[x];
-            if (ms[x]) m += 0.5f;
+            if (ms[x]) m += halff;
             float v = m * step;
             dst[x] = ns[x] ? -v : v;
           }
         }
       } else {
         int32_t* band = (int32_t*)(uintptr_t)band_ptrs[d[10]];
+        int32_t halfi = pmin > 0 ? (int32_t)(1 << (pmin - 1)) : 0;
         for (int y = 0; y < h; y++) {
           int32_t* dst = band + (size_t)(d[12] + y) * stride + d[11];
           const uint32_t* ms = mag.data() + (size_t)y * w;
           const uint8_t* ns = neg.data() + (size_t)y * w;
           for (int x = 0; x < w; x++) {
             int32_t v = (int32_t)ms[x];
+            if (v) v += halfi;
             dst[x] = ns[x] ? -v : v;
           }
         }

@@ -74,24 +74,56 @@ def quantize_signed(a: np.ndarray, stepsize: float) -> np.ndarray:
     return np.where(a < 0, -q, q)
 
 
+def trunc_plane(numbps: int, numpasses: int) -> int:
+    """Lowest bit-plane reached by `numpasses` decoded passes of a block
+    with `numbps` magnitude planes: pass 0 is the MSB cleanup, then
+    (sig, ref, cln) triplets per plane (Annex D pass schedule). The
+    mid-point reconstruction offset belongs at THIS plane, not plane 0
+    — the reference decoder embeds the half at each sample's
+    last-touched plane (reference: t1.cpp oneplushalf/poshalf decode
+    updates, scaled out in T1Part1.cpp post_decode), so a truncated
+    block reconstructs at the center of its actual decision interval.
+    """
+    if numbps <= 0 or numpasses <= 0:
+        return 0
+    return max(0, numbps - 1 - ((numpasses + 1) // 3))
+
+
 def dequantize(mag: np.ndarray, neg: np.ndarray, stepsize: float,
-               half_bit: bool = True) -> np.ndarray:
-    """Mid-point reconstruction: (q + 0.5) * delta for q > 0."""
+               half_bit: bool = True, p_min: int = 0) -> np.ndarray:
+    """Mid-point reconstruction: (q + 0.5 * 2^p_min) * delta for q > 0,
+    where p_min is the block's lowest decoded bit-plane (trunc_plane);
+    0 for fully decoded blocks."""
     m = mag.astype(np.float32)
     if half_bit:
-        m = np.where(mag > 0, m + np.float32(0.5), m)
+        half = np.float32(0.5 * (1 << p_min))
+        m = np.where(mag > 0, m + half, m)
     v = m * np.float32(stepsize)
     return np.where(neg > 0, -v, v).astype(np.float32)
 
 
 def dequantize_signed(coef: np.ndarray, stepsize: float,
-                      half_bit: bool = True) -> np.ndarray:
+                      half_bit: bool = True, p_min: int = 0) -> np.ndarray:
     """Mid-point reconstruction from signed integer coefficients."""
     m = np.abs(coef).astype(np.float32)
     if half_bit:
-        m = np.where(coef != 0, m + np.float32(0.5), m)
+        half = np.float32(0.5 * (1 << p_min))
+        m = np.where(coef != 0, m + half, m)
     v = m * np.float32(stepsize)
     return np.where(coef < 0, -v, v).astype(np.float32)
+
+
+def rev_trunc_bias(coef: np.ndarray, p_min: int) -> np.ndarray:
+    """Reversible-path reconstruction for a TRUNCATED block: place the
+    nonzero coefficients at the center of their decoded interval,
+    mirroring the reference's one-fractional-bit working data + /2
+    truncation (T1Part1.cpp post_decode qmfbid==1). Identity when
+    p_min == 0 (full decode stays bit-exact)."""
+    if p_min <= 0:
+        return coef
+    half = np.int32(1 << (p_min - 1))
+    mag = np.abs(coef) + np.where(coef != 0, half, 0).astype(np.int32)
+    return np.where(coef < 0, -mag, mag).astype(np.int32)
 
 
 def to_sign_magnitude(a: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

@@ -273,22 +273,30 @@ def _device_ht_decode_bands(blocks, bands, placements, stepsizes) -> bool:
     return True
 
 
-def _scatter_decoded(res, live, bands, placements, stepsizes) -> None:
+def _scatter_decoded(res, live, bands, placements, stepsizes,
+                     pmins=None) -> None:
     """Scatter device-decoded (mag, neg) blocks into band planes with
     the mid-point dequantizer (shared by the HT and MQ device decode
-    routes; must track quant.dequantize's reconstruction convention)."""
+    routes; must track quant.dequantize's reconstruction convention).
+    `pmins`: per-live-block lowest decoded plane (quant.trunc_plane) —
+    truncated blocks reconstruct at the center of their decoded
+    interval, like the host paths."""
     import numpy as _np
-    for (mag, neg), i in zip(res, live):
+    for k, ((mag, neg), i) in enumerate(zip(res, live)):
         bi, x0, y0 = placements[i][:3]
         h, w = mag.shape
         plane = bands[bi]
+        pm = pmins[k] if pmins is not None else 0
         if stepsizes is not None and plane.dtype == _np.float32:
             mm = mag.astype(_np.float32)
-            mm = _np.where(mag != 0, mm + _np.float32(0.5), mm)
+            half = _np.float32(0.5 * (1 << pm))
+            mm = _np.where(mag != 0, mm + half, mm)
             v = mm * _np.float32(stepsizes[bi])
             plane[y0:y0 + h, x0:x0 + w] = _np.where(neg != 0, -v, v)
         else:
             m = mag.astype(_np.int32)
+            if pm > 0:
+                m = _np.where(m != 0, m + _np.int32(1 << (pm - 1)), m)
             plane[y0:y0 + h, x0:x0 + w] = _np.where(neg != 0, -m, m)
 
 
@@ -336,7 +344,9 @@ def _device_mq_decode_bands(blocks, bands, placements, stepsizes) -> bool:
         res = mq_dec_pallas.decode_blocks(dev_blocks)
     else:
         res = mq_dec_jax.decode_blocks(dev_blocks)
-    _scatter_decoded(res, live, bands, placements, stepsizes)
+    from ..ops.quant import trunc_plane
+    pmins = [trunc_plane(nb, np_) for (_, _, _, _, nb, np_) in dev_blocks]
+    _scatter_decoded(res, live, bands, placements, stepsizes, pmins=pmins)
     return True
 
 
