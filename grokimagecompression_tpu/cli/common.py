@@ -85,6 +85,37 @@ def write_image(path: str, image: Image) -> None:
         from ..io import raw as rawio
         rawio.write_raw(path, image, big_endian=ext == ".raw")
         return
+    if ext in (".jpg", ".jpeg"):
+        # JPEG output via the environment's Pillow — the write half of
+        # the bidirectional JPEG codec (reference:
+        # src/bin/jp2/JPEGFormat.cpp encodes via vendored libjpeg).
+        try:
+            from PIL import Image as PILImage
+        except ImportError:
+            raise SystemExit("JPEG output requires Pillow")
+        import numpy as np
+        comps = image.components
+        prec = max(c.prec for c in comps)
+        if prec > 8:
+            raise SystemExit("JPEG output supports <= 8-bit samples "
+                             "(use -p to reduce precision)")
+        planes = []
+        for c in comps[:3]:
+            a = np.asarray(c.data)
+            if c.signed:
+                a = a + (1 << (c.prec - 1))
+            if c.prec < 8:
+                a = a << (8 - c.prec)
+            planes.append(np.clip(a, 0, 255).astype(np.uint8))
+        if len(planes) >= 3:
+            if any(p.shape != planes[0].shape for p in planes[1:]):
+                raise SystemExit("JPEG output needs equal-size "
+                                 "components (upsample first)")
+            arr = np.stack(planes[:3], axis=-1)
+            PILImage.fromarray(arr, "RGB").save(path, quality=90)
+        else:
+            PILImage.fromarray(planes[0], "L").save(path, quality=90)
+        return
     raise SystemExit(f"unsupported output format: {path}")
 
 

@@ -1,10 +1,13 @@
 """TIFF reader/writer, pure Python (no libtiff), the analog of the
-reference TIFF codec (reference: src/bin/jp2/TIFFFormat.cpp).
+reference TIFF codec (reference: src/bin/jp2/TIFFFormat.cpp, which
+vendors libtiff from thirdparty/libtiff).
 
-Read: baseline uncompressed (compression 1) and PackBits (32773),
-little/big endian, 8/16-bit, gray/RGB(A), chunky or planar config,
-strips or a single tile-less image. Write: uncompressed, chunky,
-little-endian, one strip per image.
+Read: uncompressed (1), LZW (5) with the TIFF early-change variant,
+deflate (8/32946), PackBits (32773); horizontal-differencing predictor
+(tag 317, value 2); little/big endian; 8/16-bit (1-bit bilevel for
+striped baseline); gray/RGB(A), chunky or planar; STRIPED or TILED
+(tags 322-325) layouts. Write: uncompressed or deflate, chunky,
+little-endian, one strip.
 """
 
 from __future__ import annotations
@@ -21,6 +24,8 @@ _W, _H = 256, 257
 _BPS, _COMPRESSION, _PHOTO = 258, 259, 262
 _STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
 _PLANAR, _SAMPLE_FMT = 284, 339
+_PREDICTOR = 317
+_TILE_W, _TILE_L, _TILE_OFF, _TILE_CNT = 322, 323, 324, 325
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
               10: 8, 11: 4, 12: 8}
@@ -69,6 +74,68 @@ def _packbits(data: bytes, want: int) -> bytes:
     return bytes(out[:want])
 
 
+def _lzw_decode(data: bytes, want: int) -> bytes:
+    """TIFF-variant LZW (MSB-first codes, early code-width change at
+    table size 2^width - 1) — the compression libtiff calls
+    COMPRESSION_LZW (reference TIFFFormat.cpp reads it via libtiff)."""
+    out = bytearray()
+    bitpos = 0
+    nbits = len(data) * 8
+    buf = data + b"\0\0\0\0"
+    CLEAR, EOI = 256, 257
+    table: List[bytes] = []
+    width = 9
+    prev = b""
+    have_prev = False
+    while len(out) < want and bitpos + width <= nbits:
+        byte0 = bitpos >> 3
+        val = int.from_bytes(buf[byte0:byte0 + 4], "big")
+        code = (val >> (32 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            have_prev = False
+            continue
+        if not table:
+            raise ValueError("LZW stream missing initial clear code")
+        if not have_prev:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        prev = entry
+        have_prev = True
+        if len(table) >= (1 << width) - 1 and width < 12:
+            width += 1
+    return bytes(out[:want])
+
+
+def _decompress(chunk: bytes, compression: int, want: int) -> bytes:
+    if compression in (8, 32946):
+        import zlib
+        return zlib.decompress(chunk)[:want]
+    if compression == 5:
+        return _lzw_decode(chunk, want)
+    if compression == 32773:
+        return _packbits(chunk, want)
+    return chunk[:want]
+
+
+def _undo_predictor(a: np.ndarray) -> np.ndarray:
+    """Horizontal differencing (predictor 2): cumulative sum along the
+    row axis per interleaved channel; a is (rows, cols, channels)."""
+    return np.cumsum(a.astype(np.int64), axis=1).astype(a.dtype)
+
+
 def read_tiff(path: str) -> Image:
     with open(path, "rb") as f:
         data = f.read()
@@ -90,60 +157,94 @@ def read_tiff(path: str) -> Image:
     compression = tags.get(_COMPRESSION, [1])[0]
     planar = tags.get(_PLANAR, [1])[0]
     sample_fmt = tags.get(_SAMPLE_FMT, [1])[0]
+    predictor = tags.get(_PREDICTOR, [1])[0]
     signed = sample_fmt == 2
-    if compression not in (1, 8, 32773, 32946):
+    if compression not in (1, 5, 8, 32773, 32946):
         raise ValueError(f"unsupported TIFF compression {compression}")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     if bps not in (1, 8, 16):
         raise ValueError(f"unsupported TIFF bit depth {bps}")
-    offs = tags[_STRIP_OFF]
-    cnts = tags.get(_STRIP_CNT, [len(data) - offs[0]])
-    rows_per_strip = tags.get(_ROWS_PER_STRIP, [h])[0] or h
+    tiled = _TILE_OFF in tags
 
-    def strip_bytes() -> bytes:
+    if bps == 1:
+        if tiled:
+            raise ValueError("tiled bilevel TIFF unsupported")
+        offs = tags[_STRIP_OFF]
+        cnts = tags.get(_STRIP_CNT, [len(data) - offs[0]])
+        rows_per_strip = tags.get(_ROWS_PER_STRIP, [h])[0] or h
+        rowb = (w + 7) // 8
         buf = bytearray()
         for i, o in enumerate(offs):
-            chunk = data[o:o + cnts[i]]
-            if compression in (8, 32946):
-                import zlib
-                chunk = zlib.decompress(chunk)
-            elif compression == 32773:
-                rows = min(rows_per_strip, h - i * rows_per_strip)
-                if planar == 2:
-                    want = ((w * bps + 7) // 8) * rows
-                else:
-                    want = ((w * spp * bps + 7) // 8) * rows
-                chunk = _packbits(chunk, want)
-            buf += chunk
-        return bytes(buf)
-
-    raw = strip_bytes()
-    if bps == 1:
-        rowb = (w + 7) // 8
+            rows = min(rows_per_strip, h - i * rows_per_strip)
+            buf += _decompress(data[o:o + cnts[i]], compression,
+                               rowb * rows)
         bits = np.unpackbits(
-            np.frombuffer(raw, np.uint8)[:h * rowb].reshape(h, rowb),
-            axis=1)[:, :w]
+            np.frombuffer(bytes(buf), np.uint8)[:h * rowb]
+            .reshape(h, rowb), axis=1)[:, :w]
         photo = tags.get(_PHOTO, [1])[0]
         vals = (1 - bits) if photo == 0 else bits
         return Image(xsiz=w, ysiz=h, components=[
             Component(data=vals.astype(np.int32), prec=1, signed=False,
                       dx=1, dy=1)])
+
     if bps == 8:
         dt = np.dtype(np.int8 if signed else np.uint8)
     else:
         dt = np.dtype(np.int16 if signed else np.uint16).newbyteorder(e)
-    a = np.frombuffer(raw, dt)
-    if planar == 2:
-        need = w * h * spp
-        a = a[:need].reshape(spp, h, w)
-        planes = [a[c] for c in range(spp)]
+    nplanes = spp if planar == 2 else 1
+    sppc = 1 if planar == 2 else spp         # samples/pixel per chunk
+    out = np.zeros((spp, h, w), np.int32)
+
+    def place(chunk_a: np.ndarray, py: int, px: int, plane0: int):
+        """chunk_a (rows, cols, sppc) -> out planes at (py, px)."""
+        rows = min(chunk_a.shape[0], h - py)
+        cols = min(chunk_a.shape[1], w - px)
+        for cc in range(sppc):
+            out[plane0 + cc, py:py + rows, px:px + cols] = \
+                chunk_a[:rows, :cols, cc]
+
+    if tiled:
+        tw, tl = tags[_TILE_W][0], tags[_TILE_L][0]
+        offs = tags[_TILE_OFF]
+        cnts = tags.get(_TILE_CNT, [0] * len(offs))
+        ta = -(-w // tw)
+        td = -(-h // tl)
+        per_plane = ta * td
+        want = tl * tw * sppc * dt.itemsize
+        for idx, o in enumerate(offs):
+            cnt = cnts[idx] or (len(data) - o)
+            plane0 = (idx // per_plane) if planar == 2 else 0
+            k = idx % per_plane
+            py, px = (k // ta) * tl, (k % ta) * tw
+            raw = _decompress(data[o:o + cnt], compression, want)
+            a = np.frombuffer(raw.ljust(want, b"\0"), dt).reshape(
+                tl, tw, sppc)
+            if predictor == 2:
+                a = _undo_predictor(a)
+            place(a, py, px, plane0)
     else:
-        need = w * h * spp
-        a = a[:need].reshape(h, w, spp)
-        planes = [a[:, :, c] for c in range(spp)]
-    comps = [Component(data=p.astype(np.int32),
+        offs = tags[_STRIP_OFF]
+        cnts = tags.get(_STRIP_CNT, [len(data) - offs[0]])
+        rows_per_strip = tags.get(_ROWS_PER_STRIP, [h])[0] or h
+        strips_per_plane = -(-h // rows_per_strip)
+        for idx, o in enumerate(offs):
+            plane0 = (idx // strips_per_plane) if planar == 2 else 0
+            si = idx % strips_per_plane
+            py = si * rows_per_strip
+            rows = min(rows_per_strip, h - py)
+            want = rows * w * sppc * dt.itemsize
+            raw = _decompress(data[o:o + cnts[idx]], compression, want)
+            a = np.frombuffer(raw.ljust(want, b"\0"), dt).reshape(
+                rows, w, sppc)
+            if predictor == 2:
+                a = _undo_predictor(a)
+            place(a, py, 0, plane0)
+
+    comps = [Component(data=out[c],
                        prec=bps_list[min(c, len(bps_list) - 1)],
                        signed=signed, dx=1, dy=1)
-             for c, p in enumerate(planes)]
+             for c in range(spp)]
     return Image(xsiz=w, ysiz=h, components=comps)
 
 

@@ -418,3 +418,179 @@ def test_palette_jp2_pclr_cmap(tmp_path):
     expect = palette[idx]
     for c in range(3):
         assert np.array_equal(rec.components[c].data, expect[:, :, c])
+
+
+def test_tiff_lzw_pillow_cross(tmp_path):
+    """LZW (+ horizontal predictor) TIFFs as Pillow/libtiff writes them
+    — the compression a real ingest pipeline hits on day one
+    (reference reads it via vendored libtiff, TIFFFormat.cpp)."""
+    PILImage = pytest.importorskip("PIL.Image")
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 256, (45, 70, 3), dtype=np.uint8)
+    p = str(tmp_path / "lzw.tif")
+    PILImage.fromarray(arr).save(p, compression="tiff_lzw")
+    img = tiff.read_tiff(p)
+    got = np.stack([c.data for c in img.components], axis=-1)
+    assert np.array_equal(got, arr)
+    # gray + 16-bit LZW
+    a16 = rng.integers(0, 65535, (33, 41), dtype=np.uint16)
+    p2 = str(tmp_path / "lzw16.tif")
+    PILImage.fromarray(a16).save(p2, compression="tiff_lzw")
+    img2 = tiff.read_tiff(p2)
+    assert np.array_equal(img2.components[0].data, a16)
+
+
+def test_tiff_lzw_predictor2(tmp_path):
+    """Predictor-2 LZW written by Pillow when asked explicitly."""
+    PILImage = pytest.importorskip("PIL.Image")
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 256, (40, 64, 3), dtype=np.uint8)
+    p = str(tmp_path / "pred.tif")
+    try:
+        PILImage.fromarray(arr).save(p, compression="tiff_lzw",
+                                     tiffinfo={317: 2})
+    except Exception:
+        pytest.skip("Pillow build cannot write predictor-2 LZW")
+    img = tiff.read_tiff(p)
+    got = np.stack([c.data for c in img.components], axis=-1)
+    assert np.array_equal(got, arr)
+
+
+def _write_tiled_tiff(path, arr, tw, tl, compression=1):
+    """Minimal chunky tiled TIFF writer (test fixture)."""
+    import struct as _s
+    import zlib
+    h, w, spp = arr.shape
+    ta, td = -(-w // tw), -(-h // tl)
+    tiles = []
+    for ty in range(td):
+        for tx in range(ta):
+            t = np.zeros((tl, tw, spp), arr.dtype)
+            ys, xs = ty * tl, tx * tw
+            ph, pw = min(tl, h - ys), min(tw, w - xs)
+            t[:ph, :pw] = arr[ys:ys + ph, xs:xs + pw]
+            body = t.tobytes()
+            if compression == 8:
+                body = zlib.compress(body)
+            tiles.append(body)
+    ntags = 11
+    ifd_off = 8
+    entries = []
+
+    def tag(tid, typ, vals):
+        entries.append((tid, typ, vals))
+
+    tag(256, 4, [w]); tag(257, 4, [h])
+    tag(258, 3, [8] * spp)
+    tag(259, 3, [compression])
+    tag(262, 3, [2 if spp >= 3 else 1])
+    tag(277, 3, [spp])
+    tag(322, 4, [tw]); tag(323, 4, [tl])
+    heap_base = ifd_off + 2 + ntags * 12 + 4
+    heap = bytearray()
+
+    def emit(tid, typ, vals):
+        fmt = {3: "H", 4: "I"}[typ]
+        pay = _s.pack(f"<{len(vals)}{fmt}", *vals)
+        if len(pay) <= 4:
+            return _s.pack("<HHI", tid, typ, len(vals)) + pay.ljust(4, b"\0")
+        off = heap_base + len(heap)
+        heap.extend(pay)
+        return _s.pack("<HHII", tid, typ, len(vals), off)
+
+    # two-pass for tile offsets
+    for _pass in range(2):
+        heap.clear()
+        ents = b"".join(emit(t, ty, v) for (t, ty, v) in entries)
+        data_base = heap_base + len(heap) + len(_s.pack("<I", 0))
+        offs = []
+        pos = data_base + 0
+        # reserve heap room for offsets/counts arrays (added below)
+        toff_entry = emit(324, 4, [0] * len(tiles))
+        tcnt_entry = emit(325, 4, [len(t) for t in tiles])
+        fmt_entry = emit(339, 3, [1] * spp)
+        data_base = heap_base + len(heap)
+        pos = data_base
+        for t in tiles:
+            offs.append(pos)
+            pos += len(t)
+        # rebuild with real offsets
+        heap2 = bytearray()
+
+        def emit2(tid, typ, vals):
+            fmt = {3: "H", 4: "I"}[typ]
+            pay = _s.pack(f"<{len(vals)}{fmt}", *vals)
+            if len(pay) <= 4:
+                return _s.pack("<HHI", tid, typ, len(vals)) \
+                    + pay.ljust(4, b"\0")
+            off = heap_base + len(heap2)
+            heap2.extend(pay)
+            return _s.pack("<HHII", tid, typ, len(vals), off)
+
+        ents = b"".join(emit2(t, ty, v) for (t, ty, v) in entries)
+        ents += emit2(324, 4, offs)
+        ents += emit2(325, 4, [len(t) for t in tiles])
+        ents += emit2(339, 3, [1] * spp)
+        heap = heap2
+    with open(path, "wb") as f:
+        f.write(_s.pack("<2sHI", b"II", 42, ifd_off))
+        f.write(_s.pack("<H", ntags))
+        f.write(ents)
+        f.write(_s.pack("<I", 0))
+        f.write(bytes(heap))
+        for t in tiles:
+            f.write(t)
+
+
+def test_tiff_tiled_read(tmp_path):
+    """Tiled TIFF layout (tags 322-325), uncompressed and deflate."""
+    rng = np.random.default_rng(2)
+    arr = rng.integers(0, 256, (50, 70, 3), dtype=np.uint8)
+    for comp in (1, 8):
+        p = str(tmp_path / f"tiled{comp}.tif")
+        _write_tiled_tiff(p, arr, 32, 16, compression=comp)
+        img = tiff.read_tiff(p)
+        got = np.stack([c.data for c in img.components], axis=-1)
+        assert np.array_equal(got, arr), f"compression {comp}"
+        # cross-check Pillow agrees the file is valid
+        try:
+            from PIL import Image as PILImage
+            ref = np.asarray(PILImage.open(p))
+            assert np.array_equal(ref, arr)
+        except ImportError:
+            pass
+
+
+def test_jpeg_output_roundtrip(tmp_path):
+    """grk_decompress-style JPEG output (reference JPEGFormat.cpp is
+    bidirectional; input side already rides Pillow)."""
+    PILImage = pytest.importorskip("PIL.Image")
+    import jax
+    from grokimagecompression_tpu.cli import compress as c_cli
+    from grokimagecompression_tpu.cli import decompress as d_cli
+    rng = np.random.default_rng(4)
+    yy, xx = np.mgrid[0:48, 0:64]
+    arr = np.stack([((xx * 3 + yy * (c + 1)) % 256) for c in range(3)],
+                   axis=-1).astype(np.uint8)
+    src = str(tmp_path / "in.ppm")
+    with open(src, "wb") as f:
+        f.write(b"P6\n64 48\n255\n" + arr.tobytes())
+    j2k = str(tmp_path / "x.j2k")
+    assert c_cli.main(["-i", src, "-o", j2k]) == 0
+    out = str(tmp_path / "out.jpg")
+    assert d_cli.main(["-i", j2k, "-o", out]) == 0
+    back = np.asarray(PILImage.open(out))
+    assert back.shape == arr.shape
+    # lossless J2K -> quality-90 JPEG: close but not exact
+    assert np.abs(back.astype(int) - arr.astype(int)).mean() < 8
+    # gray path
+    g = str(tmp_path / "g.pgm")
+    with open(g, "wb") as f:
+        f.write(b"P5\n64 48\n255\n" + arr[:, :, 0].tobytes())
+    j2 = str(tmp_path / "g.j2k")
+    assert c_cli.main(["-i", g, "-o", j2]) == 0
+    outg = str(tmp_path / "g.jpg")
+    assert d_cli.main(["-i", j2, "-o", outg]) == 0
+    backg = np.asarray(PILImage.open(outg))
+    assert np.abs(backg.astype(int)
+                  - arr[:, :, 0].astype(int)).mean() < 8
