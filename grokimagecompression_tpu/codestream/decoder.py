@@ -625,58 +625,163 @@ def decode_batch(datas: List[bytes],
     siz, cod, qcd = h0.siz, h0.cod, h0.qcd
     ntx, nty = tile_grid_size(siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
                               siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
-    if (ntx * nty != 1
-            or not ((cod.cblk_style & 0x40) or cod.cblk_style == 0)
+    numtiles = ntx * nty
+    # Gate (round-5 widened: multi-tile, COC/QCC with a batchable
+    # geometry, POC, and PPM/PPT streams now run the fused device batch
+    # — reference decode generality anchor: src/lib/jp2/t2/T2.cpp:194).
+    # Still host-only: ROI shifts, custom MCT, mixed per-comp
+    # transforms/styles, per-tile-part header overrides.
+    if (not ((cod.cblk_style & 0x40) or cod.cblk_style == 0)
             or cod.mct not in (0, 1)
-            or any(h.cod_comp or h.qcd_comp or h.pocs or h.roishifts
-                   or h.custom_mct or h.ppm_sections for h in hdrs)):
+            or any(h.roishifts or h.custom_mct for h in hdrs)):
         return _fallback()
-    tr = tile_rect(0, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
-                   siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
+    if any((h.cod_comp, h.qcd_comp, h.pocs,
+            h.ppm_sections is not None)
+           != (h0.cod_comp, h0.qcd_comp, h0.pocs,
+               h0.ppm_sections is not None) for h in hdrs[1:]):
+        return _fallback()
+    if h0.cod_comp and any(
+            cc and (cc.transform != cod.transform
+                    or cc.numresolutions != cod.numresolutions
+                    or cc.cblk_style != cod.cblk_style)
+            for cc in h0.cod_comp):
+        return _fallback()
+    trs = [tile_rect(t, siz.xsiz, siz.ysiz, siz.xosiz, siz.yosiz,
+                     siz.xtsiz, siz.ytsiz, siz.xtosiz, siz.ytosiz)
+           for t in range(numtiles)]
+
+    class _HostPath(Exception):
+        pass
 
     def _jobs(i: int):
-        body = b"".join(tp.body for tp in
-                        iter_tile_parts(datas[i], hdrs[i].main_header_end)
-                        if tp.tile_index == 0)
-        r = decode_tile(body, siz, cod, qcd, tr, _return_jobs=True)
-        assert isinstance(r, tuple) and r[0] == "jobs"
-        return r
+        tile_bodies: Dict[int, List[bytes]] = {}
+        tile_hdrs: Dict[int, List[bytes]] = {}
+        ppm_iter = iter(hdrs[i].ppm_sections or [])
+        for tp in iter_tile_parts(datas[i], hdrs[i].main_header_end):
+            if tp.cod or tp.qcd or tp.coc_raw or tp.qcc_raw \
+                    or tp.poc_raw:
+                raise _HostPath()  # tile-part header overrides
+            tile_bodies.setdefault(tp.tile_index, []).append(tp.body)
+            if hdrs[i].ppm_sections is not None:
+                tile_hdrs.setdefault(tp.tile_index, []).append(
+                    next(ppm_iter, b""))
+            elif tp.ppt_raw:
+                tile_hdrs.setdefault(tp.tile_index, []).append(
+                    markers.merge_ppx([(pl[0], pl[1:])
+                                       for pl in tp.ppt_raw]))
+        out = []
+        for t in range(numtiles):
+            body = b"".join(tile_bodies.get(t, []))
+            packed = (b"".join(tile_hdrs[t]) if t in tile_hdrs
+                      else None)
+            r = decode_tile(body, siz, cod, qcd, trs[t],
+                            cod_comp=h0.cod_comp, qcd_comp=h0.qcd_comp,
+                            pocs=h0.pocs, packed_headers=packed,
+                            _return_jobs=True)
+            assert isinstance(r, tuple) and r[0] == "jobs"
+            out.append(r)
+        return out
 
     import concurrent.futures as _cf
     nw = min(len(datas), 2 * (_os.cpu_count() or 1))
-    with _cf.ThreadPoolExecutor(max_workers=nw) as ex:
-        parsed = list(ex.map(_jobs, range(len(datas))))
+    try:
+        with _cf.ThreadPoolExecutor(max_workers=nw) as ex:
+            parsed = list(ex.map(_jobs, range(len(datas))))
+    except _HostPath:
+        return _fallback()
 
-    plans, cods = parsed[0][3], parsed[0][4]
-    steps_by_band = {
-        (c, (res.r, band.orient)):
-            plans[c].bands[(res.r, band.orient)].stepsize
-        for c in range(len(plans))
-        for res in plans[c].layout.resolutions
-        for band in res.bands}
+    # Group tiles by fused-geometry signature (same trick as the mesh
+    # encode route: identical slot layout + band shapes share one
+    # compiled program and one submit batch).
+    def _sig(t: int):
+        r = parsed[0][t]
+        plans_t, slots_t, jobs_t = r[3], r[2], r[1]
+        bands = []
+        for c in range(len(plans_t)):
+            for res in plans_t[c].layout.resolutions:
+                for band in res.bands:
+                    bp = plans_t[c].bands[(res.r, band.orient)]
+                    bands.append((c, res.r, band.orient, band.rect.h,
+                                  band.rect.w, float(bp.stepsize)))
+        blocks = tuple(
+            (c, key, j[2], j[3],
+             cb.geom.rect.x0
+             - plans_t[c].bands[key].rect.x0,
+             cb.geom.rect.y0
+             - plans_t[c].bands[key].rect.y0)
+            for (c, key, cb), j in zip(slots_t, jobs_t))
+        return (trs[t].w, trs[t].h, tuple(bands), blocks)
+
+    tgroups: Dict[object, List[int]] = {}
+    for t in range(numtiles):
+        tgroups.setdefault(_sig(t), []).append(t)
+    # every frame must share each tile's slot layout with frame 0
+    for i in range(1, len(parsed)):
+        for t in range(numtiles):
+            if len(parsed[i][t][1]) != len(parsed[0][t][1]):
+                return _fallback()
 
     from ..models import fused_decode
-    handles = []
-    for k in range(0, len(parsed), chunk):
-        frames = [(p[1], p[2]) for p in parsed[k:k + chunk]]
-        hnd = fused_decode.decode_tiles_device_submit(
-            frames, plans, cods, siz, cod, tr, steps_by_band)
-        if hnd is None:
-            return _fallback()
-        handles.append(hnd)
+    nframes = len(datas)
+    # canvas planes per frame
+    ax0, ay0 = siz.xosiz, siz.yosiz
+    comps_out = [
+        [np.zeros((ceil_div(siz.ysiz, cs.dy) - ceil_div(ay0, cs.dy),
+                   ceil_div(siz.xsiz, cs.dx) - ceil_div(ax0, cs.dx)),
+                  np.int32) for cs in siz.comps]
+        for _ in range(nframes)]
+
+    submits = []  # (handle, [(frame, tile), ...], plans_rep)
+    for sig, tlist in tgroups.items():
+        t0 = tlist[0]
+        plans_rep, cods_rep = parsed[0][t0][3], parsed[0][t0][4]
+        steps_by_band = {
+            (c, (res.r, band.orient)):
+                plans_rep[c].bands[(res.r, band.orient)].stepsize
+            for c in range(len(plans_rep))
+            for res in plans_rep[c].layout.resolutions
+            for band in res.bands}
+        instances = [(f, t) for t in tlist for f in range(nframes)]
+        for k in range(0, len(instances), chunk):
+            part = instances[k:k + chunk]
+            frames = [(parsed[f][t][1], parsed[f][t][2])
+                      for (f, t) in part]
+            hnd = fused_decode.decode_tiles_device_submit(
+                frames, plans_rep, cods_rep, siz, cod, trs[part[0][1]],
+                steps_by_band)
+            if hnd is None:
+                return _fallback()
+            submits.append((hnd, part, plans_rep))
+
+    for (hnd, part, plans_rep) in submits:
+        outs = fused_decode.decode_tiles_device_collect(hnd)
+        for (f, t), comps in zip(part, outs):
+            for c, a in enumerate(comps):
+                cs = siz.comps[c]
+                tc = parsed[0][t][3][c].layout.tc_rect
+                arr = np.asarray(a, np.int32)
+                ox = ceil_div(ax0, cs.dx)
+                oy = ceil_div(ay0, cs.dy)
+                dst = comps_out[f][c]
+                ty0, tx0 = tc.y0, tc.x0
+                y_lo = max(0, oy - ty0)
+                x_lo = max(0, ox - tx0)
+                y_hi = min(arr.shape[0], oy + dst.shape[0] - ty0)
+                x_hi = min(arr.shape[1], ox + dst.shape[1] - tx0)
+                if y_hi <= y_lo or x_hi <= x_lo:
+                    continue
+                dst[ty0 + y_lo - oy:ty0 + y_hi - oy,
+                    tx0 + x_lo - ox:tx0 + x_hi - ox] = \
+                    arr[y_lo:y_hi, x_lo:x_hi]
 
     out: List[Image] = []
-    origins = [(plans[c].layout.tc_rect.x0, plans[c].layout.tc_rect.y0)
-               for c in range(len(plans))]
-    for hnd in handles:
-        for comps in fused_decode.decode_tiles_device_collect(hnd):
-            comp_objs = [
-                Component(data=np.asarray(a, np.int32),
-                          dx=siz.comps[c].dx, dy=siz.comps[c].dy,
-                          prec=siz.comps[c].prec,
-                          signed=siz.comps[c].signed)
-                for c, a in enumerate(comps)
-            ]
-            out.append(Image(components=comp_objs, x0=siz.xosiz,
-                             y0=siz.yosiz, xsiz=siz.xsiz, ysiz=siz.ysiz))
+    for f in range(nframes):
+        comp_objs = [
+            Component(data=comps_out[f][c], dx=siz.comps[c].dx,
+                      dy=siz.comps[c].dy, prec=siz.comps[c].prec,
+                      signed=siz.comps[c].signed)
+            for c in range(len(siz.comps))
+        ]
+        out.append(Image(components=comp_objs, x0=ax0, y0=ay0,
+                         xsiz=siz.xsiz, ysiz=siz.ysiz))
     return out

@@ -135,6 +135,15 @@ def build_plan(siz, cod, qcd, tile: Rect,
     order = []
     for gk in sorted(groups.keys()):
         entries = groups[gk]
+        if coder == "mq":
+            # Cluster lanes by static band depth (kmax): the MQ scan
+            # kernel skips (chunk x lane-tile) cells with no emitting
+            # slot, and planes above a block's bit depth are dead — a
+            # kmax-sorted lane order makes whole tiles go quiet on the
+            # same planes instead of one deep block keeping 1023
+            # shallow neighbours' tiles active. Stable, static, and
+            # positionally transparent (`order` carries the mapping).
+            entries = sorted(entries, key=lambda e: -e[1].kmax)
         gtuple.append((gk[0], gk[1], tuple(s for (_, s) in entries)))
         order.append(tuple(i for (i, _) in entries))
     if coder == "mq":
@@ -320,6 +329,9 @@ def _jitted_fused_mq(plan: FusedPlan, nframes: int):
                 jnp, lax, slots)
             comp2, counts2, nbytes, overflow = mq_jax._compact_level2(
                 jnp, comp1, counts1, st)
+            comp2, counts2, over3 = mq_jax._compact_lanes(
+                jnp, lax, comp2, counts2, mq_jax.mq_cap3(h, w, kmaxg))
+            overflow = overflow | over3
             metrics = jnp.stack(
                 [nbytes, st[0], st[1], st[2], st[3], st[4],
                  overflow.astype(jnp.int32),

@@ -235,15 +235,25 @@ def _sc_ctx(jnp, nbsig, neg, geo):
 
 
 def _spp_members(jnp, lax, sigS, bit_p, geo):
-    """Significance-propagation membership fixpoint."""
+    """Significance-propagation membership fixpoint.
+
+    For booleans, where(e, shift(sigS | mb), shift(sigS)) ==
+    shift(sigS) | (e & shift(mb)), so the OR over all 8 offsets splits
+    into a loop-INVARIANT base (the plain significance neighborhood)
+    plus the member-dependent part — the while_loop body shifts only
+    the small member&bit plane instead of both planes, ~35% less work
+    per fixpoint iteration (the builder's one data-dependent loop)."""
+    base = None
+    for off in geo["offs"]:
+        s = _shift(jnp, sigS, *off)
+        base = s if base is None else (base | s)
+
     def nb_any(member):
-        sigM = sigS | (member & bit_p)
-        acc = None
+        mb = member & bit_p
+        acc = base
         for off in geo["offs"]:
             e = _g(jnp, geo, "earlier", off)
-            nb = jnp.where(e, _shift(jnp, sigM, *off),
-                           _shift(jnp, sigS, *off))
-            acc = nb if acc is None else (acc | nb)
+            acc = acc | (e & _shift(jnp, mb, *off))
         return acc
 
     def body(state):
@@ -254,8 +264,7 @@ def _spp_members(jnp, lax, sigS, bit_p, geo):
     def cond(state):
         return state[1]
 
-    zero = jnp.zeros_like(sigS)
-    member0 = (~sigS) & nb_any(zero)
+    member0 = (~sigS) & base
     member, _ = lax.while_loop(
         cond, body, (member0, jnp.array(True)))
     return member
@@ -448,14 +457,40 @@ def build_slot_stream(jnp, lax, mag, neg, orient, nbps, nplanes, geo,
     distortion sums scaled by 4^-plane (plane axis MSB-first, matching
     the slot stream's plane order)."""
     B = mag.shape[2]
+    # Planes at or above the batch's actual max bit depth are dead for
+    # every lane (spp/cln validity needs plane <= nbps-1): branch to a
+    # zero fill instead of the full neighbor/context analysis. The
+    # static plane count is the band kmax bound (e.g. 19 for 12-bit
+    # cinema) while content typically uses ~8-10, so this skips a
+    # third or more of builder compute; the zero slots are exact
+    # (emit=0 is the pure passthrough byte) and the scan kernel's
+    # activity map skips their cells too.
+    maxnb = jnp.max(nbps)
+
+    hp, w_ = mag.shape[0], mag.shape[1]
 
     def body(carry, plane):
+        tp = slots_per_plane(hp, w_)  # hp pre-padded: pad is idempotent
+
+        def live(_):
+            if want_dist:
+                s, d = _plane_slots(jnp, lax, mag, neg, orient, nbps,
+                                    plane, geo, want_dist=True)
+                return s.astype(jnp.int8), d
+            s = _plane_slots(jnp, lax, mag, neg, orient, nbps, plane,
+                             geo)
+            return (s.astype(jnp.int8),)
+
+        def dead(_):
+            z = jnp.zeros((tp, B), jnp.int8)
+            if want_dist:
+                return z, jnp.zeros((3, B), jnp.float32)
+            return (z,)
+
+        out = lax.cond(plane < maxnb, live, dead, 0)
         if want_dist:
-            s, d = _plane_slots(jnp, lax, mag, neg, orient, nbps, plane,
-                                geo, want_dist=True)
-            return carry, (s.astype(jnp.int8), d)
-        s = _plane_slots(jnp, lax, mag, neg, orient, nbps, plane, geo)
-        return carry, s.astype(jnp.int8)
+            return carry, (out[0], out[1])
+        return carry, out[0]
 
     planes = jnp.arange(nplanes - 1, -1, -1, dtype=jnp.int32)
     _, out = lax.scan(body, 0, planes)
@@ -527,24 +562,21 @@ def mq_step(jnp, carry, slot):
         cps[k] = jnp.where(wb & m,
                            (cps[k] & ~fmask) | newfield, cps[k])
 
-    # renorm shift count: make bit 15 of a2 set (a2 >= 1)
-    n = jnp.zeros_like(a2)
-    t = a2
-    n = jnp.where(t < 0x100, n + 8, n)
-    t = jnp.where(t < 0x100, t << 8, t)
-    n = jnp.where(t < 0x1000, n + 4, n)
-    t = jnp.where(t < 0x1000, t << 4, t)
-    n = jnp.where(t < 0x4000, n + 2, n)
-    t = jnp.where(t < 0x4000, t << 2, t)
-    n = jnp.where(t < 0x8000, n + 1, n)
+    # renorm shift count: make bit 15 of a2 set. a2 in [1, 0xFFFF] on
+    # the wb path, so float32 conversion is exact and the exponent
+    # field gives floor(log2): n = 15 - (exp - 127) = 142 - exp —
+    # 4 vector ops instead of the 11-op branchless clz ladder.
+    from jax import lax as lax_mod
+    fa = lax_mod.bitcast_convert_type(a2.astype(jnp.float32), jnp.int32)
+    n = jnp.int32(142) - (fa >> 23)
     n = jnp.where(wb, n, 0)
     a3 = jnp.where(wb, (a2 << n) & 0xFFFF, a2)
 
-    word_o = jnp.zeros_like(a2)
-    full_o = jnp.zeros_like(a2, dtype=jnp.bool_)
     nbo = jnp.zeros_like(a2)
     cc, cct, clast = c2, ct, last
     nrem = n
+    ebytes = []
+    evalids = []
     for _ in range(3):
         s_i = jnp.minimum(nrem, cct)
         cc = cc << s_i
@@ -578,15 +610,29 @@ def mq_step(jnp, carry, slot):
         cc = jnp.where(bo, newc, cc)
         cct = jnp.where(bo, newct, cct)
         nbo = nbo + bo.astype(jnp.int32)
-        # ---- word push ----
-        e32 = (evalid).astype(jnp.int32)
-        wacc = wacc | jnp.where(e32 == 1, ebyte << (8 * wcnt), 0)
-        wcnt = wcnt + e32
-        wfull = wcnt >= 4
-        word_o = word_o | jnp.where(wfull, wacc, 0)
-        full_o = full_o | wfull
-        wacc = jnp.where(wfull, 0, wacc)
-        wcnt = jnp.where(wfull, 0, wcnt)
+        ebytes.append(ebyte)
+        evalids.append(evalid)
+
+    # ---- single word push (a step emits <= 3 bytes, so at most ONE
+    # 4-byte word can complete): pack the valid bytes consecutively
+    # into bb, splice at the lane's byte cursor, spill the overflow
+    # into the next accumulator — ~8 fewer vector ops than pushing
+    # byte-by-byte inside the loop. ----
+    e0 = evalids[0].astype(jnp.int32)
+    e1 = evalids[1].astype(jnp.int32)
+    e2 = evalids[2].astype(jnp.int32)
+    bb = jnp.where(evalids[0], ebytes[0] & 0xFF, 0)
+    bb = bb | jnp.where(evalids[1], (ebytes[1] & 0xFF) << (8 * e0), 0)
+    bb = bb | jnp.where(evalids[2],
+                        (ebytes[2] & 0xFF) << (8 * (e0 + e1)), 0)
+    wacc_new = wacc | (bb << (8 * wcnt))          # wcnt <= 3: shift <= 24
+    # spill = bytes past slot 3; two-step shift keeps amounts < 32
+    spill = (bb >> (8 * (3 - wcnt))) >> 8
+    newcnt = wcnt + e0 + e1 + e2
+    full_o = newcnt >= 4
+    word_o = jnp.where(full_o, wacc_new, 0)
+    wacc = jnp.where(full_o, spill, wacc_new)
+    wcnt = jnp.where(full_o, newcnt - 4, newcnt)
 
     out = (a3, cc, cct, clast, wacc, wcnt) + tuple(cps)
     return out, word_o, full_o, nbo
@@ -698,6 +744,46 @@ def _compact_level2(jnp, comp1, counts1, st, ccap=MQ_CCAP, grp=MQ_GRP,
     nbytes = 4 * wcount + st[5]                        # (S, 128)
     overflow = over1 | over2
     return comp2, counts2, nbytes, overflow
+
+
+def mq_cap3(h: int, w: int, nplanes: int) -> int:
+    """Per-lane packed-word capacity for the lane-sort compaction:
+    4 B/sample bounds any legal MQ output for the block (the MQ coder
+    cannot emit more than ~1.3 B/sample even on max-entropy content;
+    the margin also covers stuffing + segment tails), and never exceeds
+    the level-2 grid's own capacity. Lanes that somehow exceed it carry
+    the existing overflow flag (host re-encode of that frame)."""
+    T = nplanes * slots_per_plane(h, w)
+    nch = -(-T // 256)
+    ngrp = -(-nch // MQ_GRP)
+    return min(ngrp * MQ_CAP2, h * w)
+
+
+def _compact_lanes(jnp, lax, comp2, counts2, cap3: int):
+    """Per-lane pack of the level-2 word grid with ONE lane-parallel
+    sort: each valid (group, slot) word is keyed by its per-lane global
+    word index (invalid slots key FAR), so sorting along the flattened
+    (group, slot) axis moves every lane's words, in order, into the
+    leading `cap3` rows. This replaces the flat global position sort
+    over the full grid capacity (ngrp*cap2 per lane — 20M entries and
+    ~108 ms/frame at cinema-2K geometry) with a batched sort whose
+    global phase shrinks by ngrp*cap2/cap3 (~3-6x).
+
+    Returns (packed (1, cap3, S, 128), counts (1, S, 128), over
+    (S, 128) bool)."""
+    ngrp, cap2, S, _ = comp2.shape
+    cc = counts2                                   # clamped (ngrp,S,128)
+    pre = jnp.cumsum(cc, axis=0) - cc              # words before group
+    j = jnp.arange(cap2, dtype=jnp.int32).reshape(1, cap2, 1, 1)
+    key = pre[:, None] + j
+    far = jnp.int32(1 << 30)
+    key = jnp.where(j < cc[:, None], key, far)
+    k2 = key.reshape(ngrp * cap2, S, 128)
+    v2 = comp2.reshape(ngrp * cap2, S, 128)
+    _, sv = lax.sort_key_val(k2, v2, dimension=0)
+    wcount = cc.sum(axis=0)
+    over = wcount > cap3
+    return (sv[:cap3][None], jnp.minimum(wcount, cap3)[None], over)
 
 
 def _use_pallas() -> bool:
@@ -880,11 +966,8 @@ def mq_flat_sizes(h: int, w: int, B: int, nplanes: int,
     """(metrics-head length, packed-word bound) of the flat fused-MQ
     output for one shape group. Head layout: metrics (B, NMETRICS) ++
     [want_rd: cumbo (3*nplanes, B) ++ dists bitcast (3*nplanes, B)]."""
-    T = nplanes * slots_per_plane(h, w)
-    nch = -(-T // 256)
-    ngrp = -(-nch // MQ_GRP)
     mhead = B * NMETRICS + (2 * 3 * nplanes * B if want_rd else 0)
-    return mhead, B * (ngrp * MQ_CAP2 + 1)
+    return mhead, B * (mq_cap3(h, w, nplanes) + 1)
 
 
 @functools.lru_cache(maxsize=128)
@@ -920,6 +1003,9 @@ def _jitted_mq_group(h: int, w: int, B: int, nplanes: int,
         comp1, counts1, nboc, st = run_mq_scans_compact(jnp, lax, slots)
         comp2, counts2, nbytes, overflow = _compact_level2(
             jnp, comp1, counts1, st)
+        comp2, counts2, over3 = _compact_lanes(
+            jnp, lax, comp2, counts2, mq_cap3(h, w, nplanes))
+        overflow = overflow | over3
         nbp = jnp.pad(nbps, (0, b_pad - B)).reshape(nbytes.shape)
         metrics = jnp.stack(
             [nbytes, st[0], st[1], st[2], st[3], st[4],

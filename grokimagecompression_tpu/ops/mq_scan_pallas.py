@@ -94,7 +94,22 @@ def mq_scan_compact_blocked(slots, s: int, interpret: bool = False):
     n_lane = s // st
     nq = _CHUNK // 4
 
-    def kernel(s_ref, c1_ref, cnt_ref, nbo_ref, st_ref, scratch):
+    # Activity map, (n_lane, nch) int32: 1 iff any slot in the
+    # (256-step chunk x lane-tile) cell has its emit bit set. Noop
+    # slots are exact state passthroughs in mq_step, so a fully
+    # inactive cell can skip the scan entirely (its outputs are zero
+    # and the carried state is unchanged). Real streams are mostly
+    # padding — EBCOT's static slot layout reserves ~5.75 slots per
+    # sample per plane but codes ~1-2, and planes above a block's
+    # actual MSB are entirely dead — measured emit density on cinema
+    # content is ~8%, with ~half of all cells fully inactive.
+    act = ((sl.reshape(nch, nq, n_lane, st, 128) & 0x01010101) != 0) \
+        .any(axis=(1, 3, 4))
+    act = act.T.astype(jnp.int32)                      # (n_lane, nch)
+
+    def kernel(act_ref, s_ref, c1_ref, cnt_ref, nbo_ref, st_ref,
+               scratch):
+        i = pl.program_id(0)
         j = pl.program_id(1)
 
         @pl.when(j == 0)
@@ -103,31 +118,48 @@ def mq_scan_compact_blocked(slots, s: int, interpret: bool = False):
                 scratch[k, :, :] = jnp.full((st, 128), v, jnp.int32)
 
         zero = jnp.zeros((st, 128), jnp.int32)
+        active = act_ref[i, j] != 0
 
-        def body(tq, carry):
-            state = carry[:nstate]
-            cnt, nbos = carry[nstate], carry[nstate + 1]
-            acc = list(carry[nstate + 2:])
-            wq = s_ref[tq]
-            for sub in range(4):
-                slot = (wq >> (8 * sub)) & 0xFF
-                state, word, full, nbo = mq_jax.mq_step(jnp, state, slot)
-                for k in range(ccap):
-                    acc[k] = acc[k] | jnp.where(full & (cnt == k), word, 0)
-                cnt = cnt + full.astype(jnp.int32)
-                nbos = nbos + nbo
-            return tuple(state) + (cnt, nbos) + tuple(acc)
+        @pl.when(active)
+        def _():
+            def body(tq, carry):
+                state = carry[:nstate]
+                cnt, nbos = carry[nstate], carry[nstate + 1]
+                acc = list(carry[nstate + 2:])
+                wq = s_ref[tq]
+                for sub in range(4):
+                    slot = (wq >> (8 * sub)) & 0xFF
+                    state, word, full, nbo = mq_jax.mq_step(jnp, state,
+                                                            slot)
+                    for k in range(ccap):
+                        acc[k] = acc[k] | jnp.where(full & (cnt == k),
+                                                    word, 0)
+                    cnt = cnt + full.astype(jnp.int32)
+                    nbos = nbos + nbo
+                return tuple(state) + (cnt, nbos) + tuple(acc)
 
-        carry = tuple(scratch[k, :, :] for k in range(nstate))
-        carry = carry + (zero, zero) + tuple(zero for _ in range(ccap))
-        carry = lax.fori_loop(0, nq, body, carry)
+            carry = tuple(scratch[k, :, :] for k in range(nstate))
+            carry = carry + (zero, zero) + tuple(zero
+                                                 for _ in range(ccap))
+            carry = lax.fori_loop(0, nq, body, carry)
+            for k in range(nstate):
+                scratch[k, :, :] = carry[k]
+            cnt_ref[0] = carry[nstate]
+            nbo_ref[0] = carry[nstate + 1]
+            for k in range(ccap):
+                c1_ref[0, k] = carry[nstate + 2 + k]
+
+        @pl.when(jnp.logical_not(active))
+        def _():
+            cnt_ref[0] = zero
+            nbo_ref[0] = zero
+            for k in range(ccap):
+                c1_ref[0, k] = zero
+
+        # same output block for every j: the last chunk's write is the
+        # final per-lane coder state
         for k in range(nstate):
-            scratch[k, :, :] = carry[k]
-            st_ref[k, :, :] = carry[k]
-        cnt_ref[0] = carry[nstate]
-        nbo_ref[0] = carry[nstate + 1]
-        for k in range(ccap):
-            c1_ref[0, k] = carry[nstate + 2 + k]
+            st_ref[k, :, :] = scratch[k, :, :]
 
     out_shape = [
         jax.ShapeDtypeStruct((nch, ccap, s, 128), jnp.int32),
@@ -135,25 +167,30 @@ def mq_scan_compact_blocked(slots, s: int, interpret: bool = False):
         jax.ShapeDtypeStruct((nch, s, 128), jnp.int32),
         jax.ShapeDtypeStruct((nstate, s, 128), jnp.int32),
     ]
-    in_spec = pl.BlockSpec((nq, st, 128), lambda i, j: (j, i, 0),
+    in_spec = pl.BlockSpec((nq, st, 128), lambda i, j, *_: (j, i, 0),
                            memory_space=pltpu.VMEM)
-    ch_spec = pl.BlockSpec((1, st, 128), lambda i, j: (j, i, 0),
+    ch_spec = pl.BlockSpec((1, st, 128), lambda i, j, *_: (j, i, 0),
                            memory_space=pltpu.VMEM)
-    comp1, counts1, nboc, state = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n_lane, nch),
         in_specs=[in_spec],
         out_specs=[
-            pl.BlockSpec((1, ccap, st, 128), lambda i, j: (j, 0, i, 0),
+            pl.BlockSpec((1, ccap, st, 128),
+                         lambda i, j, *_: (j, 0, i, 0),
                          memory_space=pltpu.VMEM),
             ch_spec, ch_spec,
-            pl.BlockSpec((nstate, st, 128), lambda i, j: (0, i, 0),
+            pl.BlockSpec((nstate, st, 128), lambda i, j, *_: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((nstate, st, 128), jnp.int32)],
+    )
+    comp1, counts1, nboc, state = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
         interpret=interpret,
-    )(sl)
+    )(act, sl)
     if s_in != s:
         comp1 = comp1[:, :, :s_in]
         counts1 = counts1[:, :s_in]

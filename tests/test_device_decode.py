@@ -129,3 +129,47 @@ def test_decode_batch_device_pixel_identical():
         for r, g in zip(ref, got):
             np.testing.assert_array_equal(r.components[0].data,
                                           g.components[0].data)
+
+
+def test_decode_batch_widened_gate_tiled_coc_poc_ppm():
+    """Round-5 widened decode_batch gate: multi-tile streams, QCC/COC,
+    POC, and PPM streams must run the fused batch path (or an exact
+    fallback) pixel-identical to per-frame host decode (reference decode
+    generality: src/lib/jp2/t2/T2.cpp:194-268)."""
+    from grokimagecompression_tpu.codestream import decoder, encoder
+    from grokimagecompression_tpu.core.image import Component, Image
+    from grokimagecompression_tpu.core.params import (EncoderParams,
+                                                      Progression)
+    rng = np.random.default_rng(9)
+    frames = []
+    for i in range(3):
+        comps = [Component(data=rng.integers(0, 256, (64, 96))
+                           .astype(np.int32), prec=8, signed=False,
+                           dx=1, dy=1) for _ in range(3)]
+        frames.append(Image(xsiz=96, ysiz=64, components=comps))
+    configs = [
+        ("tiled", EncoderParams(numresolutions=3, cblk_style=0x40,
+                                tile_size=(32, 32))),
+        ("tiled RPCL", EncoderParams(numresolutions=3, cblk_style=0x40,
+                                     tile_size=(32, 32),
+                                     progression=Progression.RPCL)),
+        ("PPM", EncoderParams(numresolutions=3, cblk_style=0x40,
+                              tile_size=(32, 32), ppm_markers=True)),
+        ("POC", None),  # filled below with PocEntry tuples
+    ]
+    from grokimagecompression_tpu.codestream.markers import PocEntry
+    configs[-1] = ("POC", EncoderParams(
+        numresolutions=3, cblk_style=0x40,
+        pocs=(PocEntry(rs=0, cs=0, lye=1, re=2, ce=3,
+                       prog=Progression.RLCP),
+              PocEntry(rs=2, cs=0, lye=1, re=3, ce=3,
+                       prog=Progression.CPRL))))
+    for name, p in configs:
+        css = [encoder.encode(f, p, device=False) for f in frames]
+        ref = [decoder.decode(cs) for cs in css]
+        got = decoder.decode_batch(css, device=True, chunk=2)
+        for r, g in zip(ref, got):
+            for c in range(3):
+                np.testing.assert_array_equal(
+                    r.components[c].data, g.components[c].data,
+                    err_msg=f"{name} comp {c}")

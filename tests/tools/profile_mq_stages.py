@@ -31,6 +31,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(
+                          os.path.abspath(__file__)), "..", "..",
+                          ".jax_cache"))
     import jax.numpy as jnp
     from jax import lax
 
@@ -111,9 +115,9 @@ def main():
         def run(*comps):
             bands_list = pipeline._fwd_transform(plan.cfg, comps)
             if upto == "xf":
-                return [bands_list[c][k].sum()
-                        for c in range(len(bands_list))
-                        for k in bands_list[c]]
+                return sum(bands_list[c][k].sum()
+                           for c in range(len(bands_list))
+                           for k in bands_list[c])
             outs = []
             for (gh2, gw2, blocks) in plan.groups:
                 hp = -(-gh2 // 4) * 4
@@ -156,9 +160,33 @@ def main():
                 slots = jax.lax.optimization_barrier(slots)
                 comp1, counts1, nboc, st = mq_jax.run_mq_scans_compact(
                     jnp, lax, slots)
-                outs.append(comp1.sum() + counts1.sum() + nboc.sum()
-                            + st.sum())
-            return outs
+                if upto == "scan":
+                    outs.append(comp1.sum() + counts1.sum() + nboc.sum()
+                                + st.sum())
+                    continue
+                comp2, counts2, nbytes, overflow = mq_jax._compact_level2(
+                    jnp, comp1, counts1, st)
+                if upto == "level2":
+                    outs.append(comp2.sum() + counts2.sum()
+                                + nbytes.sum() + nboc.sum())
+                    continue
+                kmaxg2 = max(b.kmax for b in blocks)
+                comp2, counts2, _o3 = mq_jax._compact_lanes(
+                    jnp, lax, comp2, counts2,
+                    mq_jax.mq_cap3(gh2, gw2, kmaxg2))
+                nw = (nbytes + 3) >> 2
+                flat = nw.reshape(-1)
+                base = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.int32),
+                     jnp.cumsum(flat)[:-1].astype(jnp.int32)])
+                Bp = flat.shape[0]
+                k, vv = mq_jax.mq_splice_keys(
+                    jnp, base, comp2, counts2,
+                    st[4].reshape(-1), st[5].reshape(-1), Bp)
+                tb = Bp * (comp2.shape[0] * comp2.shape[1] + 1)
+                out = mq_jax.mq_splice_sort(jnp, k, vv, tb)
+                outs.append(out.sum() + nboc.sum())
+            return sum(outs)
 
         return jax.jit(run)
 
@@ -180,14 +208,21 @@ def main():
         print(f"{name:28s} {best * 1e3:9.2f} ms  {mps:8.2f} MP/s")
         return best
 
+    # tunnel round-trip floor: time a trivial fetched program
+    triv = jax.jit(lambda a: a.sum())
+    t_rtt = timeit("(rtt floor)", triv, (xs[0],))
     t_xf = timeit("transform", stage_groups("xf"), xs)
     t_sl = timeit("+ slot build", stage_groups("slots"), xs)
     t_sc = timeit("+ mq scan", stage_groups("scan"), xs)
+    t_l2 = timeit("+ level2", stage_groups("level2"), xs)
+    t_sp = timeit("+ splice sort", stage_groups("splice"), xs)
     fullfn, _, _ = fused_encode._jitted_fused_mq(plan, nframes)
     t_full = timeit("full fused program", fullfn, xs)
     print(f"deltas: slots={1e3 * (t_sl - t_xf):.1f} ms "
           f"scan={1e3 * (t_sc - t_sl):.1f} ms "
-          f"tail={1e3 * (t_full - t_sc):.1f} ms")
+          f"level2={1e3 * (t_l2 - t_sc):.1f} ms "
+          f"splice={1e3 * (t_sp - t_l2):.1f} ms "
+          f"rest={1e3 * (t_full - t_sp):.1f} ms")
 
 
 if __name__ == "__main__":
