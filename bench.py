@@ -37,6 +37,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
 logging.getLogger("jax._src.xla_bridge").setLevel(logging.ERROR)
 
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache: the chip bench compiles several
+    large programs (cinema fused-MQ alone is minutes through the
+    tunnel); cached compiles make reruns start in seconds."""
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
 # Measured on this host (2026-08-17), best of 4 minus the 6.4 ms process
 # floor (16x16 input), .refbuild/bin/grk_compress on the exact config-1
 # input: Part-1 MQ coder (-H 1): 4.8 MP/s; HT coder (-H 1 -M 64):

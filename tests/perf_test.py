@@ -36,6 +36,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+try:  # persistent XLA compile cache: device configs compile in minutes
+    import jax
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"))
+except Exception:
+    pass
+
 from grokimagecompression_tpu.codestream import decoder, encoder  # noqa
 from grokimagecompression_tpu.core.image import Component, Image  # noqa
 from grokimagecompression_tpu.core.params import (  # noqa
