@@ -59,7 +59,11 @@ GRK_DECOMPRESS = os.path.abspath(os.path.join(BIN, "grk_decompress"))
 
 def synth(w, h, ncomps=1, prec=8, seed=0):
     rng = np.random.default_rng(seed)
-    yy, xx = np.mgrid[0:h, 0:w]
+    # broadcast 1-D ramps, not np.mgrid: two h x w int64 grids are 4 GB
+    # at 16K^2 and the mgrid fill has been observed wedging on an
+    # allocator futex under a live accelerator backend
+    yy = np.arange(h, dtype=np.float64)[:, None]
+    xx = np.arange(w, dtype=np.float64)[None, :]
     mx = (1 << prec) - 1
     base = (mx / 2 + mx / 4 * np.sin(yy / 37.0) * np.cos(xx / 29.0)
             + rng.normal(0, mx / 20, (h, w))).clip(0, mx)
@@ -162,6 +166,13 @@ def main():
     args = ap.parse_args()
     s = 4 if args.quick else 1
     results = []
+    # Build config 5's 16K^2 input BEFORE any device measurement: giant
+    # host allocations crawl (observed: minutes inside one np fill,
+    # sleeping on an allocator futex) once the accelerator backend's
+    # tunnel client is live in-process.
+    n5 = 16384 // s
+    t5 = 1024 // s
+    img5 = synth(n5, n5)
     print(f"{'config':<44}{'enc MP/s':>9}{'dec MP/s':>9}"
           f"{'dev MP/s':>9}{'bytes':>12}")
 
@@ -250,9 +261,7 @@ def main():
           f"{len(cs4):>12}")
 
     # -- config 5: random tile access + ROI decode on 16K^2 tiled ------
-    n5 = 16384 // s
-    t5 = 1024 // s
-    img5 = synth(n5, n5)
+    # (img5 pre-built before any device work; see top of main)
     cs5 = encoder.encode(
         img5, EncoderParams(numresolutions=6, tile_size=(t5, t5),
                             cblk_style=0x40, tlm_markers=True))
