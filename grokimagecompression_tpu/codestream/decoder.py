@@ -635,6 +635,12 @@ def decode_batch(datas: List[bytes],
             or cod.mct not in (0, 1)
             or any(h.roishifts or h.custom_mct for h in hdrs)):
         return _fallback()
+    if cod.mct and len(siz.comps) >= 3 and any(
+            (c.dx, c.dy) != (siz.comps[0].dx, siz.comps[0].dy)
+            for c in siz.comps[:3]):
+        # MCT over differently-sampled components: host path skips the
+        # MCT step like the reference (corrupt-stream tolerance)
+        return _fallback()
     if any((h.cod_comp, h.qcd_comp, h.pocs,
             h.ppm_sections is not None)
            != (h0.cod_comp, h0.qcd_comp, h0.pocs,

@@ -867,6 +867,13 @@ def decode_tile(
     # Opt-in via GROK_TPU_T1=device (or GROK_TPU_DEC_ENTROPY=device):
     # the default device decode keeps native entropy decode + device
     # inverse transform.
+    # Device routes require MCT components of one shape (the host path
+    # skips MCT on mismatch like the reference; a device program would
+    # fail shape checks instead — fuzz-found via a corrupt SIZ).
+    _mct_dims_ok = (not cod.mct or ncomps < 3 or all(
+        (plans[c].layout.tc_rect.w, plans[c].layout.tc_rect.h)
+        == (plans[0].layout.tc_rect.w, plans[0].layout.tc_rect.h)
+        for c in range(3)))
     _dev_entropy = os.environ.get("GROK_TPU_T1") == "device" \
         or os.environ.get("GROK_TPU_DEC_ENTROPY") == "device"
     _ht_refined_jobs = bool(cod.cblk_style & 0x40) and any(
@@ -875,6 +882,7 @@ def decode_tile(
             and ((cod.cblk_style & 0x40) or cod.cblk_style == 0)
             and window is None
             and reduce == 0 and not cod_comp and cod.mct != 2
+            and _mct_dims_ok
             and not roishifts
             and os.environ.get("GROK_TPU_FUSED_DEC", "1") != "0"):
         from ..models import fused_decode
@@ -1001,7 +1009,8 @@ def decode_tile(
     # TileProcessor.cpp:1303 mct_decode). Falls back to the host for
     # windowed/reduced/custom-MCT/mixed-style decodes.
     if (_return_bands and _fused_bands is not None and window is None
-            and reduce == 0 and not cod_comp and cod.mct != 2):
+            and reduce == 0 and not cod_comp and cod.mct != 2
+            and _mct_dims_ok):
         origins = [(plans[c].layout.tc_rect.x0,
                     plans[c].layout.tc_rect.y0) for c in range(ncomps)]
         return ("bands", [_fused_bands[c] for c in range(ncomps)],
@@ -1012,7 +1021,8 @@ def decode_tile(
         from ..utils.device import device_default
         use_device = device_default()
     if (use_device and _fused_bands is not None and window is None
-            and reduce == 0 and not cod_comp and cod.mct != 2):
+            and reduce == 0 and not cod_comp and cod.mct != 2
+            and _mct_dims_ok):
         from ..models import pipeline as device_pipeline
         cfg = device_pipeline.config_for_tile(siz, cod, tile)
         comps_dev = device_pipeline.device_inv_comps(
@@ -1157,7 +1167,15 @@ def decode_tile(
             final.append(np.clip(a, lo, hi).astype(np.int32))
         return list(zip(final, origins))
     nat = _mct_native()
-    if (cod.mct == 1 and reversible and ncomps >= 3 and nat is not None
+    # Corrupt streams can signal MCT over differently-sized components;
+    # the reference skips the MCT step in that case rather than failing
+    # (reference: TileProcessor.cpp mct_decode:1303 "Tiles don't all
+    # have the same dimension. Skip the MCT step", testcase
+    # 1336.pdf.asan.47.376). Match it — a broadcast across mismatched
+    # planes would otherwise throw from deep inside the transform.
+    _mct_ok = (ncomps >= 3
+               and out[0].shape == out[1].shape == out[2].shape)
+    if (cod.mct == 1 and reversible and _mct_ok and nat is not None
             and all(out[c].dtype == np.int32 for c in range(3))):
         shifts, los, his = [], [], []
         for c in range(3):
@@ -1179,7 +1197,7 @@ def decode_tile(
                                         plans[c].signed)
                 final.append(a.astype(np.int32))
             return list(zip(final, origins))
-    if cod.mct and ncomps >= 3:
+    if cod.mct and _mct_ok:
         if reversible:
             r0, g0, b0 = mct_np.rct_inv(out[0], out[1], out[2])
         else:
