@@ -78,6 +78,14 @@ def ets_root(tmp_path_factory):
         if n != ".pgx":
             digits = "".join(ch for ch in n if ch.isdigit())
             f.rename(bas / f"c0p0_04_{digits or 0}.pgx")
+    # p1_01 proxy: profile-1 JP2 container, lossless gray (tolerance 0)
+    _run([os.path.join(REF, "grk_compress"), "-i", str(root / "in.pgm"),
+          "-o", str(ind / "p1_01.jp2"), "-H", "1"])
+    _run([os.path.join(REF, "grk_decompress"),
+          "-i", str(ind / "p1_01.jp2"),
+          "-o", str(bas / "c0p1_01.pgx"), "-H", "1"])
+    shutil.copy(str(next(bas.glob("c0p1_01*.pgx"))),
+                str(bas / "c1p1_01.pgx"))
     return root
 
 
@@ -92,6 +100,8 @@ def test_runner_passes_on_reference_proxies(ets_root):
     assert ("C0P0", "p0_01.j2k") in ran, msgs
     assert ("C1P0", "p0_01.j2k") in ran, msgs
     assert ("C0P0", "p0_04.j2k") in ran, msgs
+    assert ("C0P1", "p1_01.j2k") in ran, msgs
+    assert ("C1P1", "p1_01.j2k") in ran, msgs
 
 
 def test_runner_fails_on_corrupt_baseline(ets_root, tmp_path):
