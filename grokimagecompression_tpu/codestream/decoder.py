@@ -686,15 +686,20 @@ def decode_batch(datas: List[bytes],
                             _return_jobs=True)
             assert isinstance(r, tuple) and r[0] == "jobs"
             out.append(r)
-        return out
+        # tiles with NO tile-parts at all stay zero in the canvas, like
+        # the single-stream decode() (a truncated stream can lose whole
+        # tiles; an empty-BODY tile-part still decodes to DC midline)
+        return out, frozenset(tile_bodies)
 
     import concurrent.futures as _cf
     nw = min(len(datas), 2 * (_os.cpu_count() or 1))
     try:
         with _cf.ThreadPoolExecutor(max_workers=nw) as ex:
-            parsed = list(ex.map(_jobs, range(len(datas))))
+            jobbed = list(ex.map(_jobs, range(len(datas))))
     except _HostPath:
         return _fallback()
+    parsed = [j[0] for j in jobbed]
+    present = [j[1] for j in jobbed]
 
     # Group tiles by fused-geometry signature (same trick as the mesh
     # encode route: identical slot layout + band shapes share one
@@ -747,7 +752,10 @@ def decode_batch(datas: List[bytes],
             for c in range(len(plans_rep))
             for res in plans_rep[c].layout.resolutions
             for band in res.bands}
-        instances = [(f, t) for t in tlist for f in range(nframes)]
+        instances = [(f, t) for t in tlist for f in range(nframes)
+                     if t in present[f]]
+        if not instances:
+            continue
         for k in range(0, len(instances), chunk):
             part = instances[k:k + chunk]
             frames = [(parsed[f][t][1], parsed[f][t][2])

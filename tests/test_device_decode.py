@@ -173,3 +173,28 @@ def test_decode_batch_widened_gate_tiled_coc_poc_ppm():
                 np.testing.assert_array_equal(
                     r.components[c].data, g.components[c].data,
                     err_msg=f"{name} comp {c}")
+
+
+def test_decode_batch_truncated_tiled_matches_single_decode():
+    """Truncated tiled streams through decode_batch must match the
+    single-stream decode() exactly: tiles with NO tile-parts stay zero
+    in the canvas (not DC-midline), partially-present tiles degrade the
+    same way. (The reference segfaults on such streams; we must not.)"""
+    from grokimagecompression_tpu.codestream import decoder, encoder
+    from grokimagecompression_tpu.core.image import Component, Image
+    from grokimagecompression_tpu.core.params import EncoderParams
+    rng = np.random.default_rng(5)
+    img = Image(xsiz=128, ysiz=96, components=[
+        Component(data=rng.integers(0, 256, (96, 128)).astype(np.int32),
+                  prec=8, signed=False, dx=1, dy=1)])
+    p = EncoderParams(numresolutions=3, cblk_style=0x40,
+                      tile_size=(64, 64))
+    cs = encoder.encode(img, p, device=False)
+    for frac in (0.35, 0.6, 0.95):
+        t1 = cs[: int(len(cs) * frac)]
+        ref = decoder.decode(t1, device=False)
+        got = decoder.decode_batch([t1, t1], device=True, chunk=3)
+        for g in got:
+            np.testing.assert_array_equal(
+                g.components[0].data, ref.components[0].data,
+                err_msg=f"truncation {frac}")
